@@ -1,0 +1,145 @@
+"""Codec configuration (SURVEY.md §5 "Config / flag system").
+
+Every tool flag maps 1:1 to an SPS flag (see ``core/headers.py``) so the
+config <-> bitstream capability surface is auditable, mirroring how HEVC/VVC
+SPS tool flags gate the toolset [STD].  Presets correspond to the five
+driver milestone configs (BASELINE.json:6-12).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from enum import IntEnum
+
+
+class Profile(IntEnum):
+    """Bitstream profile.
+
+    HEVC_SUBSET: HEVC-class toolset (35 intra modes, DCT-II/DST-VII,
+        quadtree CUs) — the reference C model's scope (SURVEY.md §0.2).
+    VVC: adds MTS (DST-VII/DCT-VIII), 67 intra modes, MTT partitioning
+        (staged across milestones M2+).
+    """
+
+    HEVC_SUBSET = 0
+    VVC = 1
+
+
+class SliceType(IntEnum):
+    I = 0
+    P = 1
+    B = 2
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """Static configuration for one encode/decode session.
+
+    All fields that affect the bitstream are serialized into the SPS/PPS; a
+    decoder reconstructs an identical ``CodecConfig`` from the headers.
+    """
+
+    width: int
+    height: int
+    bit_depth: int = 8
+    profile: Profile = Profile.HEVC_SUBSET
+
+    # Partitioning (SURVEY.md §2.1 C5). v1: quadtree, CTU 64, CU sizes
+    # {8,16,32}; the 64->32 split is implicit (no flag) while max_cu_size=32.
+    ctu_size: int = 64
+    min_cu_size: int = 8
+    max_cu_size: int = 32
+
+    # Rate / quality (C17). Fixed QP in v1.
+    qp: int = 32
+
+    # GOP structure (C16). intra_period=1 => all-intra.
+    intra_period: int = 1
+    gop_size: int = 1
+
+    # Tool flags (each maps to an SPS flag).
+    lossless: bool = False          # transquant bypass, whole stream (C11)
+    deblock: bool = False           # C13
+    sao: bool = False               # C14
+    alf: bool = False               # C15 (VVC)
+    mts: bool = False               # C10 VVC MTS (requires profile=VVC)
+
+    # Entropy segmentation (SURVEY.md §2.2 P6): number of CABAC segments per
+    # picture; segment i covers CTU rows [i*rows/n, (i+1)*rows/n). Entry-point
+    # offsets are written in the slice header so segments decode in parallel
+    # and are stitched on host (BASELINE.json:5).
+    rows_per_segment: int = 0       # 0 => single segment per picture
+
+    def __post_init__(self) -> None:
+        if self.width % 8 or self.height % 8:
+            raise ValueError("v1 requires width/height multiples of 8")
+        if self.bit_depth != 8:
+            raise ValueError("v1 supports bit_depth=8 only")
+        if self.ctu_size != 64:
+            raise ValueError("v1 supports ctu_size=64 only")
+        if self.max_cu_size not in (8, 16, 32):
+            raise ValueError("max_cu_size must be 8, 16 or 32 in v1")
+        if self.min_cu_size != 8:
+            raise ValueError("v1 supports min_cu_size=8 only")
+        if self.mts and self.profile != Profile.VVC:
+            raise ValueError("MTS requires the VVC profile")
+
+    # ---- derived geometry -------------------------------------------------
+
+    @property
+    def ctus_x(self) -> int:
+        return -(-self.width // self.ctu_size)
+
+    @property
+    def ctus_y(self) -> int:
+        return -(-self.height // self.ctu_size)
+
+    @property
+    def units_x(self) -> int:
+        """Picture width in 8x8 minimum-CU units."""
+        return self.width // 8
+
+    @property
+    def units_y(self) -> int:
+        return self.height // 8
+
+    @property
+    def num_segments(self) -> int:
+        if self.rows_per_segment <= 0:
+            return 1
+        return -(-self.ctus_y // self.rows_per_segment)
+
+    def segment_ctu_rows(self) -> list[tuple[int, int]]:
+        """[start_ctu_row, end_ctu_row) per entropy segment."""
+        if self.num_segments == 1:
+            return [(0, self.ctus_y)]
+        r = self.rows_per_segment
+        return [(i * r, min((i + 1) * r, self.ctus_y))
+                for i in range(self.num_segments)]
+
+    # ---- rate-distortion --------------------------------------------------
+
+    @property
+    def lambda_mode(self) -> float:
+        """RD lambda for mode decision; HM-style lambda = k*2^((QP-12)/3)
+        with the all-intra k ~ 0.57 [STD, HM encoder convention]."""
+        return 0.57 * math.pow(2.0, (self.qp - 12) / 3.0)
+
+    def replace(self, **kw) -> "CodecConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---- presets: the five driver milestone configs (BASELINE.json:6-12) -------
+
+def preset_cfg1(width: int = 416, height: int = 240) -> CodecConfig:
+    """Config 1: all-intra HEVC-subset, 416x240, single tile, CPU-runnable."""
+    return CodecConfig(width=width, height=height,
+                       profile=Profile.HEVC_SUBSET, intra_period=1)
+
+
+def preset_cfg2(width: int = 1920, height: int = 1080) -> CodecConfig:
+    """Config 2: all-intra 1080p VVC with MTS + CABAC, one chip."""
+    return CodecConfig(width=width, height=height, profile=Profile.VVC,
+                       mts=True, intra_period=1)

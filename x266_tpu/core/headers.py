@@ -1,0 +1,105 @@
+"""Parameter sets and slice headers (SURVEY.md §2.1 C2) [STD-shaped].
+
+The x266t bitstream carries an SPS (sequence geometry + tool flags), a PPS
+(picture-level parameters), and per-picture slice headers with entropy
+segment entry points (wavefront stitching, BASELINE.json:5).  The syntax is
+x266t's own (the normative HEVC/VVC syntax cannot be bit-verified here —
+SURVEY.md §0), but the structure mirrors the standards: every tool flag in
+``CodecConfig`` round-trips through the SPS bit-exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from x266_tpu.config import CodecConfig, Profile, SliceType
+from x266_tpu.core.bitio import BitReader, BitWriter
+
+
+def write_sps(cfg: CodecConfig) -> bytes:
+    w = BitWriter()
+    w.u(int(cfg.profile), 8)
+    w.ue(cfg.width // 8)
+    w.ue(cfg.height // 8)
+    w.ue(cfg.bit_depth - 8)
+    w.ue({64: 0}[cfg.ctu_size])
+    w.ue({8: 0, 16: 1, 32: 2}[cfg.max_cu_size])
+    w.flag(cfg.lossless)
+    w.flag(cfg.deblock)
+    w.flag(cfg.sao)
+    w.flag(cfg.alf)
+    w.flag(cfg.mts)
+    w.ue(cfg.rows_per_segment)
+    w.align()
+    return w.bytes_value()
+
+
+def parse_sps(rbsp: bytes) -> CodecConfig:
+    r = BitReader(rbsp)
+    profile = Profile(r.u(8))
+    width = r.ue() * 8
+    height = r.ue() * 8
+    bit_depth = r.ue() + 8
+    ctu_size = {0: 64}[r.ue()]
+    max_cu = {0: 8, 1: 16, 2: 32}[r.ue()]
+    lossless = r.flag()
+    deblock = r.flag()
+    sao = r.flag()
+    alf = r.flag()
+    mts = r.flag()
+    rows_per_segment = r.ue()
+    r.align()
+    return CodecConfig(width=width, height=height, bit_depth=bit_depth,
+                       profile=profile, ctu_size=ctu_size,
+                       max_cu_size=max_cu, lossless=lossless,
+                       deblock=deblock, sao=sao, alf=alf, mts=mts,
+                       rows_per_segment=rows_per_segment)
+
+
+def write_pps(cfg: CodecConfig) -> bytes:
+    w = BitWriter()
+    w.ue(cfg.qp)
+    w.align()
+    return w.bytes_value()
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    qp = r.ue()
+    r.align()
+    return {"qp": qp}
+
+
+@dataclass
+class SliceHeader:
+    slice_type: SliceType
+    poc: int
+    qp: int
+    # Byte offsets (within the slice payload, after the header) where each
+    # entropy segment after the first begins — the WPP entry-point analog
+    # [STD], enabling host-side stitching of independently coded segments.
+    entry_points: list[int]
+
+
+def write_slice_header(sh: SliceHeader) -> bytes:
+    w = BitWriter()
+    w.ue(int(sh.slice_type))
+    w.ue(sh.poc)
+    w.se(sh.qp - 26)
+    w.ue(len(sh.entry_points))
+    for off in sh.entry_points:
+        w.ue(off)
+    w.align()
+    return w.bytes_value()
+
+
+def parse_slice_header(rbsp: bytes) -> tuple[SliceHeader, int]:
+    """Returns (header, payload_byte_offset_within_rbsp)."""
+    r = BitReader(rbsp)
+    st = SliceType(r.ue())
+    poc = r.ue()
+    qp = r.se() + 26
+    n = r.ue()
+    entries = [r.ue() for _ in range(n)]
+    r.align()
+    return SliceHeader(st, poc, qp, entries), r.byte_position

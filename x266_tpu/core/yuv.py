@@ -1,0 +1,128 @@
+"""YUV 4:2:0 planar I/O and deterministic synthetic test clips.
+
+SURVEY.md §2.1 (L0) and §4 (fixtures): tiny deterministic generators
+(gradients, seeded noise, moving patterns for ME) so no external clips are
+required by the test-suite.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Frame:
+    """One 8-bit YUV420 picture. y: (H, W); cb/cr: (H//2, W//2), uint8."""
+
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+
+    @property
+    def width(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.y.shape[0]
+
+    def copy(self) -> "Frame":
+        return Frame(self.y.copy(), self.cb.copy(), self.cr.copy())
+
+    def psnr(self, other: "Frame") -> tuple[float, float, float]:
+        def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+            mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+            if mse == 0:
+                return float("inf")
+            return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+        return (_psnr(self.y, other.y), _psnr(self.cb, other.cb),
+                _psnr(self.cr, other.cr))
+
+
+def read_yuv420(path_or_file, width: int, height: int,
+                num_frames: int | None = None) -> list[Frame]:
+    """Read raw planar I420 frames."""
+    f = (open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes))
+         else path_or_file)
+    close = isinstance(path_or_file, (str, bytes))
+    try:
+        frames = []
+        ysz, csz = width * height, (width // 2) * (height // 2)
+        while num_frames is None or len(frames) < num_frames:
+            raw = f.read(ysz + 2 * csz)
+            if len(raw) < ysz + 2 * csz:
+                break
+            y = np.frombuffer(raw, np.uint8, ysz).reshape(height, width)
+            cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(
+                height // 2, width // 2)
+            cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(
+                height // 2, width // 2)
+            frames.append(Frame(y.copy(), cb.copy(), cr.copy()))
+        return frames
+    finally:
+        if close:
+            f.close()
+
+
+def write_yuv420(path_or_file, frames: list[Frame]) -> None:
+    f = (open(path_or_file, "wb") if isinstance(path_or_file, (str, bytes))
+         else path_or_file)
+    close = isinstance(path_or_file, (str, bytes))
+    try:
+        for fr in frames:
+            f.write(fr.y.astype(np.uint8).tobytes())
+            f.write(fr.cb.astype(np.uint8).tobytes())
+            f.write(fr.cr.astype(np.uint8).tobytes())
+    finally:
+        if close:
+            f.close()
+
+
+# ---- deterministic synthetic clips (test fixtures, SURVEY.md §4) -----------
+
+def synthetic_frame(width: int, height: int, t: int = 0,
+                    kind: str = "mixed", seed: int = 0) -> Frame:
+    """Deterministic synthetic YUV420 frame.
+
+    kind:
+      "gradient"  smooth ramps (exercises planar/DC/angular smooth paths)
+      "noise"     seeded uniform noise (stresses residual coding)
+      "mixed"     gradient + texture + moving edge (general purpose; the
+                  moving edge makes consecutive frames ME-friendly)
+    """
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.int64)
+
+    if kind == "gradient":
+        y = ((xx * 255) // max(width - 1, 1) + (yy * 128) //
+             max(height - 1, 1)) % 256
+    elif kind == "noise":
+        rng = np.random.default_rng(seed * 1000003 + t)
+        y = rng.integers(0, 256, size=(height, width))
+    else:  # mixed
+        rng = np.random.default_rng(seed * 1000003 + 17)
+        y = (96 + ((xx + 2 * t) * 160) // max(width - 1, 1)) % 256
+        # texture band
+        y = y + ((np.sin(yy / 3.0) * 18).astype(np.int64))
+        # moving vertical edge
+        edge = (xx > ((width // 4 + 3 * t) % width)).astype(np.int64) * 60
+        y = y + edge
+        # sparse noise
+        y = y + rng.integers(-6, 7, size=(height, width))
+        y = np.clip(y, 0, 255)
+
+    cyy, cxx = np.mgrid[0:height // 2, 0:width // 2].astype(np.int64)
+    cb = (128 + (cxx * 64) // max(width // 2 - 1, 1) - 32 + t) % 256
+    cr = (128 - (cyy * 64) // max(height // 2 - 1, 1) + 32 - t) % 256
+
+    return Frame(y.astype(np.uint8), cb.astype(np.uint8),
+                 cr.astype(np.uint8))
+
+
+def synthetic_clip(width: int, height: int, num_frames: int,
+                   kind: str = "mixed", seed: int = 0) -> list[Frame]:
+    return [synthetic_frame(width, height, t, kind, seed)
+            for t in range(num_frames)]
