@@ -1,0 +1,63 @@
+"""Batched intra prediction on TPU (C6).
+
+TPU-first design: all 35 modes for B blocks are ONE int8xint32 matmul
+against the stacked weight matrices from ``specmodel.intra`` — the MXU does
+intra prediction (SURVEY.md §1.2 T1), instead of the reference's per-mode
+scalar loops.  The same matrices drive the single-block path used inside
+the normative reconstruction scan, so RD search and decode agree exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x266_tpu.specmodel import intra as spec
+
+
+@functools.cache
+def _consts(size: int):
+    w, shifts = spec.stacked_weights(size)
+    s = spec.smoothing_matrix(size)
+    return (jnp.asarray(w, dtype=jnp.int8),
+            jnp.asarray(shifts, dtype=jnp.int32),
+            jnp.asarray(s, dtype=jnp.int8))
+
+
+def extend_refs(refs: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(B, R) int32 raw refs -> (B, 2R) [raw, smoothed]."""
+    _, _, s = _consts(size)
+    sm = (refs @ s.T.astype(jnp.int32) + 2) >> 2
+    return jnp.concatenate([refs, sm], axis=-1)
+
+
+def predict_all_modes(refs: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(B, R) int32 reference vectors -> (B, 35, s, s) int32 predictions."""
+    w, shifts, _ = _consts(size)
+    ext = extend_refs(refs.astype(jnp.int32), size)
+    p = jnp.einsum("bn,mkn->bmk", ext, w.astype(jnp.int32),
+                   preferred_element_type=jnp.int32)
+    sh = shifts[None, :, None]
+    p = (p + (1 << (sh - 1))) >> sh
+    b = refs.shape[0]
+    return p.reshape(b, spec.NUM_MODES, size, size)
+
+
+def predict_mode(ref: jnp.ndarray, mode: jnp.ndarray, size: int
+                 ) -> jnp.ndarray:
+    """One (R,) ref vector + scalar mode -> (s, s) int32 prediction.
+
+    Used inside the reconstruction scan (batch=1, mode is a traced
+    scalar); weights are gathered by dynamic index.
+    """
+    w, shifts, _ = _consts(size)
+    ext = extend_refs(ref.astype(jnp.int32)[None], size)[0]
+    wm = jax.lax.dynamic_index_in_dim(w, mode, axis=0, keepdims=False)
+    p = jnp.matmul(wm.astype(jnp.int32), ext,
+                   preferred_element_type=jnp.int32)
+    sh = shifts[mode]
+    p = (p + (1 << (sh - 1))) >> sh
+    return p.reshape(size, size)

@@ -1,0 +1,224 @@
+"""Intra prediction as integer weight matrices (C6) [STD-shaped].
+
+The 35 HEVC-class intra modes (0=planar, 1=DC, 2..34 angular) are each an
+affine map of the reference samples:  pred = (W @ ref + 2^(shift-1)) >> shift
+with small integer W.  This module *generates* W per (size, mode) from the
+standard prediction equations (angle table, inverse-angle projection,
+two-tap interpolation, planar/DC weights) [STD].  Both the batched TPU
+mode-decision kernel and the normative reconstruction path consume these
+same matrices, so encoder RD search and decode are consistent by
+construction — the TPU-first restatement of "intra prediction" as MXU
+matmuls (SURVEY.md §1.2 T1).
+
+Reference vector layout (length R = 4s+1):
+    ref[0]           corner  p[-1][-1]
+    ref[1 .. 2s]     top     p[x][-1],  x = 0..2s-1
+    ref[2s+1 .. 4s]  left    p[-1][y],  y = 0..2s-1
+The *extended* vector fed to the stacked matrices is [ref, smoothed_ref]
+(length 2R); per-mode columns select raw or [1,2,1]-smoothed samples
+(HEVC's strong-filter rule per size/mode distance) [STD].
+
+x266t availability rule (deviation from HEVC substitution, documented in
+SURVEY.md §7 hard-part #3 spirit): reference positions that are out of
+picture or not yet reconstructed in coding order read the mid-level value
+(128 for 8-bit) — realized for free by initializing the padded recon plane
+to 128 and writing blocks in coding order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+PLANAR, DC = 0, 1
+NUM_MODES = 35
+
+# intraPredAngle for modes 2..34 [STD].
+ANGLES = np.array([32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17,
+                   -21, -26, -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5,
+                   9, 13, 17, 21, 26, 32], dtype=np.int32)
+
+
+def ref_len(size: int) -> int:
+    return 4 * size + 1
+
+
+def _idx_corner() -> int:
+    return 0
+
+
+def _idx_top(size: int, x: int) -> int:
+    assert 0 <= x < 2 * size
+    return 1 + x
+
+
+def _idx_left(size: int, y: int) -> int:
+    assert 0 <= y < 2 * size
+    return 1 + 2 * size + y
+
+
+@functools.cache
+def smoothing_matrix(size: int) -> np.ndarray:
+    """(R, R) int matrix: [1,2,1]/4 filter along the boundary line with
+    endpoints passed through; apply as (S @ ref + 2) >> 2 [STD]."""
+    r = ref_len(size)
+    # line order: L[2s-1] ... L[0], corner, T[0] ... T[2s-1]
+    line_of = np.empty(r, dtype=np.int64)
+    pos = 0
+    for y in range(2 * size - 1, -1, -1):
+        line_of[pos] = _idx_left(size, y)
+        pos += 1
+    line_of[pos] = _idx_corner()
+    pos += 1
+    for x in range(2 * size):
+        line_of[pos] = _idx_top(size, x)
+        pos += 1
+    s_line = np.zeros((r, r), dtype=np.int32)
+    for i in range(r):
+        if i == 0 or i == r - 1:
+            s_line[i, i] = 4
+        else:
+            s_line[i, i - 1] = 1
+            s_line[i, i] = 2
+            s_line[i, i + 1] = 1
+    # Permute from line space back to ref-vector space.
+    s = np.zeros((r, r), dtype=np.int32)
+    for li in range(r):
+        for lj in range(r):
+            s[line_of[li], line_of[lj]] = s_line[li, lj]
+    return s
+
+
+def use_smoothed(size: int, mode: int) -> bool:
+    """HEVC-style strong intra smoothing rule [STD]: never for 4x4 or DC;
+    for angular modes, when the distance to pure H/V exceeds the per-size
+    threshold; planar counts as maximally distant."""
+    if size == 4 or mode == DC:
+        return False
+    if mode == PLANAR:
+        return True
+    thresh = {8: 7, 16: 1, 32: 0}.get(size)
+    if thresh is None:
+        return False
+    dist = min(abs(mode - 10), abs(mode - 26))
+    return dist > thresh
+
+
+def _angular_weights(size: int, mode: int) -> np.ndarray:
+    """(s*s, R) two-tap angular weights, shift 5, offset 16 [STD]."""
+    s = size
+    r = ref_len(s)
+    a = int(ANGLES[mode - 2])
+    vertical = mode >= 18
+
+    # refMain[k] for k in [-s, 2s]; entries are ref-vector indices.
+    def main_idx(k: int) -> int:
+        if k == 0:
+            return _idx_corner()
+        if k > 0:
+            return (_idx_top(s, k - 1) if vertical else _idx_left(s, k - 1))
+        # negative side: inverse-angle projection onto the side reference
+        inv = -round(8192.0 / a)          # a < 0 here; inv > 0
+        j = ((-k) * inv + 128) >> 8       # refSide index, 0 = corner
+        if j == 0:
+            return _idx_corner()
+        j = min(j, 2 * s)
+        return (_idx_left(s, j - 1) if vertical else _idx_top(s, j - 1))
+
+    w = np.zeros((s * s, r), dtype=np.int32)
+    for y in range(s):                    # distance along prediction dir
+        idx = ((y + 1) * a) >> 5
+        frac = ((y + 1) * a) & 31
+        for x in range(s):                # position across
+            k1 = x + idx + 1
+            row = (y * s + x) if vertical else (x * s + y)  # transpose for H
+            if frac == 0:
+                w[row, main_idx(k1)] += 32
+            else:
+                w[row, main_idx(k1)] += 32 - frac
+                w[row, main_idx(k1 + 1)] += frac
+    return w
+
+
+def _planar_weights(size: int) -> np.ndarray:
+    s = size
+    w = np.zeros((s * s, ref_len(s)), dtype=np.int32)
+    for y in range(s):
+        for x in range(s):
+            row = y * s + x
+            w[row, _idx_left(s, y)] += s - 1 - x
+            w[row, _idx_top(s, s)] += x + 1          # top-right sample
+            w[row, _idx_top(s, x)] += s - 1 - y
+            w[row, _idx_left(s, s)] += y + 1         # bottom-left sample
+    return w
+
+
+def _dc_weights(size: int) -> np.ndarray:
+    s = size
+    w = np.zeros((s * s, ref_len(s)), dtype=np.int32)
+    for x in range(s):
+        w[:, _idx_top(s, x)] = 1
+    for y in range(s):
+        w[:, _idx_left(s, y)] = 1
+    return w
+
+
+@functools.cache
+def mode_shift(size: int, mode: int) -> int:
+    if mode in (PLANAR, DC):
+        return (size.bit_length() - 1) + 1
+    return 5
+
+
+@functools.cache
+def weight_matrix(size: int, mode: int) -> np.ndarray:
+    """(s*s, R) int32 weights in *raw-ref* space (smoothing not applied);
+    rows sum to exactly 2^mode_shift(size, mode)."""
+    if mode == PLANAR:
+        w = _planar_weights(size)
+    elif mode == DC:
+        w = _dc_weights(size)
+    else:
+        w = _angular_weights(size, mode)
+    assert (w.sum(axis=1) == (1 << mode_shift(size, mode))).all()
+    return w
+
+
+@functools.cache
+def stacked_weights(size: int) -> tuple[np.ndarray, np.ndarray]:
+    """All-modes matrices over the extended [raw, smoothed] ref vector.
+
+    Returns (W, shifts): W int8 (NUM_MODES, s*s, 2R) where per mode the
+    raw or the smoothed half is populated per use_smoothed(); shifts
+    (NUM_MODES,) int32.  Weight magnitudes <= 32 < 127 so int8 is exact.
+    """
+    r = ref_len(size)
+    w = np.zeros((NUM_MODES, size * size, 2 * r), dtype=np.int8)
+    shifts = np.zeros(NUM_MODES, dtype=np.int32)
+    for m in range(NUM_MODES):
+        wm = weight_matrix(size, m)
+        assert np.abs(wm).max() <= 127
+        if use_smoothed(size, m):
+            w[m, :, r:] = wm
+        else:
+            w[m, :, :r] = wm
+        shifts[m] = mode_shift(size, m)
+    return w, shifts
+
+
+def extend_refs(ref: np.ndarray) -> np.ndarray:
+    """[ref, smoothed_ref] for one (R,) int vector (NumPy oracle path)."""
+    size = (ref.shape[0] - 1) // 4
+    s = smoothing_matrix(size)
+    sm = (s @ ref.astype(np.int64) + 2) >> 2
+    return np.concatenate([ref.astype(np.int64), sm])
+
+
+def predict(ref: np.ndarray, size: int, mode: int) -> np.ndarray:
+    """NumPy oracle: predict an (s, s) block from an (R,) ref vector."""
+    ext = extend_refs(ref)
+    w, shifts = stacked_weights(size)
+    sh = int(shifts[mode])
+    p = (w[mode].astype(np.int64) @ ext + (1 << (sh - 1))) >> sh
+    return p.reshape(size, size).astype(np.int32)
