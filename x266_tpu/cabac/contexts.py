@@ -1,0 +1,40 @@
+"""Context registry for the x266t entropy layer (C4-analog).
+
+Named index ranges into one flat ContextSet; encoder and decoder share
+these constants, so context selection can never diverge.  Layout is
+HEVC-shaped (per-syntax-element sets, size/CG/diagonal conditioning)
+[STD-shaped], with counts simplified for v1.
+"""
+
+from __future__ import annotations
+
+# -- offsets ---------------------------------------------------------------
+SPLIT = 0          # 2: [size 32, size 16]
+MPM_FLAG = 2       # 1
+CBF_Y = 3          # 2: [size >= 16, size == 8]
+CBF_C = 5          # 2: [cb, cr]
+LAST_X = 7         # 20: 10 luma + 10 chroma (ctx = min(bin, 9))
+LAST_Y = 27        # 20
+CSBF = 47          # 4: (right|below) + 2*chroma
+SIG = 51           # 18: luma 12 (min(diag,5) + 6*(cg>0)), chroma 6
+GT1 = 69           # 4: luma cg0 / luma other / chroma cg0 / chroma other
+GT2 = 73           # 2: luma / chroma
+NUM_CONTEXTS = 75
+
+MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
+
+
+def group_idx(v: int) -> int:
+    """Last-significant coordinate prefix group [STD last_sig scheme]."""
+    if v < 4:
+        return v
+    k = v.bit_length() - 1
+    return 2 * k + ((v >> (k - 1)) & 1)
+
+
+def group_suffix_bits(g: int) -> int:
+    return max(0, (g >> 1) - 1)
+
+
+def max_group(size: int) -> int:
+    return group_idx(size - 1)

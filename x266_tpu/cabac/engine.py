@@ -119,6 +119,8 @@ class RangeDecoder:
 
     def _renorm(self) -> None:
         while self.range < TOP:
+            if self._pos >= len(self._data):
+                raise ValueError("truncated entropy payload")
             self.code = ((self.code << 8) | self._data[self._pos]) \
                 & 0xFFFFFFFF
             self._pos += 1

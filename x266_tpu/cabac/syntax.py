@@ -1,0 +1,435 @@
+"""Picture-level syntax coding: quadtree, modes, residuals (C4) [STD-shaped].
+
+Pure-Python reference implementation of the x266t entropy syntax; the
+native C++ engine in ``native/`` mirrors it bit-for-bit (differential
+tests).  Structure follows HEVC's coding-tree / coefficient-coding design:
+z-order quadtree with context-coded split flags, MPM-based luma mode
+coding, per-TU coefficient coding in 4x4 coefficient groups with
+reverse-diagonal scan, last-significant-position prefix/suffix, csbf,
+significance, >1/>2 flags and Golomb-Rice remainders [STD].  Deviations
+(documented, self-consistent): fresh contexts per segment, no sign-data
+hiding, no inferred-sig shortcut, per-coefficient inline signs.
+
+The walker is deterministic given (size_map, mode_map, coef planes) — the
+decoder reconstructs exactly these arrays, which then drive the same
+Pass-B reconstruction the encoder ran.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from x266_tpu.cabac import contexts as cx
+from x266_tpu.cabac.engine import ContextSet, RangeDecoder, RangeEncoder
+from x266_tpu.config import CodecConfig
+from x266_tpu.specmodel.intra import DC, PLANAR
+
+
+@functools.cache
+def diag_scan(n: int) -> np.ndarray:
+    """(n*n, 2) array of (x, y), up-right diagonal scan order [STD]."""
+    pos = []
+    for d in range(2 * n - 1):
+        y = min(d, n - 1)
+        while y >= 0 and d - y < n:
+            x = d - y
+            pos.append((x, y))
+            y -= 1
+    return np.array(pos, dtype=np.int32)
+
+
+@functools.cache
+def tu_scan(size: int) -> np.ndarray:
+    """(size*size, 2) full-TU scan: CGs diagonally, 16 positions per CG."""
+    ncg = size // 4
+    cgs = diag_scan(ncg)
+    inner = diag_scan(4)
+    out = []
+    for cgx, cgy in cgs:
+        for px, py in inner:
+            out.append((cgx * 4 + px, cgy * 4 + py))
+    return np.array(out, dtype=np.int32)
+
+
+def mpm_list(left: int, above: int) -> list[int]:
+    """Most-probable-mode list from neighbor modes [STD-shaped]."""
+    if left == above:
+        if left < 2:
+            return [PLANAR, DC, 26]
+        return [left, 2 + ((left - 2 + 31) % 32), 2 + ((left - 2 + 1) % 32)]
+    third = next(m for m in (PLANAR, DC, 26) if m not in (left, above))
+    return [left, above, third]
+
+
+class _Walker:
+    """Shared geometry walk for encode and decode."""
+
+    def __init__(self, cfg: CodecConfig):
+        self.cfg = cfg
+        self.w, self.h = cfg.width, cfg.height
+
+    # -- neighbor mode derivation (line-buffer-free rule [STD-shaped]) -----
+    def _neighbor_modes(self, mode_map, ux, uy):
+        left = int(mode_map[uy, ux - 1]) if ux > 0 else DC
+        above = int(mode_map[uy - 1, ux]) if (uy > 0 and (uy & 7) != 0) \
+            else DC
+        return left, above
+
+
+class SyntaxEncoder(_Walker):
+    def __init__(self, cfg: CodecConfig, size_map, mode_map,
+                 coef_y, coef_cb, coef_cr):
+        super().__init__(cfg)
+        self.size_map = np.asarray(size_map)
+        self.mode_map = np.asarray(mode_map)
+        self.coef = {"y": np.asarray(coef_y), "cb": np.asarray(coef_cb),
+                     "cr": np.asarray(coef_cr)}
+
+    def encode_segment(self, ctu_row0: int, ctu_row1: int) -> bytes:
+        self.enc = RangeEncoder()
+        self.ctxs = ContextSet(cx.NUM_CONTEXTS)
+        for cy in range(ctu_row0, ctu_row1):
+            for cxi in range(self.cfg.ctus_x):
+                self._node(cxi * 64, cy * 64, 64)
+        return self.enc.finish()
+
+    def _node(self, x, y, s):
+        if x >= self.w or y >= self.h:
+            return
+        if s > self.cfg.max_cu_size or x + s > self.w or y + s > self.h:
+            half = s // 2
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                self._node(x + dx, y + dy, half)
+            return
+        ux, uy = x // 8, y // 8
+        actual = int(self.size_map[uy, ux])
+        if s > 8:
+            split = actual < s
+            self.enc.encode_bin(self.ctxs,
+                                cx.SPLIT + (0 if s == 32 else 1),
+                                int(split))
+            if split:
+                half = s // 2
+                for (dx, dy) in ((0, 0), (half, 0), (0, half),
+                                 (half, half)):
+                    self._node(x + dx, y + dy, half)
+                return
+        assert actual == s, (x, y, s, actual)
+        self._leaf(x, y, s)
+
+    def _leaf(self, x, y, s):
+        ux, uy = x // 8, y // 8
+        mode = int(self.mode_map[uy, ux])
+        left, above = self._neighbor_modes(self.mode_map, ux, uy)
+        mpms = mpm_list(left, above)
+        if mode in mpms:
+            self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 1)
+            idx = mpms.index(mode)
+            self.enc.encode_bypass(int(idx == 0))
+            if idx > 0:
+                self.enc.encode_bypass(int(idx == 1))
+        else:
+            self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
+            rank = mode - sum(1 for m in mpms if m < mode)
+            self.enc.encode_bypass_bits(rank, 5)
+
+        by = self.coef["y"][y:y + s, x:x + s]
+        bcb = self.coef["cb"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
+        bcr = self.coef["cr"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
+        cbf_y = int(by.any())
+        cbf_cb = int(bcb.any())
+        cbf_cr = int(bcr.any())
+        self.enc.encode_bin(self.ctxs, cx.CBF_Y + (0 if s >= 16 else 1),
+                            cbf_y)
+        self.enc.encode_bin(self.ctxs, cx.CBF_C + 0, cbf_cb)
+        self.enc.encode_bin(self.ctxs, cx.CBF_C + 1, cbf_cr)
+        if cbf_y:
+            self._residual(by, s, chroma=False)
+        if cbf_cb:
+            self._residual(bcb, s // 2, chroma=True)
+        if cbf_cr:
+            self._residual(bcr, s // 2, chroma=True)
+
+    # -- residual ----------------------------------------------------------
+    def _residual(self, block, s, chroma):
+        enc, ctxs = self.enc, self.ctxs
+        scan = tu_scan(s)
+        n = s * s
+        coefs = block[scan[:, 1], scan[:, 0]]       # in scan order
+        nz = np.nonzero(coefs)[0]
+        last = int(nz[-1])
+        lx, ly = int(scan[last, 0]), int(scan[last, 1])
+        coff = 10 if chroma else 0
+        _code_last(enc, ctxs, cx.LAST_X + coff, lx, s)
+        _code_last(enc, ctxs, cx.LAST_Y + coff, ly, s)
+
+        ncg = s // 4
+        last_cg = last // 16
+        csbf = np.zeros(ncg * ncg, dtype=bool)
+        cg_of_scan = np.arange(n) // 16
+        for cg in range(last_cg + 1):
+            csbf[cg] = coefs[cg * 16:min((cg + 1) * 16, last + 1)].any()
+        # CG0 and the last CG have *inferred* coded flags [STD]; the
+        # decoder always parses their significance bins, so the encoder
+        # must emit them even when CG0 happens to be all zero.
+        csbf[0] = True
+        cg_list = diag_scan(ncg)
+        for cg in range(last_cg, -1, -1):
+            cgx, cgy = int(cg_list[cg, 0]), int(cg_list[cg, 1])
+            inferred = (cg == last_cg) or (cg == 0)
+            if not inferred:
+                nb = _csbf_neighbor(csbf, cg_list, ncg, cgx, cgy)
+                enc.encode_bin(ctxs, cx.CSBF + nb + 2 * chroma,
+                               int(csbf[cg]))
+            if not csbf[cg]:
+                continue
+            # significance
+            hi = min((cg + 1) * 16 - 1, last)
+            rice_k = 0
+            sigs = []
+            for i in range(hi, cg * 16 - 1, -1):
+                level = int(coefs[i])
+                sig = int(level != 0)
+                if i != last:
+                    px, py = int(scan[i, 0]) & 3, int(scan[i, 1]) & 3
+                    ctx = _sig_ctx(px, py, cg, chroma)
+                    enc.encode_bin(ctxs, ctx, sig)
+                if sig:
+                    sigs.append(i)
+            # levels
+            for i in sigs:
+                level = int(coefs[i])
+                al = abs(level)
+                g1 = int(al > 1)
+                ctx1 = cx.GT1 + (2 if chroma else 0) + (0 if cg == 0 else 1)
+                enc.encode_bin(ctxs, ctx1, g1)
+                if g1:
+                    g2 = int(al > 2)
+                    enc.encode_bin(ctxs, cx.GT2 + (1 if chroma else 0), g2)
+                    if g2:
+                        rice_k = _code_remainder(enc, al - 3, rice_k)
+                enc.encode_bypass(int(level < 0))
+
+
+class SyntaxDecoder(_Walker):
+    def __init__(self, cfg: CodecConfig):
+        super().__init__(cfg)
+        u = (cfg.units_y, cfg.units_x)
+        self.size_map = np.zeros(u, dtype=np.int32)
+        self.mode_map = np.zeros(u, dtype=np.int32)
+        self.coef = {
+            "y": np.zeros((cfg.height, cfg.width), dtype=np.int32),
+            "cb": np.zeros((cfg.height // 2, cfg.width // 2),
+                           dtype=np.int32),
+            "cr": np.zeros((cfg.height // 2, cfg.width // 2),
+                           dtype=np.int32),
+        }
+
+    def decode_segment(self, data: bytes, ctu_row0: int,
+                       ctu_row1: int) -> None:
+        self.dec = RangeDecoder(data)
+        self.ctxs = ContextSet(cx.NUM_CONTEXTS)
+        for cy in range(ctu_row0, ctu_row1):
+            for cxi in range(self.cfg.ctus_x):
+                self._node(cxi * 64, cy * 64, 64)
+
+    def _node(self, x, y, s):
+        if x >= self.w or y >= self.h:
+            return
+        if s > self.cfg.max_cu_size or x + s > self.w or y + s > self.h:
+            half = s // 2
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                self._node(x + dx, y + dy, half)
+            return
+        if s > 8:
+            split = self.dec.decode_bin(
+                self.ctxs, cx.SPLIT + (0 if s == 32 else 1))
+            if split:
+                half = s // 2
+                for (dx, dy) in ((0, 0), (half, 0), (0, half),
+                                 (half, half)):
+                    self._node(x + dx, y + dy, half)
+                return
+        self._leaf(x, y, s)
+
+    def _leaf(self, x, y, s):
+        ux, uy = x // 8, y // 8
+        u = s // 8
+        left, above = self._neighbor_modes(self.mode_map, ux, uy)
+        mpms = mpm_list(left, above)
+        if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
+            if self.dec.decode_bypass():
+                mode = mpms[0]
+            elif self.dec.decode_bypass():
+                mode = mpms[1]
+            else:
+                mode = mpms[2]
+        else:
+            rank = self.dec.decode_bypass_bits(5)
+            mode = rank
+            for m in sorted(mpms):
+                if mode >= m:
+                    mode += 1
+        self.size_map[uy:uy + u, ux:ux + u] = s
+        self.mode_map[uy:uy + u, ux:ux + u] = mode
+
+        cbf_y = self.dec.decode_bin(self.ctxs,
+                                    cx.CBF_Y + (0 if s >= 16 else 1))
+        cbf_cb = self.dec.decode_bin(self.ctxs, cx.CBF_C + 0)
+        cbf_cr = self.dec.decode_bin(self.ctxs, cx.CBF_C + 1)
+        if cbf_y:
+            self.coef["y"][y:y + s, x:x + s] = self._residual(s, False)
+        if cbf_cb:
+            self.coef["cb"][y // 2:(y + s) // 2,
+                            x // 2:(x + s) // 2] = self._residual(
+                                s // 2, True)
+        if cbf_cr:
+            self.coef["cr"][y // 2:(y + s) // 2,
+                            x // 2:(x + s) // 2] = self._residual(
+                                s // 2, True)
+
+    def _residual(self, s, chroma):
+        dec, ctxs = self.dec, self.ctxs
+        scan = tu_scan(s)
+        n = s * s
+        coefs = np.zeros(n, dtype=np.int32)
+        coff = 10 if chroma else 0
+        lx = _decode_last(dec, ctxs, cx.LAST_X + coff, s)
+        ly = _decode_last(dec, ctxs, cx.LAST_Y + coff, s)
+        pos_of = {(int(scan[i, 0]), int(scan[i, 1])): i for i in range(n)}
+        last = pos_of[(lx, ly)]
+
+        ncg = s // 4
+        last_cg = last // 16
+        csbf = np.zeros(ncg * ncg, dtype=bool)
+        cg_list = diag_scan(ncg)
+        for cg in range(last_cg, -1, -1):
+            cgx, cgy = int(cg_list[cg, 0]), int(cg_list[cg, 1])
+            if (cg == last_cg) or (cg == 0):
+                csbf[cg] = True
+            else:
+                nb = _csbf_neighbor(csbf, cg_list, ncg, cgx, cgy)
+                csbf[cg] = bool(dec.decode_bin(
+                    ctxs, cx.CSBF + nb + 2 * chroma))
+            if not csbf[cg]:
+                continue
+            hi = min((cg + 1) * 16 - 1, last)
+            rice_k = 0
+            sigs = []
+            for i in range(hi, cg * 16 - 1, -1):
+                if i == last:
+                    sig = 1
+                else:
+                    px, py = int(scan[i, 0]) & 3, int(scan[i, 1]) & 3
+                    sig = dec.decode_bin(ctxs, _sig_ctx(px, py, cg, chroma))
+                if sig:
+                    sigs.append(i)
+            for i in sigs:
+                ctx1 = cx.GT1 + (2 if chroma else 0) + (0 if cg == 0 else 1)
+                al = 1
+                if dec.decode_bin(ctxs, ctx1):
+                    al = 2
+                    if dec.decode_bin(ctxs, cx.GT2 + (1 if chroma else 0)):
+                        rem, rice_k = _decode_remainder(dec, rice_k)
+                        al = 3 + rem
+                if dec.decode_bypass():
+                    al = -al
+                coefs[i] = al
+        out = np.zeros((s, s), dtype=np.int32)
+        out[scan[:, 1], scan[:, 0]] = coefs
+        return out
+
+
+# -- shared helpers ---------------------------------------------------------
+
+def _sig_ctx(px: int, py: int, cg: int, chroma: bool) -> int:
+    d = min(px + py, 5)
+    if chroma:
+        return cx.SIG + 12 + d
+    return cx.SIG + d + (0 if cg == 0 else 6)
+
+
+def _csbf_neighbor(csbf, cg_list, ncg, cgx, cgy) -> int:
+    """1 if the right or below CG (already coded in reverse scan) has
+    csbf set."""
+    idx = {(int(cg_list[i, 0]), int(cg_list[i, 1])): i
+           for i in range(len(cg_list))}
+    nb = 0
+    if cgx + 1 < ncg and csbf[idx[(cgx + 1, cgy)]]:
+        nb = 1
+    if cgy + 1 < ncg and csbf[idx[(cgx, cgy + 1)]]:
+        nb = 1
+    return nb
+
+
+def _code_last(enc, ctxs, base, v, size):
+    g = cx.group_idx(v)
+    gmax = cx.max_group(size)
+    for b in range(g):
+        enc.encode_bin(ctxs, base + min(b, 9), 1)
+    if g < gmax:
+        enc.encode_bin(ctxs, base + min(g, 9), 0)
+    nbits = cx.group_suffix_bits(g)
+    if nbits:
+        enc.encode_bypass_bits(v - cx.MIN_IN_GROUP[g], nbits)
+
+
+def _decode_last(dec, ctxs, base, size):
+    gmax = cx.max_group(size)
+    g = 0
+    while g < gmax and dec.decode_bin(ctxs, base + min(g, 9)):
+        g += 1
+    v = cx.MIN_IN_GROUP[g]
+    nbits = cx.group_suffix_bits(g)
+    if nbits:
+        v += dec.decode_bypass_bits(nbits)
+    return v
+
+
+def _code_remainder(enc, r, k) -> int:
+    """Golomb-Rice with exp-golomb escape; returns updated rice param."""
+    q = r >> k
+    if q < 4:
+        for _ in range(q):
+            enc.encode_bypass(1)
+        enc.encode_bypass(0)
+        if k:
+            enc.encode_bypass_bits(r & ((1 << k) - 1), k)
+    else:
+        for _ in range(4):
+            enc.encode_bypass(1)
+        v = r - (4 << k)
+        m = k + 1
+        while v >= (1 << m):
+            enc.encode_bypass(1)
+            v -= 1 << m
+            m += 1
+        enc.encode_bypass(0)
+        enc.encode_bypass_bits(v, m)
+    if r > (3 << k) and k < 4:
+        k += 1
+    return k
+
+
+def _decode_remainder(dec, k) -> tuple[int, int]:
+    q = 0
+    while q < 4 and dec.decode_bypass():
+        q += 1
+    if q < 4:
+        r = q << k
+        if k:
+            r += dec.decode_bypass_bits(k)
+    else:
+        m = k + 1
+        base = 4 << k
+        while dec.decode_bypass():
+            base += 1 << m
+            m += 1
+            if m > 24:   # corrupt stream guard: levels are < 2^16
+                raise ValueError("corrupt coefficient remainder")
+        r = base + dec.decode_bypass_bits(m)
+    if r > (3 << k) and k < 4:
+        k += 1
+    return r, k

@@ -1,0 +1,90 @@
+"""Coding-order geometry: z-order, reference availability masks (C5/C6).
+
+x266t rule (see specmodel.intra): a reference sample is *unavailable* iff
+out of picture or not yet reconstructed in coding order (raster CTUs,
+z-order 8x8 units inside a CTU); unavailable samples read 128.  In the
+reconstruction scan this is emergent (plane initialized to 128, written in
+coding order); for the parallel mode-decision pass the same predicate is
+computed here, statically, so RD search sees exactly what the decoder will
+reconstruct from.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+CTU = 64
+UNIT = 8
+
+
+def z_index(ux: np.ndarray, uy: np.ndarray) -> np.ndarray:
+    """Morton index of 8x8 units within a CTU (3 bits each axis)."""
+    ux = np.asarray(ux)
+    uy = np.asarray(uy)
+    z = np.zeros_like(ux)
+    for b in range(3):
+        z |= ((ux >> b) & 1) << (2 * b)
+        z |= ((uy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def z_deinterleave(z: int) -> tuple[int, int]:
+    """z -> (ux, uy) within-CTU unit coords."""
+    ux = ((z >> 0) & 1) | (((z >> 2) & 1) << 1) | (((z >> 4) & 1) << 2)
+    uy = ((z >> 1) & 1) | (((z >> 3) & 1) << 1) | (((z >> 5) & 1) << 2)
+    return ux, uy
+
+
+def decoded_before(px: np.ndarray, py: np.ndarray,
+                   bx: int | np.ndarray, by: int | np.ndarray,
+                   width: int, height: int) -> np.ndarray:
+    """Is sample (px, py) reconstructed before the block at origin (bx, by)
+    begins decoding?  Vectorized over sample arrays."""
+    px, py = np.asarray(px), np.asarray(py)
+    bx, by = np.asarray(bx), np.asarray(by)
+    inside = (px >= 0) & (py >= 0) & (px < width) & (py < height)
+    c_p = (py // CTU) * (1 << 20) + (px // CTU)
+    c_b = (by // CTU) * (1 << 20) + (bx // CTU)
+    zp = z_index((px % CTU) // UNIT, (py % CTU) // UNIT)
+    zb = z_index((bx % CTU) // UNIT, (by % CTU) // UNIT)
+    return inside & ((c_p < c_b) | ((c_p == c_b) & (zp < zb)))
+
+
+@functools.cache
+def ref_availability_masks(width: int, height: int, size: int
+                           ) -> np.ndarray:
+    """(grid_y, grid_x, R) bool: availability of each reference-vector
+    entry for every size-aligned block of the picture (True = real sample,
+    False = reads 128).  Grid dims are ceil(height/size) x ceil(width/size).
+    """
+    s = size
+    gy = -(-height // s)
+    gx = -(-width // s)
+    r = 4 * s + 1
+    masks = np.zeros((gy, gx, r), dtype=bool)
+    for iy in range(gy):
+        for ix in range(gx):
+            x, y = ix * s, iy * s
+            # corner
+            masks[iy, ix, 0] = decoded_before(x - 1, y - 1, x, y,
+                                              width, height)
+            # top 2s: samples (x+k, y-1)
+            ks = np.arange(2 * s)
+            masks[iy, ix, 1:1 + 2 * s] = decoded_before(
+                x + ks, np.full(2 * s, y - 1), x, y, width, height)
+            # left 2s: samples (x-1, y+j)
+            js = np.arange(2 * s)
+            masks[iy, ix, 1 + 2 * s:] = decoded_before(
+                np.full(2 * s, x - 1), y + js, x, y, width, height)
+    return masks
+
+
+@functools.cache
+def valid_block_grid(width: int, height: int, size: int) -> np.ndarray:
+    """(gy, gx) bool: block fully inside the picture."""
+    gy = -(-height // size)
+    gx = -(-width // size)
+    iy, ix = np.mgrid[0:gy, 0:gx]
+    return ((ix + 1) * size <= width) & ((iy + 1) * size <= height)

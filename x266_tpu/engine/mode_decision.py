@@ -1,0 +1,177 @@
+"""Pass A: parallel intra mode decision + quadtree partitioning (C5/C8/C9).
+
+TPU-first restructuring of the reference's serial recursive RDO
+(SURVEY.md §3.3): every block of every CU size is evaluated for all 35
+modes *simultaneously* — prediction is one stacked matmul, the full
+residual chain (transform, quant, rate estimate, dequant, inverse, SSE)
+runs batched over (blocks x modes) — then the quadtree is decided
+bottom-up with vectorized min-reductions.  References come from ORIGINAL
+pixels with the exact decode-order availability mask
+(engine.availability), the standard hardware-encoder decoupling: Pass B
+recomputes the normative coefficients against reconstructed pixels.
+
+Cost model: D + lambda*R with SSE distortion and the surrogate rate of
+kernels.cost; lossless mode costs rate only (distortion is zero).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x266_tpu.config import CodecConfig
+from x266_tpu.engine import availability as avail
+from x266_tpu.kernels import cost as kcost
+from x266_tpu.kernels import intra as kintra
+from x266_tpu.kernels import quant as kquant
+from x266_tpu.kernels import transforms as ktx
+
+PAD = 72  # right/bottom plane padding (>= 2*32 ref overhang + slack)
+
+MODE_SIGNAL_BITS = 6.0   # flat estimate for coding one luma mode
+SPLIT_BITS = 2.0         # estimate for quadtree split signalling
+
+
+def pad_plane(img: np.ndarray) -> np.ndarray:
+    """(H, W) samples -> (1+H+PAD, 1+W+PAD) int32 plane, border = 128.
+
+    Layout: image pixel (y, x) lives at plane[y+1, x+1]; row/col 0 are the
+    out-of-picture reference positions (always 128 per the x266t
+    availability rule).
+    """
+    h, w = img.shape
+    plane = np.full((1 + h + PAD, 1 + w + PAD), 128, dtype=np.int32)
+    plane[1:1 + h, 1:1 + w] = img
+    return plane
+
+
+def _block_positions(width: int, height: int, size: int):
+    gy, gx = -(-height // size), -(-width // size)
+    iy, ix = np.mgrid[0:gy, 0:gx]
+    xs = (ix * size).ravel().astype(np.int32)
+    ys = (iy * size).ravel().astype(np.int32)
+    return xs, ys, gy, gx
+
+
+def _gather_refs(plane: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                 size: int) -> jnp.ndarray:
+    """Batched reference vectors [corner, top 2s, left 2s] per block."""
+    s = size
+
+    def one(x, y):
+        row = jax.lax.dynamic_slice(plane, (y, x), (1, 2 * s + 1))[0]
+        col = jax.lax.dynamic_slice(plane, (y + 1, x), (2 * s, 1))[:, 0]
+        return jnp.concatenate([row, col])
+
+    return jax.vmap(one)(xs, ys)
+
+
+def _block_gather(plane: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                  size: int) -> jnp.ndarray:
+    s = size
+
+    def one(x, y):
+        return jax.lax.dynamic_slice(plane, (y + 1, x + 1), (s, s))
+
+    return jax.vmap(one)(xs, ys)
+
+
+def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig):
+    """Best mode + RD cost for every size-aligned block.
+
+    Returns (cost (gy, gx) float32, mode (gy, gx) int32).  Invalid
+    (partially outside) blocks get cost = +inf.
+    """
+    w, h, s = cfg.width, cfg.height, size
+    lam = np.float32(cfg.lambda_mode)
+    xs_np, ys_np, gy, gx = _block_positions(w, h, s)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    nb = xs_np.shape[0]
+
+    refs = _gather_refs(plane, xs, ys, s)                     # (B, R)
+    mask = jnp.asarray(
+        avail.ref_availability_masks(w, h, s).reshape(nb, -1))
+    refs = jnp.where(mask, refs, 128)
+
+    preds = kintra.predict_all_modes(refs, s)                 # (B, 35, s, s)
+    orig = _block_gather(plane, xs, ys, s)[:, None]           # (B, 1, s, s)
+    res = orig - preds                                        # (B, 35, s, s)
+
+    nm = preds.shape[1]
+    if cfg.lossless:
+        rate = kcost.rate_estimate_levels(res)
+        cost = lam * (rate + MODE_SIGNAL_BITS)
+    else:
+        coefs = ktx.forward_transform(res.reshape(nb * nm, s, s), s)
+        levels = kquant.quantize(coefs, cfg.qp, s)
+        rate = kcost.rate_estimate_levels(levels).reshape(nb, nm)
+        deq = kquant.dequantize(levels, cfg.qp, s)
+        rres = ktx.inverse_transform(deq, s).reshape(nb, nm, s, s)
+        recon = jnp.clip(preds + rres, 0, 255)
+        dist = kcost.sse(recon, orig)
+        cost = dist + lam * (rate + MODE_SIGNAL_BITS)
+
+    best_mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    best_cost = jnp.min(cost, axis=1)
+    valid = jnp.asarray(avail.valid_block_grid(w, h, s).reshape(nb))
+    best_cost = jnp.where(valid, best_cost, jnp.inf)
+    return best_cost.reshape(gy, gx), best_mode.reshape(gy, gx)
+
+
+def _pad_to(a: jnp.ndarray, shape, fill) -> jnp.ndarray:
+    return jnp.pad(a, ((0, shape[0] - a.shape[0]),
+                       (0, shape[1] - a.shape[1])), constant_values=fill)
+
+
+def _sum_children(cost: jnp.ndarray, gy2: int, gx2: int) -> jnp.ndarray:
+    """2x2 window sums of the child grid; missing children count 0."""
+    c = _pad_to(jnp.where(jnp.isfinite(cost), cost, 1e18),
+                (2 * gy2, 2 * gx2), 0.0)
+    return (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+
+
+def _upsample(a: jnp.ndarray, f: int, gy: int, gx: int) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(a, f, axis=0), f, axis=1)[:gy, :gx]
+
+
+@functools.cache
+def make_mode_decision(cfg: CodecConfig):
+    """jit-compiled Pass A: padded orig luma plane -> (size_map, mode_map),
+    both (units_y, units_x) int32."""
+    uy, ux = cfg.units_y, cfg.units_x
+    lam = np.float32(cfg.lambda_mode)
+
+    def run(plane: jnp.ndarray):
+        cost8, mode8 = _eval_size(plane, 8, cfg)
+        size_map = jnp.full((uy, ux), 8, dtype=jnp.int32)
+        mode_map = mode8.astype(jnp.int32)
+        best = cost8
+
+        if cfg.max_cu_size >= 16:
+            cost16, mode16 = _eval_size(plane, 16, cfg)
+            g16 = cost16.shape
+            child16 = _sum_children(best, *g16) + lam * SPLIT_BITS
+            use16 = cost16 <= child16                  # inf own -> split
+            best16 = jnp.where(use16, cost16, child16)
+            sel = _upsample(use16, 2, uy, ux)
+            size_map = jnp.where(sel, 16, size_map)
+            mode_map = jnp.where(sel, _upsample(mode16, 2, uy, ux),
+                                 mode_map)
+            best = best16
+
+        if cfg.max_cu_size >= 32:
+            cost32, mode32 = _eval_size(plane, 32, cfg)
+            g32 = cost32.shape
+            child32 = _sum_children(best, *g32) + lam * SPLIT_BITS
+            use32 = cost32 <= child32
+            sel = _upsample(use32, 4, uy, ux)
+            size_map = jnp.where(sel, 32, size_map)
+            mode_map = jnp.where(sel, _upsample(mode32, 4, uy, ux),
+                                 mode_map)
+
+        return size_map, mode_map
+
+    return jax.jit(run)

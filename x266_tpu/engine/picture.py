@@ -1,0 +1,74 @@
+"""Per-picture encode/decode orchestration (SURVEY.md §3.1/§3.2).
+
+encode_picture: Pass A (parallel mode decision, TPU) -> Pass B (normative
+recon scan, TPU) -> per-segment entropy coding (host, serial layer) ->
+slice RBSP with entry points.  decode_picture mirrors it: parse segments
+-> Pass B -> output picture.  The host/device boundary crossings match
+SURVEY.md §3.4: pixels down, decision maps + coefficient planes back, NAL
+bytes assembled on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from x266_tpu.cabac.syntax import SyntaxDecoder, SyntaxEncoder
+from x266_tpu.config import CodecConfig, SliceType
+from x266_tpu.core.headers import SliceHeader, write_slice_header
+from x266_tpu.core.yuv import Frame
+from x266_tpu.engine.mode_decision import make_mode_decision, pad_plane
+from x266_tpu.engine.recon import extract_frame, make_recon_pass
+
+
+@dataclass
+class PictureStats:
+    bits: int
+    psnr_y: float
+    psnr_cb: float
+    psnr_cr: float
+    size_histogram: dict
+
+
+def encode_picture(cfg: CodecConfig, frame: Frame, poc: int
+                   ) -> tuple[bytes, Frame]:
+    """Returns (slice RBSP, reconstructed picture)."""
+    y_plane = pad_plane(frame.y.astype(np.int32))
+    cb_plane = pad_plane(frame.cb.astype(np.int32))
+    cr_plane = pad_plane(frame.cr.astype(np.int32))
+
+    size_map, mode_map = make_mode_decision(cfg)(y_plane)
+
+    out = make_recon_pass(cfg, encode=True)(
+        y_plane, cb_plane, cr_plane, size_map, mode_map)
+    recon = Frame(*extract_frame(cfg, out))
+    coef_y, coef_cb, coef_cr = (np.asarray(p) for p in out[3:6])
+
+    enc = SyntaxEncoder(cfg, np.asarray(size_map), np.asarray(mode_map),
+                        coef_y, coef_cb, coef_cr)
+    segments = [enc.encode_segment(r0, r1)
+                for (r0, r1) in cfg.segment_ctu_rows()]
+    entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
+    payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
+
+    sh = SliceHeader(SliceType.I, poc=poc, qp=cfg.qp,
+                     entry_points=[int(e) for e in entry_points])
+    return write_slice_header(sh) + payload, recon
+
+
+def decode_picture(cfg: CodecConfig, sh: SliceHeader,
+                   payload: bytes) -> Frame:
+    """payload: slice RBSP after the header (incl. trailing stop byte)."""
+    bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
+    rows = cfg.segment_ctu_rows()
+    assert len(bounds) - 1 == len(rows), "segment count mismatch"
+
+    dec = SyntaxDecoder(cfg)
+    for (r0, r1), b0, b1 in zip(rows, bounds[:-1], bounds[1:]):
+        dec.decode_segment(payload[b0:b1], r0, r1)
+
+    out = make_recon_pass(cfg, encode=False)(
+        dec.coef["y"], dec.coef["cb"], dec.coef["cr"],
+        dec.size_map, dec.mode_map)
+    return Frame(*extract_frame(cfg, out))

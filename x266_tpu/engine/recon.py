@@ -1,0 +1,169 @@
+"""Pass B: normative reconstruction scan (C6/C10/C11/C12 + decode C18).
+
+The single piece of intra coding that is inherently sequential: each TU's
+prediction reads previously reconstructed neighbors.  Expressed as a
+``lax.scan`` over CTUs in raster order with a ``fori_loop`` over the 64
+z-ordered 8x8 units per CTU; at each TU origin a 3-way ``lax.switch``
+(static sizes 8/16/32) runs predict -> [transform -> quant] -> dequant ->
+inverse -> clip and writes the reconstruction back into the padded plane.
+
+ENCODER and DECODER run this same function (mode="encode" computes the
+coded levels from original pixels; mode="decode" consumes parsed levels),
+so encode->decode reconstruction is bit-exact by construction — the
+SURVEY.md §4 integration gate.  Availability rule: planes are initialized
+to 128 and written in coding order, so any reference read of a
+not-yet-coded or out-of-picture position yields 128 deterministically
+(specmodel.intra docstring).
+
+Chroma (4:2:0) rides the same scan: TU size s/2 at (x/2, y/2) with the
+derived (DM) mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x266_tpu.config import CodecConfig
+from x266_tpu.engine.mode_decision import PAD
+from x266_tpu.kernels import intra as kintra
+from x266_tpu.kernels import quant as kquant
+from x266_tpu.kernels import transforms as ktx
+
+
+def _gather_ref(plane, x, y, s):
+    row = jax.lax.dynamic_slice(plane, (y, x), (1, 2 * s + 1))[0]
+    col = jax.lax.dynamic_slice(plane, (y + 1, x), (2 * s, 1))[:, 0]
+    return jnp.concatenate([row, col])
+
+
+def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless):
+    """One TU: returns (recon_block (s,s), coef_block (s,s))."""
+    ref = _gather_ref(plane, x, y, s)
+    pred = kintra.predict_mode(ref, mode, s)
+    if encode:
+        orig = jax.lax.dynamic_slice(src, (y + 1, x + 1), (s, s))
+        if lossless:
+            return orig, orig - pred
+        res = orig - pred
+        lev = kquant.quantize(ktx.forward_transform(res[None], s), qp, s)[0]
+        rres = ktx.inverse_transform(
+            kquant.dequantize(lev[None], qp, s), s)[0]
+        return jnp.clip(pred + rres, 0, 255), lev
+    else:
+        lev = jax.lax.dynamic_slice(coef, (y, x), (s, s))
+        if lossless:
+            return jnp.clip(pred + lev, 0, 255), lev
+        rres = ktx.inverse_transform(
+            kquant.dequantize(lev[None], qp, s), s)[0]
+        return jnp.clip(pred + rres, 0, 255), lev
+
+
+@functools.cache
+def make_recon_pass(cfg: CodecConfig, encode: bool):
+    """Build the jitted reconstruction pass.
+
+    encode=True:  f(origY_pad, origCb_pad, origCr_pad, size_map, mode_map)
+    encode=False: f(coefY, coefCb, coefCr, size_map, mode_map)
+    both return (reconY_pad, reconCb_pad, reconCr_pad,
+                 coefY, coefCb, coefCr)   [planes padded, coefs tight]
+    """
+    w, h = cfg.width, cfg.height
+    cw, ch = w // 2, h // 2
+    ux_n, uy_n = cfg.units_x, cfg.units_y
+    cx_n, cy_n = cfg.ctus_x, cfg.ctus_y
+    n_ctu = cx_n * cy_n
+    qp = cfg.qp
+    lossless = cfg.lossless
+
+    def run(a, b, c, size_map, mode_map):
+        if encode:
+            srcY, srcCb, srcCr = a, b, c
+            coefY = jnp.zeros((h, w), jnp.int32)
+            coefCb = jnp.zeros((ch, cw), jnp.int32)
+            coefCr = jnp.zeros((ch, cw), jnp.int32)
+        else:
+            coefY, coefCb, coefCr = a, b, c
+            srcY = srcCb = srcCr = None
+        yP = jnp.full((1 + h + PAD, 1 + w + PAD), 128, jnp.int32)
+        cbP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
+        crP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
+
+        def make_branch(s):
+            cs = s // 2
+
+            def branch(args):
+                yP, cbP, crP, cY, cCb, cCr, ux, uy = args
+                x = ux * 8
+                y = uy * 8
+                mode = mode_map[uy, ux]
+                rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
+                               encode, lossless)
+                yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
+                cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
+                xc, yc = x // 2, y // 2
+                recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, cs, qp,
+                                 encode, lossless)
+                cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
+                                                    (yc + 1, xc + 1))
+                cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
+                recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, cs, qp,
+                                 encode, lossless)
+                crP2 = jax.lax.dynamic_update_slice(crP, recr,
+                                                    (yc + 1, xc + 1))
+                cCr2 = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))
+                return yP2, cbP2, crP2, cY2, cCb2, cCr2
+
+            return branch
+
+        branches = [make_branch(8), make_branch(16), make_branch(32)]
+
+        def unit_body(z, carry):
+            yP, cbP, crP, cY, cCb, cCr, cx, cy = carry
+            zx = (z & 1) | (((z >> 2) & 1) << 1) | (((z >> 4) & 1) << 2)
+            zy = ((z >> 1) & 1) | (((z >> 3) & 1) << 1) \
+                | (((z >> 5) & 1) << 2)
+            ux = cx * 8 + zx
+            uy = cy * 8 + zy
+            inb = (ux < ux_n) & (uy < uy_n)
+            uxc = jnp.minimum(ux, ux_n - 1)
+            uyc = jnp.minimum(uy, uy_n - 1)
+            sz = size_map[uyc, uxc]
+            units = sz >> 3                       # 1, 2 or 4
+            origin = ((ux & (units - 1)) == 0) & ((uy & (units - 1)) == 0)
+            code = (sz == 16).astype(jnp.int32) \
+                + 2 * (sz == 32).astype(jnp.int32)
+
+            def do(ops):
+                return jax.lax.switch(code, branches, ops)
+
+            ops = (yP, cbP, crP, cY, cCb, cCr, uxc, uyc)
+            out = jax.lax.cond(inb & origin, do, lambda o: o[:6], ops)
+            return (*out, cx, cy)
+
+        def ctu_body(carry, ctu_idx):
+            cy = ctu_idx // cx_n
+            cx = ctu_idx % cx_n
+            state = (*carry, cx, cy)
+            state = jax.lax.fori_loop(0, 64, unit_body, state)
+            return state[:6], None
+
+        carry = (yP, cbP, crP, coefY, coefCb, coefCr)
+        carry, _ = jax.lax.scan(ctu_body, carry, jnp.arange(n_ctu))
+        return carry
+
+    return jax.jit(run)
+
+
+def extract_frame(cfg: CodecConfig, planes) -> tuple[np.ndarray, ...]:
+    """Pull the picture out of padded recon planes -> uint8 arrays."""
+    yP, cbP, crP = planes[:3]
+    y = np.asarray(yP)[1:1 + cfg.height, 1:1 + cfg.width].astype(np.uint8)
+    cb = np.asarray(cbP)[1:1 + cfg.height // 2,
+                         1:1 + cfg.width // 2].astype(np.uint8)
+    cr = np.asarray(crP)[1:1 + cfg.height // 2,
+                         1:1 + cfg.width // 2].astype(np.uint8)
+    return y, cb, cr

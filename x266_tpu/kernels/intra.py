@@ -20,11 +20,11 @@ from x266_tpu.specmodel import intra as spec
 
 @functools.cache
 def _consts(size: int):
+    # NumPy (not jnp) so the cache never holds trace-scoped constants.
     w, shifts = spec.stacked_weights(size)
     s = spec.smoothing_matrix(size)
-    return (jnp.asarray(w, dtype=jnp.int8),
-            jnp.asarray(shifts, dtype=jnp.int32),
-            jnp.asarray(s, dtype=jnp.int8))
+    return (w.astype(np.int8), shifts.astype(np.int32),
+            s.astype(np.int8))
 
 
 def extend_refs(refs: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -55,9 +55,10 @@ def predict_mode(ref: jnp.ndarray, mode: jnp.ndarray, size: int
     """
     w, shifts, _ = _consts(size)
     ext = extend_refs(ref.astype(jnp.int32)[None], size)[0]
-    wm = jax.lax.dynamic_index_in_dim(w, mode, axis=0, keepdims=False)
+    wm = jax.lax.dynamic_index_in_dim(jnp.asarray(w), mode, axis=0,
+                                      keepdims=False)
     p = jnp.matmul(wm.astype(jnp.int32), ext,
                    preferred_element_type=jnp.int32)
-    sh = shifts[mode]
+    sh = jnp.asarray(shifts)[mode]
     p = (p + (1 << (sh - 1))) >> sh
     return p.reshape(size, size)
