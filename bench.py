@@ -1,0 +1,62 @@
+"""Driver benchmark: prints ONE JSON line.
+
+Metric (BASELINE.json:2): frames/sec/chip for all-intra 1080p encode,
+end-to-end (device compute + entropy coding + NAL assembly), measured on
+whatever accelerator jax selects (the real TPU chip under the driver).
+
+vs_baseline: the reference has no published numbers (BASELINE.json:13
+"published": {}); we normalize against the project's real-time target of
+60 fps (BASELINE.json:5, stated for 4K on a v5p-16 — used here as the
+fixed yardstick so the number is comparable across rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    from x266_tpu.api import Decoder, Encoder
+    from x266_tpu.config import CodecConfig
+    from x266_tpu.core.hashing import frame_md5
+    from x266_tpu.core.yuv import synthetic_clip
+
+    width, height, qp = 1920, 1080, 32
+    cfg = CodecConfig(width=width, height=height, qp=qp,
+                      rows_per_segment=1)
+    frames = synthetic_clip(width, height, 3, kind="mixed")
+
+    enc = Encoder(cfg)
+    # warm-up: compile + first frame
+    enc.encode(frames[:1])
+
+    t0 = time.time()
+    res = enc.encode(frames)
+    dt = time.time() - t0
+    fps = len(frames) / dt
+
+    # correctness gate rides along: bit-exact round trip on frame 0
+    _, dec = Decoder().decode(res.bitstream)
+    assert frame_md5(dec[0]) == frame_md5(res.recon[0]), \
+        "round-trip mismatch in bench"
+
+    psnr_y = float(np.mean([d.psnr(f)[0] for d, f in zip(dec, frames)]))
+    print(json.dumps({
+        "metric": "1080p_allintra_encode_fps_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 4),
+        "detail": {
+            "qp": qp,
+            "bits_per_frame": int(res.total_bits / len(frames)),
+            "psnr_y_db": round(psnr_y, 2),
+            "frames": len(frames),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

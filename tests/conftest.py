@@ -1,8 +1,11 @@
 """Test harness config (SURVEY.md §4).
 
-Forces the CPU backend with an 8-device virtual mesh BEFORE jax is imported
-anywhere, so distributed/sharding tests run without TPU hardware (the
+Forces the CPU backend with an 8-device virtual mesh BEFORE any test code
+touches jax, so distributed/sharding tests run without TPU hardware (the
 driver separately dry-runs the multi-chip path via __graft_entry__).
+
+NOTE: the JAX_PLATFORMS *environment variable* is ignored in this image
+(the 'axon' TPU plugin still registers); only the config API works.
 """
 
 import os
@@ -11,4 +14,7 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
     os.environ["XLA_FLAGS"] = flags
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -138,9 +138,10 @@ def _upsample(a: jnp.ndarray, f: int, gy: int, gx: int) -> jnp.ndarray:
 
 
 @functools.cache
-def make_mode_decision(cfg: CodecConfig):
-    """jit-compiled Pass A: padded orig luma plane -> (size_map, mode_map),
-    both (units_y, units_x) int32."""
+def make_mode_decision_raw(cfg: CodecConfig):
+    """Un-jitted Pass A (for composition under outer jit/shard_map):
+    padded orig luma plane -> (size_map, mode_map), (units_y, units_x)
+    int32."""
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
 
@@ -174,4 +175,10 @@ def make_mode_decision(cfg: CodecConfig):
 
         return size_map, mode_map
 
-    return jax.jit(run)
+    return run
+
+
+@functools.cache
+def make_mode_decision(cfg: CodecConfig):
+    """jit-compiled Pass A."""
+    return jax.jit(make_mode_decision_raw(cfg))

@@ -63,8 +63,8 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless):
 
 
 @functools.cache
-def make_recon_pass(cfg: CodecConfig, encode: bool):
-    """Build the jitted reconstruction pass.
+def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
+    """Build the un-jitted reconstruction pass (for composition).
 
     encode=True:  f(origY_pad, origCb_pad, origCr_pad, size_map, mode_map)
     encode=False: f(coefY, coefCb, coefCr, size_map, mode_map)
@@ -155,7 +155,13 @@ def make_recon_pass(cfg: CodecConfig, encode: bool):
         carry, _ = jax.lax.scan(ctu_body, carry, jnp.arange(n_ctu))
         return carry
 
-    return jax.jit(run)
+    return run
+
+
+@functools.cache
+def make_recon_pass(cfg: CodecConfig, encode: bool):
+    """jit-compiled reconstruction pass (see make_recon_pass_raw)."""
+    return jax.jit(make_recon_pass_raw(cfg, encode))
 
 
 def extract_frame(cfg: CodecConfig, planes) -> tuple[np.ndarray, ...]:
