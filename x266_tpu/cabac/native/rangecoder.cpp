@@ -1,0 +1,672 @@
+// x266t native entropy engine (C3/C4): adaptive binary range coder +
+// full picture syntax walker.  Bit-for-bit mirror of the Python reference
+// in ../engine.py and ../syntax.py (differential-tested); C++ because the
+// serial bin loop is the one codec component that cannot be a TPU kernel
+// (SURVEY.md §1.1) and the reference's entropy layer is native C [B:5].
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int PROB_BITS = 12;
+constexpr int PROB_MAX = 1 << PROB_BITS;
+constexpr int PROB_INIT = PROB_MAX / 2;
+constexpr int PROB_MIN = 16;
+constexpr int RATE_FAST = 4;
+constexpr int RATE_SLOW = 7;
+constexpr uint32_t TOP = 1u << 24;
+
+// ---- context registry (mirror of contexts.py) ----------------------------
+constexpr int CTX_SPLIT = 0;
+constexpr int CTX_MPM_FLAG = 2;
+constexpr int CTX_CBF_Y = 3;
+constexpr int CTX_CBF_C = 5;
+constexpr int CTX_LAST_X = 7;
+constexpr int CTX_LAST_Y = 27;
+constexpr int CTX_CSBF = 47;
+constexpr int CTX_SIG = 51;
+constexpr int CTX_GT1 = 69;
+constexpr int CTX_GT2 = 73;
+constexpr int NUM_CONTEXTS = 75;
+
+const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
+
+int group_idx(int v) {
+  if (v < 4) return v;
+  int k = 31 - __builtin_clz((unsigned)v);
+  return 2 * k + ((v >> (k - 1)) & 1);
+}
+int group_suffix_bits(int g) { return g >= 4 ? (g >> 1) - 1 : 0; }
+int max_group(int size) { return group_idx(size - 1); }
+
+// ---- adaptive contexts ----------------------------------------------------
+struct Contexts {
+  int32_t pf[NUM_CONTEXTS];
+  int32_t ps[NUM_CONTEXTS];
+  Contexts() {
+    for (int i = 0; i < NUM_CONTEXTS; i++) pf[i] = ps[i] = PROB_INIT;
+  }
+  int prob(int idx) const {
+    int p = (pf[idx] + ps[idx]) >> 1;
+    if (p < PROB_MIN) p = PROB_MIN;
+    if (p > PROB_MAX - PROB_MIN) p = PROB_MAX - PROB_MIN;
+    return p;
+  }
+  void update(int idx, int bin) {
+    int target = bin ? PROB_MAX : 0;
+    pf[idx] += (target - pf[idx]) >> RATE_FAST;   // arithmetic shift
+    ps[idx] += (target - ps[idx]) >> RATE_SLOW;
+  }
+};
+
+// ---- range encoder (LZMA-class renorm; mirror of engine.py) ---------------
+struct Encoder {
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t cache = 0;
+  int64_t cache_size = 1;
+  std::vector<uint8_t> out;
+
+  void shift_low() {
+    if ((uint32_t)low < 0xFF000000u || (low >> 32) != 0) {
+      uint32_t carry = (uint32_t)(low >> 32);
+      out.push_back((uint8_t)(cache + carry));
+      for (int64_t i = 0; i < cache_size - 1; i++)
+        out.push_back((uint8_t)(0xFF + carry));
+      cache_size = 0;
+      cache = (uint8_t)(low >> 24);
+    }
+    cache_size++;
+    low = (uint32_t)low << 8;   // mask to 32 bits, then shift (drops 24-31)
+    low &= 0xFFFFFFFFu;
+  }
+  void renorm() {
+    while (range < TOP) {
+      shift_low();
+      range <<= 8;
+    }
+  }
+  void encode_bin(Contexts& c, int idx, int bin) {
+    uint32_t bound = (range >> PROB_BITS) * (uint32_t)c.prob(idx);
+    if (bin) {
+      range = bound;
+    } else {
+      low += bound;
+      range -= bound;
+    }
+    c.update(idx, bin);
+    renorm();
+  }
+  void encode_bypass(int bin) {
+    range >>= 1;
+    if (!bin) low += range;
+    renorm();
+  }
+  void encode_bypass_bits(uint32_t v, int n) {
+    for (int k = n - 1; k >= 0; k--) encode_bypass((v >> k) & 1);
+  }
+  // finish: 5 shift_lows, drop leading zero byte
+  void finish() {
+    for (int i = 0; i < 5; i++) shift_low();
+  }
+};
+
+// ---- range decoder --------------------------------------------------------
+struct Decoder {
+  const uint8_t* data;
+  int64_t len;       // includes virtual padding handled in next_byte()
+  int64_t pos = 0;   // index into payload (leading 0 byte is virtual)
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+  bool error = false;
+
+  Decoder(const uint8_t* d, int64_t n) : data(d), len(n) {
+    // Python mirror: b"\x00" + data + 8 zero bytes; pos starts after the
+    // virtual 0.  next_byte(i) with i in [0, len+8) maps to data[i] or 0.
+    for (int i = 0; i < 4; i++) code = (code << 8) | next_byte();
+  }
+  uint8_t next_byte() {
+    if (pos >= len + 8) {
+      error = true;
+      return 0;
+    }
+    uint8_t b = pos < len ? data[pos] : 0;
+    pos++;
+    return b;
+  }
+  void renorm() {
+    while (range < TOP) {
+      code = (code << 8) | next_byte();
+      range <<= 8;
+    }
+  }
+  int decode_bin(Contexts& c, int idx) {
+    uint32_t bound = (range >> PROB_BITS) * (uint32_t)c.prob(idx);
+    int bin;
+    if (code < bound) {
+      bin = 1;
+      range = bound;
+    } else {
+      bin = 0;
+      code -= bound;
+      range -= bound;
+    }
+    c.update(idx, bin);
+    renorm();
+    return bin;
+  }
+  int decode_bypass() {
+    range >>= 1;
+    int bin;
+    if (code < range) {
+      bin = 1;
+    } else {
+      code -= range;
+      bin = 0;
+    }
+    renorm();
+    return bin;
+  }
+  uint32_t decode_bypass_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | (uint32_t)decode_bypass();
+    return v;
+  }
+};
+
+// ---- scan tables (mirror of syntax.py diag_scan/tu_scan) ------------------
+struct Scan {
+  std::vector<int> x, y;   // full TU scan
+  std::vector<int> cgx, cgy;
+};
+
+void diag_scan(int n, std::vector<int>& xs, std::vector<int>& ys) {
+  for (int d = 0; d <= 2 * n - 2; d++) {
+    int yy = d < n ? d : n - 1;
+    while (yy >= 0 && d - yy < n) {
+      xs.push_back(d - yy);
+      ys.push_back(yy);
+      yy--;
+    }
+  }
+}
+
+Scan make_scan(int size) {
+  Scan s;
+  std::vector<int> ix, iy;
+  diag_scan(4, ix, iy);
+  diag_scan(size / 4, s.cgx, s.cgy);
+  for (size_t cg = 0; cg < s.cgx.size(); cg++)
+    for (int i = 0; i < 16; i++) {
+      s.x.push_back(s.cgx[cg] * 4 + ix[i]);
+      s.y.push_back(s.cgy[cg] * 4 + iy[i]);
+    }
+  return s;
+}
+
+Scan SCANS[3 + 1];  // index by log2(size) - 2: 4, 8, 16, 32
+bool scans_init = false;
+void init_scans() {
+  if (scans_init) return;
+  SCANS[0] = make_scan(4);
+  SCANS[1] = make_scan(8);
+  SCANS[2] = make_scan(16);
+  SCANS[3] = make_scan(32);
+  scans_init = true;
+}
+const Scan& scan_for(int size) {
+  return SCANS[(31 - __builtin_clz((unsigned)size)) - 2];
+}
+
+// ---- shared syntax helpers ------------------------------------------------
+constexpr int PLANAR = 0, DC_MODE = 1;
+
+int sig_ctx(int px, int py, int cg, bool chroma) {
+  int d = px + py;
+  if (d > 5) d = 5;
+  if (chroma) return CTX_SIG + 12 + d;
+  return CTX_SIG + d + (cg == 0 ? 0 : 6);
+}
+
+void mpm_list(int left, int above, int mpm[3]) {
+  if (left == above) {
+    if (left < 2) {
+      mpm[0] = PLANAR; mpm[1] = DC_MODE; mpm[2] = 26;
+    } else {
+      mpm[0] = left;
+      mpm[1] = 2 + ((left - 2 + 31) % 32);
+      mpm[2] = 2 + ((left - 2 + 1) % 32);
+    }
+  } else {
+    mpm[0] = left;
+    mpm[1] = above;
+    for (int m : {PLANAR, DC_MODE, 26})
+      if (m != left && m != above) { mpm[2] = m; break; }
+  }
+}
+
+struct Picture {
+  int width, height, max_cu;
+  int ux_n, uy_n, ctus_x;
+  int32_t* size_map;
+  int32_t* mode_map;
+  int32_t* coef_y;
+  int32_t* coef_cb;
+  int32_t* coef_cr;
+
+  int neighbor_left(int ux, int uy) const {
+    return ux > 0 ? mode_map[uy * ux_n + ux - 1] : DC_MODE;
+  }
+  int neighbor_above(int ux, int uy) const {
+    return (uy > 0 && (uy & 7) != 0) ? mode_map[(uy - 1) * ux_n + ux]
+                                     : DC_MODE;
+  }
+};
+
+// ---- encoder walker -------------------------------------------------------
+struct SegEncoder {
+  Picture& pic;
+  Encoder enc;
+  Contexts ctxs;
+
+  explicit SegEncoder(Picture& p) : pic(p) {}
+
+  void code_last(int base, int v, int size) {
+    int g = group_idx(v), gmax = max_group(size);
+    for (int b = 0; b < g; b++)
+      enc.encode_bin(ctxs, base + (b < 9 ? b : 9), 1);
+    if (g < gmax) enc.encode_bin(ctxs, base + (g < 9 ? g : 9), 0);
+    int nbits = group_suffix_bits(g);
+    if (nbits) enc.encode_bypass_bits((uint32_t)(v - MIN_IN_GROUP[g]),
+                                      nbits);
+  }
+
+  int code_remainder(int r, int k) {
+    int q = r >> k;
+    if (q < 4) {
+      for (int i = 0; i < q; i++) enc.encode_bypass(1);
+      enc.encode_bypass(0);
+      if (k) enc.encode_bypass_bits((uint32_t)(r & ((1 << k) - 1)), k);
+    } else {
+      for (int i = 0; i < 4; i++) enc.encode_bypass(1);
+      int v = r - (4 << k);
+      int m = k + 1;
+      while (v >= (1 << m)) {
+        enc.encode_bypass(1);
+        v -= 1 << m;
+        m++;
+      }
+      enc.encode_bypass(0);
+      enc.encode_bypass_bits((uint32_t)v, m);
+    }
+    if (r > (3 << k) && k < 4) k++;
+    return k;
+  }
+
+  void residual(const int32_t* plane, int stride, int x0, int y0, int s,
+                bool chroma) {
+    init_scans();
+    const Scan& sc = scan_for(s);
+    int n = s * s;
+    std::vector<int32_t> coefs(n);
+    for (int i = 0; i < n; i++)
+      coefs[i] = plane[(y0 + sc.y[i]) * stride + (x0 + sc.x[i])];
+    int last = -1;
+    for (int i = n - 1; i >= 0; i--)
+      if (coefs[i]) { last = i; break; }
+    // caller guarantees cbf=1 => last >= 0
+    int coff = chroma ? 10 : 0;
+    code_last(CTX_LAST_X + coff, sc.x[last], s);
+    code_last(CTX_LAST_Y + coff, sc.y[last], s);
+
+    int ncg = s / 4;
+    int last_cg = last / 16;
+    std::vector<uint8_t> csbf(ncg * ncg, 0);
+    for (int cg = 0; cg <= last_cg; cg++) {
+      int hi = (cg + 1) * 16 - 1 < last ? (cg + 1) * 16 - 1 : last;
+      for (int i = cg * 16; i <= hi; i++)
+        if (coefs[i]) { csbf[cg] = 1; break; }
+    }
+    csbf[0] = 1;  // inferred coded (see syntax.py)
+
+    for (int cg = last_cg; cg >= 0; cg--) {
+      int cgx = sc.cgx[cg], cgy = sc.cgy[cg];
+      bool inferred = (cg == last_cg) || (cg == 0);
+      if (!inferred) {
+        int nb = 0;
+        // right / below CG already coded in reverse scan
+        for (int j = 0; j < ncg * ncg; j++) {
+          if ((sc.cgx[j] == cgx + 1 && sc.cgy[j] == cgy && csbf[j]) ||
+              (sc.cgx[j] == cgx && sc.cgy[j] == cgy + 1 && csbf[j])) {
+            nb = 1;
+            break;
+          }
+        }
+        enc.encode_bin(ctxs, CTX_CSBF + nb + 2 * (int)chroma, csbf[cg]);
+      }
+      if (!csbf[cg]) continue;
+      int hi = (cg + 1) * 16 - 1 < last ? (cg + 1) * 16 - 1 : last;
+      int rice_k = 0;
+      std::vector<int> sigs;
+      for (int i = hi; i >= cg * 16; i--) {
+        int level = coefs[i];
+        int sig = level != 0;
+        if (i != last) {
+          enc.encode_bin(ctxs,
+                         sig_ctx(sc.x[i] & 3, sc.y[i] & 3, cg, chroma),
+                         sig);
+        }
+        if (sig) sigs.push_back(i);
+      }
+      for (int i : sigs) {
+        int level = coefs[i];
+        int al = level < 0 ? -level : level;
+        int g1 = al > 1;
+        int ctx1 = CTX_GT1 + (chroma ? 2 : 0) + (cg == 0 ? 0 : 1);
+        enc.encode_bin(ctxs, ctx1, g1);
+        if (g1) {
+          int g2 = al > 2;
+          enc.encode_bin(ctxs, CTX_GT2 + (chroma ? 1 : 0), g2);
+          if (g2) rice_k = code_remainder(al - 3, rice_k);
+        }
+        enc.encode_bypass(level < 0);
+      }
+    }
+  }
+
+  void leaf(int x, int y, int s) {
+    int ux = x / 8, uy = y / 8;
+    int mode = pic.mode_map[uy * pic.ux_n + ux];
+    int mpm[3];
+    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy), mpm);
+    int idx = -1;
+    for (int i = 0; i < 3; i++)
+      if (mpm[i] == mode) { idx = i; break; }
+    if (idx >= 0) {
+      enc.encode_bin(ctxs, CTX_MPM_FLAG, 1);
+      enc.encode_bypass(idx == 0);
+      if (idx > 0) enc.encode_bypass(idx == 1);
+    } else {
+      enc.encode_bin(ctxs, CTX_MPM_FLAG, 0);
+      int rank = mode;
+      for (int i = 0; i < 3; i++)
+        if (mpm[i] < mode) rank--;
+      enc.encode_bypass_bits((uint32_t)rank, 5);
+    }
+    int w = pic.width, cw = w / 2;
+    auto any_nz = [](const int32_t* p, int stride, int x0, int y0,
+                     int n) {
+      for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++)
+          if (p[(y0 + j) * stride + x0 + i]) return 1;
+      return 0;
+    };
+    int cbf_y = any_nz(pic.coef_y, w, x, y, s);
+    int cbf_cb = any_nz(pic.coef_cb, cw, x / 2, y / 2, s / 2);
+    int cbf_cr = any_nz(pic.coef_cr, cw, x / 2, y / 2, s / 2);
+    enc.encode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1), cbf_y);
+    enc.encode_bin(ctxs, CTX_CBF_C + 0, cbf_cb);
+    enc.encode_bin(ctxs, CTX_CBF_C + 1, cbf_cr);
+    if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
+    if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
+    if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
+  }
+
+  void node(int x, int y, int s) {
+    if (x >= pic.width || y >= pic.height) return;
+    if (s > pic.max_cu || x + s > pic.width || y + s > pic.height) {
+      int half = s / 2;
+      node(x, y, half);
+      node(x + half, y, half);
+      node(x, y + half, half);
+      node(x + half, y + half, half);
+      return;
+    }
+    int ux = x / 8, uy = y / 8;
+    int actual = pic.size_map[uy * pic.ux_n + ux];
+    if (s > 8) {
+      int split = actual < s;
+      enc.encode_bin(ctxs, CTX_SPLIT + (s == 32 ? 0 : 1), split);
+      if (split) {
+        int half = s / 2;
+        node(x, y, half);
+        node(x + half, y, half);
+        node(x, y + half, half);
+        node(x + half, y + half, half);
+        return;
+      }
+    }
+    leaf(x, y, s);
+  }
+};
+
+// ---- decoder walker -------------------------------------------------------
+struct SegDecoder {
+  Picture& pic;
+  Decoder dec;
+  Contexts ctxs;
+
+  SegDecoder(Picture& p, const uint8_t* data, int64_t len)
+      : pic(p), dec(data, len) {}
+
+  int decode_last(int base, int size) {
+    int gmax = max_group(size);
+    int g = 0;
+    while (g < gmax && dec.decode_bin(ctxs, base + (g < 9 ? g : 9))) g++;
+    int v = MIN_IN_GROUP[g];
+    int nbits = group_suffix_bits(g);
+    if (nbits) v += (int)dec.decode_bypass_bits(nbits);
+    return v;
+  }
+
+  int decode_remainder(int& k) {
+    int q = 0;
+    while (q < 4 && dec.decode_bypass()) q++;
+    int r;
+    if (q < 4) {
+      r = q << k;
+      if (k) r += (int)dec.decode_bypass_bits(k);
+    } else {
+      int m = k + 1;
+      int base = 4 << k;
+      while (dec.decode_bypass()) {
+        base += 1 << m;
+        m++;
+        if (m > 24) { dec.error = true; return 0; }
+      }
+      r = base + (int)dec.decode_bypass_bits(m);
+    }
+    if (r > (3 << k) && k < 4) k++;
+    return r;
+  }
+
+  void residual(int32_t* plane, int stride, int x0, int y0, int s,
+                bool chroma) {
+    init_scans();
+    const Scan& sc = scan_for(s);
+    int n = s * s;
+    int coff = chroma ? 10 : 0;
+    int lx = decode_last(CTX_LAST_X + coff, s);
+    int ly = decode_last(CTX_LAST_Y + coff, s);
+    int last = -1;
+    for (int i = 0; i < n; i++)
+      if (sc.x[i] == lx && sc.y[i] == ly) { last = i; break; }
+    if (last < 0) { dec.error = true; return; }
+
+    int ncg = s / 4;
+    int last_cg = last / 16;
+    std::vector<uint8_t> csbf(ncg * ncg, 0);
+    std::vector<int32_t> coefs(n, 0);
+    for (int cg = last_cg; cg >= 0; cg--) {
+      int cgx = sc.cgx[cg], cgy = sc.cgy[cg];
+      if (cg == last_cg || cg == 0) {
+        csbf[cg] = 1;
+      } else {
+        int nb = 0;
+        for (int j = 0; j < ncg * ncg; j++) {
+          if ((sc.cgx[j] == cgx + 1 && sc.cgy[j] == cgy && csbf[j]) ||
+              (sc.cgx[j] == cgx && sc.cgy[j] == cgy + 1 && csbf[j])) {
+            nb = 1;
+            break;
+          }
+        }
+        csbf[cg] = (uint8_t)dec.decode_bin(
+            ctxs, CTX_CSBF + nb + 2 * (int)chroma);
+      }
+      if (!csbf[cg]) continue;
+      int hi = (cg + 1) * 16 - 1 < last ? (cg + 1) * 16 - 1 : last;
+      int rice_k = 0;
+      std::vector<int> sigs;
+      for (int i = hi; i >= cg * 16; i--) {
+        int sig;
+        if (i == last)
+          sig = 1;
+        else
+          sig = dec.decode_bin(
+              ctxs, sig_ctx(sc.x[i] & 3, sc.y[i] & 3, cg, chroma));
+        if (sig) sigs.push_back(i);
+      }
+      for (int i : sigs) {
+        int ctx1 = CTX_GT1 + (chroma ? 2 : 0) + (cg == 0 ? 0 : 1);
+        int al = 1;
+        if (dec.decode_bin(ctxs, ctx1)) {
+          al = 2;
+          if (dec.decode_bin(ctxs, CTX_GT2 + (chroma ? 1 : 0)))
+            al = 3 + decode_remainder(rice_k);
+        }
+        if (dec.decode_bypass()) al = -al;
+        coefs[i] = al;
+      }
+    }
+    for (int i = 0; i < n; i++)
+      plane[(y0 + sc.y[i]) * stride + (x0 + sc.x[i])] = coefs[i];
+  }
+
+  void leaf(int x, int y, int s) {
+    int ux = x / 8, uy = y / 8;
+    int mpm[3];
+    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy), mpm);
+    int mode;
+    if (dec.decode_bin(ctxs, CTX_MPM_FLAG)) {
+      if (dec.decode_bypass())
+        mode = mpm[0];
+      else if (dec.decode_bypass())
+        mode = mpm[1];
+      else
+        mode = mpm[2];
+    } else {
+      mode = (int)dec.decode_bypass_bits(5);
+      int sorted[3] = {mpm[0], mpm[1], mpm[2]};
+      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+      if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
+      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+      for (int i = 0; i < 3; i++)
+        if (mode >= sorted[i]) mode++;
+    }
+    int u = s / 8;
+    for (int j = 0; j < u; j++)
+      for (int i = 0; i < u; i++) {
+        pic.size_map[(uy + j) * pic.ux_n + ux + i] = s;
+        pic.mode_map[(uy + j) * pic.ux_n + ux + i] = mode;
+      }
+    int cbf_y = dec.decode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1));
+    int cbf_cb = dec.decode_bin(ctxs, CTX_CBF_C + 0);
+    int cbf_cr = dec.decode_bin(ctxs, CTX_CBF_C + 1);
+    int w = pic.width, cw = w / 2;
+    if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
+    if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
+    if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
+  }
+
+  void node(int x, int y, int s) {
+    if (dec.error) return;
+    if (x >= pic.width || y >= pic.height) return;
+    if (s > pic.max_cu || x + s > pic.width || y + s > pic.height) {
+      int half = s / 2;
+      node(x, y, half);
+      node(x + half, y, half);
+      node(x, y + half, half);
+      node(x + half, y + half, half);
+      return;
+    }
+    if (s > 8) {
+      if (dec.decode_bin(ctxs, CTX_SPLIT + (s == 32 ? 0 : 1))) {
+        int half = s / 2;
+        node(x, y, half);
+        node(x + half, y, half);
+        node(x, y + half, half);
+        node(x + half, y + half, half);
+        return;
+      }
+    }
+    leaf(x, y, s);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
+                             const int32_t* size_map,
+                             const int32_t* mode_map,
+                             const int32_t* coef_y, const int32_t* coef_cb,
+                             const int32_t* coef_cr, int32_t ctu_row0,
+                             int32_t ctu_row1, uint8_t* out,
+                             int64_t out_capacity) {
+  Picture pic;
+  pic.width = width;
+  pic.height = height;
+  pic.max_cu = max_cu;
+  pic.ux_n = width / 8;
+  pic.uy_n = height / 8;
+  pic.ctus_x = (width + 63) / 64;
+  pic.size_map = const_cast<int32_t*>(size_map);
+  pic.mode_map = const_cast<int32_t*>(mode_map);
+  pic.coef_y = const_cast<int32_t*>(coef_y);
+  pic.coef_cb = const_cast<int32_t*>(coef_cb);
+  pic.coef_cr = const_cast<int32_t*>(coef_cr);
+
+  SegEncoder se(pic);
+  for (int cy = ctu_row0; cy < ctu_row1; cy++)
+    for (int cx = 0; cx < pic.ctus_x; cx++) se.node(cx * 64, cy * 64, 64);
+  se.enc.finish();
+  // drop the leading zero byte (mirror of engine.py finish())
+  if (se.enc.out.empty() || se.enc.out[0] != 0) return -2;
+  int64_t n = (int64_t)se.enc.out.size() - 1;
+  if (n > out_capacity) return -1;
+  std::memcpy(out, se.enc.out.data() + 1, (size_t)n);
+  return n;
+}
+
+int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
+                             int32_t* size_map, int32_t* mode_map,
+                             int32_t* coef_y, int32_t* coef_cb,
+                             int32_t* coef_cr, int32_t ctu_row0,
+                             int32_t ctu_row1, const uint8_t* data,
+                             int64_t len) {
+  Picture pic;
+  pic.width = width;
+  pic.height = height;
+  pic.max_cu = max_cu;
+  pic.ux_n = width / 8;
+  pic.uy_n = height / 8;
+  pic.ctus_x = (width + 63) / 64;
+  pic.size_map = size_map;
+  pic.mode_map = mode_map;
+  pic.coef_y = coef_y;
+  pic.coef_cb = coef_cb;
+  pic.coef_cr = coef_cr;
+
+  SegDecoder sd(pic, data, len);
+  for (int cy = ctu_row0; cy < ctu_row1; cy++)
+    for (int cx = 0; cx < pic.ctus_x; cx++) sd.node(cx * 64, cy * 64, 64);
+  return sd.dec.error ? -1 : 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,125 @@
+"""ctypes binding + on-demand build of the native entropy engine.
+
+Builds ``native/rangecoder.cpp`` with g++ on first use (cached by source
+hash under ``native/build/``).  No pybind11 in this image, hence the plain
+C ABI + ctypes (task environment constraint).  Falls back cleanly when no
+toolchain is available: callers check ``available()``.
+
+Set X266T_NO_NATIVE=1 to force the pure-Python entropy path (used by the
+differential tests that pin C++ == Python bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "rangecoder.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "native", "build")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_BUILD_DIR, f"rangecoder_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-fno-exceptions", "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+    os.replace(tmp, so_path)
+    return so_path
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("X266T_NO_NATIVE"):
+            return None
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.x266t_encode_segment.restype = ctypes.c_int64
+        lib.x266t_encode_segment.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
+        lib.x266t_decode_segment.restype = ctypes.c_int64
+        lib.x266t_decode_segment.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32(a: np.ndarray):
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
+                   ctu_row0: int, ctu_row1: int) -> bytes:
+    lib = _load()
+    assert lib is not None
+    sm, smp = _i32(size_map)
+    mm, mmp = _i32(mode_map)
+    cy, cyp = _i32(coef_y)
+    cb, cbp = _i32(coef_cb)
+    cr, crp = _i32(coef_cr)
+    cap = 32 + 4 * (cfg.width * cfg.height * 3) // 2 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.x266t_encode_segment(
+        cfg.width, cfg.height, cfg.max_cu_size, smp, mmp, cyp, cbp, crp,
+        ctu_row0, ctu_row1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError(f"native encode_segment failed ({n})")
+    return out[:n].tobytes()
+
+
+def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
+                   ctu_row0: int, ctu_row1: int, data: bytes) -> None:
+    """Fills the passed arrays in place (must be C-contiguous int32)."""
+    lib = _load()
+    assert lib is not None
+    for a in (size_map, mode_map, coef_y, coef_cb, coef_cr):
+        assert a.dtype == np.int32 and a.flags.c_contiguous
+    buf = np.frombuffer(data, dtype=np.uint8)
+    p = (buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+         if len(data) else
+         ctypes.cast(ctypes.create_string_buffer(1),
+                     ctypes.POINTER(ctypes.c_uint8)))
+    rc = lib.x266t_decode_segment(
+        cfg.width, cfg.height, cfg.max_cu_size,
+        size_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mode_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coef_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coef_cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coef_cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctu_row0, ctu_row1, p, len(data))
+    if rc != 0:
+        raise ValueError("corrupt or truncated entropy payload (native)")

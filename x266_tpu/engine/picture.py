@@ -14,6 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from x266_tpu.cabac import native_bind
 from x266_tpu.cabac.syntax import SyntaxDecoder, SyntaxEncoder
 from x266_tpu.config import CodecConfig, SliceType
 from x266_tpu.core.headers import SliceHeader, write_slice_header
@@ -45,10 +46,15 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int
     recon = Frame(*extract_frame(cfg, out))
     coef_y, coef_cb, coef_cr = (np.asarray(p) for p in out[3:6])
 
-    enc = SyntaxEncoder(cfg, np.asarray(size_map), np.asarray(mode_map),
-                        coef_y, coef_cb, coef_cr)
-    segments = [enc.encode_segment(r0, r1)
-                for (r0, r1) in cfg.segment_ctu_rows()]
+    sm, mm = np.asarray(size_map), np.asarray(mode_map)
+    if native_bind.available():
+        segments = [native_bind.encode_segment(
+            cfg, sm, mm, coef_y, coef_cb, coef_cr, r0, r1)
+            for (r0, r1) in cfg.segment_ctu_rows()]
+    else:
+        enc = SyntaxEncoder(cfg, sm, mm, coef_y, coef_cb, coef_cr)
+        segments = [enc.encode_segment(r0, r1)
+                    for (r0, r1) in cfg.segment_ctu_rows()]
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
 
@@ -65,8 +71,14 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     assert len(bounds) - 1 == len(rows), "segment count mismatch"
 
     dec = SyntaxDecoder(cfg)
-    for (r0, r1), b0, b1 in zip(rows, bounds[:-1], bounds[1:]):
-        dec.decode_segment(payload[b0:b1], r0, r1)
+    if native_bind.available():
+        for (r0, r1), b0, b1 in zip(rows, bounds[:-1], bounds[1:]):
+            native_bind.decode_segment(
+                cfg, dec.size_map, dec.mode_map, dec.coef["y"],
+                dec.coef["cb"], dec.coef["cr"], r0, r1, payload[b0:b1])
+    else:
+        for (r0, r1), b0, b1 in zip(rows, bounds[:-1], bounds[1:]):
+            dec.decode_segment(payload[b0:b1], r0, r1)
 
     out = make_recon_pass(cfg, encode=False)(
         dec.coef["y"], dec.coef["cb"], dec.coef["cr"],
