@@ -21,6 +21,21 @@ from x266_tpu.core.headers import SliceHeader, write_slice_header
 from x266_tpu.core.yuv import Frame
 from x266_tpu.engine.mode_decision import make_mode_decision, pad_plane
 from x266_tpu.engine.recon import extract_frame, make_recon_pass
+from x266_tpu.kernels.deblock import make_deblock
+
+
+def _loop_filters(cfg: CodecConfig, out, size_map) -> Frame:
+    """Normative in-loop filters on the recon planes (C13/C14) -> Frame.
+    Shared by encoder and decoder so the MD5 gate covers filtering."""
+    y, cb, cr = (np.asarray(p) for p in extract_frame(cfg, out))
+    if cfg.deblock:
+        yf, cbf, crf = make_deblock(cfg)(
+            y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32),
+            size_map)
+        y = np.asarray(yf).astype(np.uint8)
+        cb = np.asarray(cbf).astype(np.uint8)
+        cr = np.asarray(crf).astype(np.uint8)
+    return Frame(y, cb, cr)
 
 
 @dataclass
@@ -43,7 +58,7 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int
 
     out = make_recon_pass(cfg, encode=True)(
         y_plane, cb_plane, cr_plane, size_map, mode_map)
-    recon = Frame(*extract_frame(cfg, out))
+    recon = _loop_filters(cfg, out, size_map)
     coef_y, coef_cb, coef_cr = (np.asarray(p) for p in out[3:6])
 
     sm, mm = np.asarray(size_map), np.asarray(mode_map)
@@ -83,4 +98,4 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     out = make_recon_pass(cfg, encode=False)(
         dec.coef["y"], dec.coef["cb"], dec.coef["cr"],
         dec.size_map, dec.mode_map)
-    return Frame(*extract_frame(cfg, out))
+    return _loop_filters(cfg, out, dec.size_map)
