@@ -19,7 +19,9 @@ CSBF = 47          # 4: (right|below) + 2*chroma
 SIG = 51           # 18: luma 12 (min(diag,5) + 6*(cg>0)), chroma 6
 GT1 = 69           # 4: luma cg0 / luma other / chroma cg0 / chroma other
 GT2 = 73           # 2: luma / chroma
-NUM_CONTEXTS = 75
+SAO_ON = 75        # 1: sao type != off
+SAO_KIND = 76      # 1: band (1) vs edge (0)
+NUM_CONTEXTS = 77
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

@@ -32,7 +32,9 @@ constexpr int CTX_CSBF = 47;
 constexpr int CTX_SIG = 51;
 constexpr int CTX_GT1 = 69;
 constexpr int CTX_GT2 = 73;
-constexpr int NUM_CONTEXTS = 75;
+constexpr int CTX_SAO_ON = 75;
+constexpr int CTX_SAO_KIND = 76;
+constexpr int NUM_CONTEXTS = 77;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -258,6 +260,10 @@ struct Picture {
   int32_t* coef_y;
   int32_t* coef_cb;
   int32_t* coef_cr;
+  int has_sao = 0;                 // cfg.sao flag
+  int32_t* sao_type = nullptr;     // (Cy, Cx)
+  int32_t* sao_band = nullptr;     // (Cy, Cx)
+  int32_t* sao_off = nullptr;      // (Cy, Cx, 4)
 
   int neighbor_left(int ux, int uy) const {
     return ux > 0 ? mode_map[uy * ux_n + ux - 1] : DC_MODE;
@@ -415,6 +421,26 @@ struct SegEncoder {
     if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
     if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
     if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
+  }
+
+  void sao_params(int cy, int cxi) {
+    int idx = cy * pic.ctus_x + cxi;
+    int stype = pic.sao_type[idx];
+    enc.encode_bin(ctxs, CTX_SAO_ON, stype != 0);
+    if (stype == 0) return;
+    int is_band = stype == 5;
+    enc.encode_bin(ctxs, CTX_SAO_KIND, is_band);
+    if (is_band)
+      enc.encode_bypass_bits((uint32_t)pic.sao_band[idx], 5);
+    else
+      enc.encode_bypass_bits((uint32_t)(stype - 1), 2);
+    for (int i = 0; i < 4; i++) {
+      int off = pic.sao_off[idx * 4 + i];
+      int mag = off < 0 ? -off : off;
+      for (int j = 0; j < mag; j++) enc.encode_bypass(1);
+      if (mag < 7) enc.encode_bypass(0);
+      if (is_band && mag) enc.encode_bypass(off < 0);
+    }
   }
 
   void node(int x, int y, int s) {
@@ -583,6 +609,31 @@ struct SegDecoder {
     if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
   }
 
+  void sao_params(int cy, int cxi) {
+    int idx = cy * pic.ctus_x + cxi;
+    if (!dec.decode_bin(ctxs, CTX_SAO_ON)) {
+      pic.sao_type[idx] = 0;
+      return;
+    }
+    int is_band = dec.decode_bin(ctxs, CTX_SAO_KIND);
+    if (is_band) {
+      pic.sao_type[idx] = 5;
+      pic.sao_band[idx] = (int32_t)dec.decode_bypass_bits(5);
+    } else {
+      pic.sao_type[idx] = 1 + (int32_t)dec.decode_bypass_bits(2);
+    }
+    for (int i = 0; i < 4; i++) {
+      int mag = 0;
+      while (mag < 7 && dec.decode_bypass()) mag++;
+      if (is_band) {
+        int neg = mag && dec.decode_bypass();
+        pic.sao_off[idx * 4 + i] = neg ? -mag : mag;
+      } else {
+        pic.sao_off[idx * 4 + i] = i < 2 ? mag : -mag;
+      }
+    }
+  }
+
   void node(int x, int y, int s) {
     if (dec.error) return;
     if (x >= pic.width || y >= pic.height) return;
@@ -616,7 +667,10 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
                              const int32_t* size_map,
                              const int32_t* mode_map,
                              const int32_t* coef_y, const int32_t* coef_cb,
-                             const int32_t* coef_cr, int32_t ctu_row0,
+                             const int32_t* coef_cr, int32_t has_sao,
+                             const int32_t* sao_type,
+                             const int32_t* sao_band,
+                             const int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, uint8_t* out,
                              int64_t out_capacity) {
   Picture pic;
@@ -631,10 +685,17 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_y = const_cast<int32_t*>(coef_y);
   pic.coef_cb = const_cast<int32_t*>(coef_cb);
   pic.coef_cr = const_cast<int32_t*>(coef_cr);
+  pic.has_sao = has_sao;
+  pic.sao_type = const_cast<int32_t*>(sao_type);
+  pic.sao_band = const_cast<int32_t*>(sao_band);
+  pic.sao_off = const_cast<int32_t*>(sao_off);
 
   SegEncoder se(pic);
   for (int cy = ctu_row0; cy < ctu_row1; cy++)
-    for (int cx = 0; cx < pic.ctus_x; cx++) se.node(cx * 64, cy * 64, 64);
+    for (int cx = 0; cx < pic.ctus_x; cx++) {
+      if (pic.has_sao) se.sao_params(cy, cx);
+      se.node(cx * 64, cy * 64, 64);
+    }
   se.enc.finish();
   // drop the leading zero byte (mirror of engine.py finish())
   if (se.enc.out.empty() || se.enc.out[0] != 0) return -2;
@@ -647,7 +708,9 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
 int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
                              int32_t* size_map, int32_t* mode_map,
                              int32_t* coef_y, int32_t* coef_cb,
-                             int32_t* coef_cr, int32_t ctu_row0,
+                             int32_t* coef_cr, int32_t has_sao,
+                             int32_t* sao_type, int32_t* sao_band,
+                             int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, const uint8_t* data,
                              int64_t len) {
   Picture pic;
@@ -662,10 +725,17 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_y = coef_y;
   pic.coef_cb = coef_cb;
   pic.coef_cr = coef_cr;
+  pic.has_sao = has_sao;
+  pic.sao_type = sao_type;
+  pic.sao_band = sao_band;
+  pic.sao_off = sao_off;
 
   SegDecoder sd(pic, data, len);
   for (int cy = ctu_row0; cy < ctu_row1; cy++)
-    for (int cx = 0; cx < pic.ctus_x; cx++) sd.node(cx * 64, cy * 64, 64);
+    for (int cx = 0; cx < pic.ctus_x; cx++) {
+      if (pic.has_sao) sd.sao_params(cy, cx);
+      sd.node(cx * 64, cy * 64, 64);
+    }
   return sd.dec.error ? -1 : 0;
 }
 

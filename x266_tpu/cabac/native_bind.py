@@ -62,11 +62,13 @@ def _load():
         lib.x266t_encode_segment.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         lib.x266t_decode_segment.restype = ctypes.c_int64
         lib.x266t_decode_segment.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         _lib = lib
         return _lib
@@ -81,8 +83,19 @@ def _i32(a: np.ndarray):
     return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def _sao_args(cfg, sao_params):
+    if sao_params is None:
+        z = np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32)
+        zo = np.zeros((cfg.ctus_y, cfg.ctus_x, 4), np.int32)
+        return 0, (z, z, zo)
+    st, sb, so = sao_params
+    return 1, (np.ascontiguousarray(st, np.int32),
+               np.ascontiguousarray(sb, np.int32),
+               np.ascontiguousarray(so, np.int32))
+
+
 def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
-                   ctu_row0: int, ctu_row1: int) -> bytes:
+                   ctu_row0: int, ctu_row1: int, sao_params=None) -> bytes:
     lib = _load()
     assert lib is not None
     sm, smp = _i32(size_map)
@@ -90,11 +103,15 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     cy, cyp = _i32(coef_y)
     cb, cbp = _i32(coef_cb)
     cr, crp = _i32(coef_cr)
+    has_sao, (st, sb, so) = _sao_args(cfg, sao_params)
+    st, stp = _i32(st)
+    sb, sbp = _i32(sb)
+    so, sop = _i32(so)
     cap = 32 + 4 * (cfg.width * cfg.height * 3) // 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     n = lib.x266t_encode_segment(
         cfg.width, cfg.height, cfg.max_cu_size, smp, mmp, cyp, cbp, crp,
-        ctu_row0, ctu_row1,
+        has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         raise RuntimeError(f"native encode_segment failed ({n})")
@@ -102,24 +119,31 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
 
 
 def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
-                   ctu_row0: int, ctu_row1: int, data: bytes) -> None:
-    """Fills the passed arrays in place (must be C-contiguous int32)."""
+                   ctu_row0: int, ctu_row1: int, data: bytes,
+                   sao_params=None) -> None:
+    """Fills the passed arrays in place (must be C-contiguous int32).
+    When cfg.sao, pass sao_params=(type, band, off) arrays to fill."""
     lib = _load()
     assert lib is not None
-    for a in (size_map, mode_map, coef_y, coef_cb, coef_cr):
+    arrays = [size_map, mode_map, coef_y, coef_cb, coef_cr]
+    has_sao = int(cfg.sao)
+    if sao_params is None:
+        _, sao_params = _sao_args(cfg, None)
+        has_sao = 0
+    arrays += list(sao_params)
+    for a in arrays:
         assert a.dtype == np.int32 and a.flags.c_contiguous
     buf = np.frombuffer(data, dtype=np.uint8)
     p = (buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
          if len(data) else
          ctypes.cast(ctypes.create_string_buffer(1),
                      ctypes.POINTER(ctypes.c_uint8)))
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    ptrs = [a.ctypes.data_as(i32) for a in arrays]
     rc = lib.x266t_decode_segment(
         cfg.width, cfg.height, cfg.max_cu_size,
-        size_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        mode_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        coef_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        coef_cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        coef_cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
+        has_sao, ptrs[5], ptrs[6], ptrs[7],
         ctu_row0, ctu_row1, p, len(data))
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")

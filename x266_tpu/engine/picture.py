@@ -22,20 +22,23 @@ from x266_tpu.core.yuv import Frame
 from x266_tpu.engine.mode_decision import make_mode_decision, pad_plane
 from x266_tpu.engine.recon import extract_frame, make_recon_pass
 from x266_tpu.kernels.deblock import make_deblock
+from x266_tpu.kernels.sao import make_sao_apply, make_sao_estimate
 
 
-def _loop_filters(cfg: CodecConfig, out, size_map) -> Frame:
-    """Normative in-loop filters on the recon planes (C13/C14) -> Frame.
-    Shared by encoder and decoder so the MD5 gate covers filtering."""
-    y, cb, cr = (np.asarray(p) for p in extract_frame(cfg, out))
+def _deblock_stage(cfg: CodecConfig, out, size_map):
+    """(y, cb, cr) int arrays after the deblocking filter (C13)."""
+    y, cb, cr = (np.asarray(p).astype(np.int32)
+                 for p in extract_frame(cfg, out))
     if cfg.deblock:
-        yf, cbf, crf = make_deblock(cfg)(
-            y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32),
-            size_map)
-        y = np.asarray(yf).astype(np.uint8)
-        cb = np.asarray(cbf).astype(np.uint8)
-        cr = np.asarray(crf).astype(np.uint8)
-    return Frame(y, cb, cr)
+        y, cb, cr = (np.asarray(p) for p in make_deblock(cfg)(
+            y, cb, cr, size_map))
+    return y, cb, cr
+
+
+def _to_frame(y, cb, cr) -> Frame:
+    return Frame(np.asarray(y).astype(np.uint8),
+                 np.asarray(cb).astype(np.uint8),
+                 np.asarray(cr).astype(np.uint8))
 
 
 @dataclass
@@ -58,16 +61,25 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int
 
     out = make_recon_pass(cfg, encode=True)(
         y_plane, cb_plane, cr_plane, size_map, mode_map)
-    recon = _loop_filters(cfg, out, size_map)
     coef_y, coef_cb, coef_cr = (np.asarray(p) for p in out[3:6])
+
+    y, cb, cr = _deblock_stage(cfg, out, size_map)
+    sao_params = None
+    if cfg.sao:
+        st, sb, so = make_sao_estimate(cfg)(
+            frame.y.astype(np.int32), y)
+        sao_params = (np.asarray(st), np.asarray(sb), np.asarray(so))
+        y = make_sao_apply(cfg)(y, *sao_params)
+    recon = _to_frame(y, cb, cr)
 
     sm, mm = np.asarray(size_map), np.asarray(mode_map)
     if native_bind.available():
         segments = [native_bind.encode_segment(
-            cfg, sm, mm, coef_y, coef_cb, coef_cr, r0, r1)
+            cfg, sm, mm, coef_y, coef_cb, coef_cr, r0, r1, sao_params)
             for (r0, r1) in cfg.segment_ctu_rows()]
     else:
-        enc = SyntaxEncoder(cfg, sm, mm, coef_y, coef_cb, coef_cr)
+        enc = SyntaxEncoder(cfg, sm, mm, coef_y, coef_cb, coef_cr,
+                            sao_params)
         segments = [enc.encode_segment(r0, r1)
                     for (r0, r1) in cfg.segment_ctu_rows()]
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
@@ -90,7 +102,8 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
         for (r0, r1), b0, b1 in zip(rows, bounds[:-1], bounds[1:]):
             native_bind.decode_segment(
                 cfg, dec.size_map, dec.mode_map, dec.coef["y"],
-                dec.coef["cb"], dec.coef["cr"], r0, r1, payload[b0:b1])
+                dec.coef["cb"], dec.coef["cr"], r0, r1, payload[b0:b1],
+                sao_params=dec.sao)
     else:
         for (r0, r1), b0, b1 in zip(rows, bounds[:-1], bounds[1:]):
             dec.decode_segment(payload[b0:b1], r0, r1)
@@ -98,4 +111,7 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     out = make_recon_pass(cfg, encode=False)(
         dec.coef["y"], dec.coef["cb"], dec.coef["cr"],
         dec.size_map, dec.mode_map)
-    return _loop_filters(cfg, out, dec.size_map)
+    y, cb, cr = _deblock_stage(cfg, out, dec.size_map)
+    if cfg.sao:
+        y = make_sao_apply(cfg)(y, *dec.sao)
+    return _to_frame(y, cb, cr)
