@@ -72,6 +72,12 @@ class CodecConfig:
     # and are stitched on host (BASELINE.json:5).
     rows_per_segment: int = 0       # 0 => single segment per picture
 
+    # Spatial tiles (SURVEY.md §2.2 P2): horizontal bands of tile_rows CTU
+    # rows each, fully independent (prediction, entropy and loop filters do
+    # not cross tile boundaries), so bands encode/decode concurrently on
+    # separate chips with bit-identical output vs a single device.
+    tile_rows: int = 0              # 0 => one tile (whole picture)
+
     def __post_init__(self) -> None:
         if self.width % 8 or self.height % 8:
             raise ValueError("v1 requires width/height multiples of 8")
@@ -118,6 +124,26 @@ class CodecConfig:
         r = self.rows_per_segment
         return [(i * r, min((i + 1) * r, self.ctus_y))
                 for i in range(self.num_segments)]
+
+    # ---- tiles ------------------------------------------------------------
+
+    @property
+    def num_tiles(self) -> int:
+        if self.tile_rows <= 0:
+            return 1
+        return -(-self.ctus_y // self.tile_rows)
+
+    def tile_bands(self) -> list[tuple[int, int]]:
+        """[start_row_px, end_row_px) of each tile band."""
+        if self.num_tiles == 1:
+            return [(0, self.height)]
+        h = self.tile_rows * self.ctu_size
+        return [(i * h, min((i + 1) * h, self.height))
+                for i in range(self.num_tiles)]
+
+    def tile_cfg(self, band: tuple[int, int]) -> "CodecConfig":
+        """Config of one tile band treated as an independent sub-picture."""
+        return self.replace(height=band[1] - band[0], tile_rows=0)
 
     # ---- rate-distortion --------------------------------------------------
 

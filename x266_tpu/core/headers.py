@@ -30,6 +30,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.alf)
     w.flag(cfg.mts)
     w.ue(cfg.rows_per_segment)
+    w.ue(cfg.tile_rows)
     w.align()
     return w.bytes_value()
 
@@ -48,12 +49,14 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     alf = r.flag()
     mts = r.flag()
     rows_per_segment = r.ue()
+    tile_rows = r.ue()
     r.align()
     return CodecConfig(width=width, height=height, bit_depth=bit_depth,
                        profile=profile, ctu_size=ctu_size,
                        max_cu_size=max_cu, lossless=lossless,
                        deblock=deblock, sao=sao, alf=alf, mts=mts,
-                       rows_per_segment=rows_per_segment)
+                       rows_per_segment=rows_per_segment,
+                       tile_rows=tile_rows)
 
 
 def write_pps(cfg: CodecConfig) -> bytes:
