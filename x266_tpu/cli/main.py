@@ -1,0 +1,135 @@
+"""x266t CLI (C19): encode/decode raw YUV420 <-> x266t bitstreams.
+
+    python -m x266_tpu.cli encode -i in.yuv -s 416x240 -o out.266t \
+        [--qp 32] [--frames N] [--lossless] [--deblock] [--sao] \
+        [--tile-rows N] [--segment-rows N] [--sharded] [--profile vvc]
+    python -m x266_tpu.cli decode -i out.266t -o recon.yuv
+    python -m x266_tpu.cli version
+
+Prints per-frame and summary metrics (bits, PSNR, fps) as both a human
+table and a JSONL sidecar when --stats is given (SURVEY.md §5 metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_size(s: str) -> tuple[int, int]:
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def cmd_encode(args) -> int:
+    import numpy as np
+
+    from x266_tpu.api import Encoder
+    from x266_tpu.config import CodecConfig, Profile
+    from x266_tpu.core.yuv import read_yuv420
+
+    w, h = _parse_size(args.size)
+    cfg = CodecConfig(
+        width=w, height=h, qp=args.qp,
+        profile=Profile.VVC if args.profile == "vvc" else
+        Profile.HEVC_SUBSET,
+        lossless=args.lossless, deblock=args.deblock, sao=args.sao,
+        mts=args.mts, tile_rows=args.tile_rows,
+        rows_per_segment=args.segment_rows)
+    frames = read_yuv420(args.input, w, h, args.frames)
+    if not frames:
+        print("no frames read", file=sys.stderr)
+        return 1
+
+    if args.sharded:
+        from x266_tpu.shard import ShardedEncoder
+        enc = ShardedEncoder(cfg)
+    else:
+        enc = Encoder(cfg)
+    t0 = time.time()
+    res = enc.encode(frames)
+    dt = time.time() - t0
+
+    with open(args.output, "wb") as f:
+        f.write(res.bitstream)
+
+    stats = []
+    for i, (fr, rec) in enumerate(zip(frames, res.recon)):
+        py, pcb, pcr = rec.psnr(fr)
+        stats.append({"poc": i, "bits": res.frame_bits[i],
+                      "psnr_y": round(py, 3), "psnr_cb": round(pcb, 3),
+                      "psnr_cr": round(pcr, 3)})
+        print(f"POC {i:4d}  {res.frame_bits[i]:9d} bits  "
+              f"Y {py:6.2f} dB  Cb {pcb:6.2f}  Cr {pcr:6.2f}")
+    mean_y = float(np.mean([s["psnr_y"] for s in stats]))
+    bitrate = 8 * len(res.bitstream)
+    print(f"-- {len(frames)} frames, {bitrate} bits total, "
+          f"mean PSNR-Y {mean_y:.2f} dB, {len(frames) / dt:.3f} fps")
+    if args.stats:
+        with open(args.stats, "w") as f:
+            for s in stats:
+                f.write(json.dumps(s) + "\n")
+            f.write(json.dumps({"summary": {
+                "frames": len(frames), "bits": bitrate,
+                "mean_psnr_y": mean_y, "fps": len(frames) / dt}}) + "\n")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from x266_tpu.api import Decoder
+    from x266_tpu.core.hashing import frame_md5
+    from x266_tpu.core.yuv import write_yuv420
+
+    with open(args.input, "rb") as f:
+        stream = f.read()
+    t0 = time.time()
+    cfg, frames = Decoder().decode(stream)
+    dt = time.time() - t0
+    write_yuv420(args.output, frames)
+    for i, fr in enumerate(frames):
+        print(f"POC {i:4d}  md5 {frame_md5(fr)}")
+    print(f"-- decoded {len(frames)} frames {cfg.width}x{cfg.height} "
+          f"in {dt:.2f}s")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="x266t")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="encode raw YUV420")
+    e.add_argument("-i", "--input", required=True)
+    e.add_argument("-o", "--output", required=True)
+    e.add_argument("-s", "--size", required=True, help="WxH, e.g. 416x240")
+    e.add_argument("--qp", type=int, default=32)
+    e.add_argument("--frames", type=int, default=None)
+    e.add_argument("--profile", choices=["hevc", "vvc"], default="hevc")
+    e.add_argument("--lossless", action="store_true")
+    e.add_argument("--deblock", action="store_true")
+    e.add_argument("--sao", action="store_true")
+    e.add_argument("--mts", action="store_true")
+    e.add_argument("--tile-rows", type=int, default=0)
+    e.add_argument("--segment-rows", type=int, default=0,
+                   dest="segment_rows")
+    e.add_argument("--sharded", action="store_true",
+                   help="distribute tiles/frames over all devices")
+    e.add_argument("--stats", default=None, help="JSONL stats path")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="decode an x266t bitstream")
+    d.add_argument("-i", "--input", required=True)
+    d.add_argument("-o", "--output", required=True)
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("version")
+    v.set_defaults(fn=lambda a: print("x266t", __import__(
+        "x266_tpu").__version__) or 0)
+
+    args = p.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
