@@ -18,6 +18,14 @@ class EncodeResult:
     bitstream: bytes
     recon: list[Frame]
     frame_bits: list[int] = field(default_factory=list)
+    sse: list = field(default_factory=list)   # per-frame (3,) SSE
+
+    def psnr_y(self, width: int, height: int) -> list[float]:
+        """Device-accounted luma PSNR per frame (no recon download)."""
+        import numpy as np
+        n = float(width * height)
+        return [float(10 * np.log10(255.0 ** 2 * n / max(s[0], 1e-9)))
+                for s in self.sse]
 
     @property
     def total_bits(self) -> int:
@@ -27,25 +35,62 @@ class EncodeResult:
 class Encoder:
     """All-intra v1 encoder: every picture is an IDR slice.
 
+    with_recon=False skips downloading reconstructions from the device
+    (the serving configuration: only bitstream bytes leave the chip;
+    distortion still arrives via device-computed SSE).
+
     >>> enc = Encoder(CodecConfig(width=416, height=240, qp=32))
     >>> result = enc.encode(frames)
     """
 
-    def __init__(self, cfg: CodecConfig):
+    def __init__(self, cfg: CodecConfig, with_recon: bool = True):
         self.cfg = cfg
+        self.with_recon = with_recon
 
     def encode(self, frames: list[Frame]) -> EncodeResult:
         cfg = self.cfg
-        out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
-               write_nal(NalType.PPS, headers.write_pps(cfg))]
-        recons: list[Frame] = []
-        frame_bits: list[int] = []
-        for poc, frame in enumerate(frames):
+        for frame in frames:
             if (frame.height, frame.width) != (cfg.height, cfg.width):
                 raise ValueError("frame size does not match config")
-            rbsp, recon = encode_picture(cfg, frame, poc)
+        out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+               write_nal(NalType.PPS, headers.write_pps(cfg))]
+
+        # Phase 1: dispatch every (frame, band) device step (async);
+        # Phase 2: finalize + entropy-code in POC order.  Device compute
+        # of later frames overlaps downloads/entropy of earlier ones;
+        # the bitstream is identical to the fully serial loop.
+        from x266_tpu.engine.picture import (assemble_slice, split_bands,
+                                             tile_compute_async,
+                                             tile_entropy)
+        bands = cfg.tile_bands()
+        pending = [[tile_compute_async(cfg.tile_cfg(b), band,
+                                       self.with_recon)
+                    for b, band in zip(bands, split_bands(cfg, frame))]
+                   for frame in frames]
+
+        results = []
+        for poc, fin_list in enumerate(pending):
+            tiles = [fin() for fin in fin_list]
+            segments = [seg for td in tiles for seg in tile_entropy(td)]
+            rbsp = assemble_slice(cfg, poc, segments)
+            recon = None
+            if self.with_recon:
+                recon = Frame(
+                    np.concatenate([t.recon.y for t in tiles]),
+                    np.concatenate([t.recon.cb for t in tiles]),
+                    np.concatenate([t.recon.cr for t in tiles]))
+            sse = np.sum([t.sse for t in tiles], axis=0)
+            results.append((rbsp, recon, sse))
+
+        recons: list[Frame] = []
+        frame_bits: list[int] = []
+        sses: list = []
+        for rbsp, recon, sse in results:
             nal = write_nal(NalType.IDR, rbsp)
             out.append(nal)
-            recons.append(recon)
+            if recon is not None:
+                recons.append(recon)
             frame_bits.append(8 * len(nal))
-        return EncodeResult(b"".join(out), recons, frame_bits)
+            sses.append(sse)
+        return EncodeResult(b"".join(out), recons, frame_bits,
+                            sse=sses)

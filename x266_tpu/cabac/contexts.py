@@ -21,7 +21,8 @@ GT1 = 69           # 4: luma cg0 / luma other / chroma cg0 / chroma other
 GT2 = 73           # 2: luma / chroma
 SAO_ON = 75        # 1: sao type != off
 SAO_KIND = 76      # 1: band (1) vs edge (0)
-NUM_CONTEXTS = 77
+MTS = 77           # 1: mts_idx != 0 (VVC MTS, C10)
+NUM_CONTEXTS = 78
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

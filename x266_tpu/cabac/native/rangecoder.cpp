@@ -34,7 +34,8 @@ constexpr int CTX_GT1 = 69;
 constexpr int CTX_GT2 = 73;
 constexpr int CTX_SAO_ON = 75;
 constexpr int CTX_SAO_KIND = 76;
-constexpr int NUM_CONTEXTS = 77;
+constexpr int CTX_MTS = 77;
+constexpr int NUM_CONTEXTS = 78;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -235,31 +236,37 @@ int sig_ctx(int px, int py, int cg, bool chroma) {
   return CTX_SIG + d + (cg == 0 ? 0 : 6);
 }
 
-void mpm_list(int left, int above, int mpm[3]) {
+void mpm_list(int left, int above, int n_modes, int mpm[3]) {
+  int vert = n_modes == 35 ? 26 : 50;
+  int n_ang = n_modes - 2;
   if (left == above) {
     if (left < 2) {
-      mpm[0] = PLANAR; mpm[1] = DC_MODE; mpm[2] = 26;
+      mpm[0] = PLANAR; mpm[1] = DC_MODE; mpm[2] = vert;
     } else {
       mpm[0] = left;
-      mpm[1] = 2 + ((left - 2 + 31) % 32);
-      mpm[2] = 2 + ((left - 2 + 1) % 32);
+      mpm[1] = 2 + ((left - 2 + n_ang - 1) % n_ang);
+      mpm[2] = 2 + ((left - 2 + 1) % n_ang);
     }
   } else {
     mpm[0] = left;
     mpm[1] = above;
-    for (int m : {PLANAR, DC_MODE, 26})
+    for (int m : {PLANAR, DC_MODE, vert})
       if (m != left && m != above) { mpm[2] = m; break; }
   }
 }
 
 struct Picture {
   int width, height, max_cu;
+  int n_modes = 35;            // 35 (HEVC subset) or 67 (VVC)
+  int mode_bits = 5;           // non-MPM rank bits: 5 or 6
   int ux_n, uy_n, ctus_x;
   int32_t* size_map;
   int32_t* mode_map;
   int32_t* coef_y;
   int32_t* coef_cb;
   int32_t* coef_cr;
+  int has_mts = 0;                 // cfg.mts flag
+  int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
   int has_sao = 0;                 // cfg.sao flag
   int32_t* sao_type = nullptr;     // (Cy, Cx)
   int32_t* sao_band = nullptr;     // (Cy, Cx)
@@ -389,7 +396,8 @@ struct SegEncoder {
     int ux = x / 8, uy = y / 8;
     int mode = pic.mode_map[uy * pic.ux_n + ux];
     int mpm[3];
-    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy), mpm);
+    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
+             pic.n_modes, mpm);
     int idx = -1;
     for (int i = 0; i < 3; i++)
       if (mpm[i] == mode) { idx = i; break; }
@@ -402,7 +410,7 @@ struct SegEncoder {
       int rank = mode;
       for (int i = 0; i < 3; i++)
         if (mpm[i] < mode) rank--;
-      enc.encode_bypass_bits((uint32_t)rank, 5);
+      enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
     }
     int w = pic.width, cw = w / 2;
     auto any_nz = [](const int32_t* p, int stride, int x0, int y0,
@@ -418,6 +426,11 @@ struct SegEncoder {
     enc.encode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1), cbf_y);
     enc.encode_bin(ctxs, CTX_CBF_C + 0, cbf_cb);
     enc.encode_bin(ctxs, CTX_CBF_C + 1, cbf_cr);
+    if (pic.has_mts && cbf_y) {
+      int mts = pic.mts_map[uy * pic.ux_n + ux];
+      enc.encode_bin(ctxs, CTX_MTS, mts > 0);
+      if (mts > 0) enc.encode_bypass_bits((uint32_t)(mts - 1), 2);
+    }
     if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
     if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
     if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
@@ -576,7 +589,8 @@ struct SegDecoder {
   void leaf(int x, int y, int s) {
     int ux = x / 8, uy = y / 8;
     int mpm[3];
-    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy), mpm);
+    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
+             pic.n_modes, mpm);
     int mode;
     if (dec.decode_bin(ctxs, CTX_MPM_FLAG)) {
       if (dec.decode_bypass())
@@ -586,7 +600,7 @@ struct SegDecoder {
       else
         mode = mpm[2];
     } else {
-      mode = (int)dec.decode_bypass_bits(5);
+      mode = (int)dec.decode_bypass_bits(pic.mode_bits);
       int sorted[3] = {mpm[0], mpm[1], mpm[2]};
       if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
       if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
@@ -603,6 +617,14 @@ struct SegDecoder {
     int cbf_y = dec.decode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1));
     int cbf_cb = dec.decode_bin(ctxs, CTX_CBF_C + 0);
     int cbf_cr = dec.decode_bin(ctxs, CTX_CBF_C + 1);
+    if (pic.has_mts && cbf_y) {
+      int mts = 0;
+      if (dec.decode_bin(ctxs, CTX_MTS))
+        mts = 1 + (int)dec.decode_bypass_bits(2);
+      for (int j = 0; j < u; j++)
+        for (int i = 0; i < u; i++)
+          pic.mts_map[(uy + j) * pic.ux_n + ux + i] = mts;
+    }
     int w = pic.width, cw = w / 2;
     if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
     if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
@@ -664,10 +686,12 @@ struct SegDecoder {
 extern "C" {
 
 int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
+                             int32_t n_modes,
                              const int32_t* size_map,
                              const int32_t* mode_map,
                              const int32_t* coef_y, const int32_t* coef_cb,
-                             const int32_t* coef_cr, int32_t has_sao,
+                             const int32_t* coef_cr, int32_t has_mts,
+                             const int32_t* mts_map, int32_t has_sao,
                              const int32_t* sao_type,
                              const int32_t* sao_band,
                              const int32_t* sao_off, int32_t ctu_row0,
@@ -677,6 +701,8 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.width = width;
   pic.height = height;
   pic.max_cu = max_cu;
+  pic.n_modes = n_modes;
+  pic.mode_bits = n_modes == 35 ? 5 : 6;
   pic.ux_n = width / 8;
   pic.uy_n = height / 8;
   pic.ctus_x = (width + 63) / 64;
@@ -685,6 +711,8 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_y = const_cast<int32_t*>(coef_y);
   pic.coef_cb = const_cast<int32_t*>(coef_cb);
   pic.coef_cr = const_cast<int32_t*>(coef_cr);
+  pic.has_mts = has_mts;
+  pic.mts_map = const_cast<int32_t*>(mts_map);
   pic.has_sao = has_sao;
   pic.sao_type = const_cast<int32_t*>(sao_type);
   pic.sao_band = const_cast<int32_t*>(sao_band);
@@ -706,9 +734,11 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
 }
 
 int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
+                             int32_t n_modes,
                              int32_t* size_map, int32_t* mode_map,
                              int32_t* coef_y, int32_t* coef_cb,
-                             int32_t* coef_cr, int32_t has_sao,
+                             int32_t* coef_cr, int32_t has_mts,
+                             int32_t* mts_map, int32_t has_sao,
                              int32_t* sao_type, int32_t* sao_band,
                              int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, const uint8_t* data,
@@ -717,6 +747,8 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.width = width;
   pic.height = height;
   pic.max_cu = max_cu;
+  pic.n_modes = n_modes;
+  pic.mode_bits = n_modes == 35 ? 5 : 6;
   pic.ux_n = width / 8;
   pic.uy_n = height / 8;
   pic.ctus_x = (width + 63) / 64;
@@ -725,6 +757,8 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_y = coef_y;
   pic.coef_cb = coef_cb;
   pic.coef_cr = coef_cr;
+  pic.has_mts = has_mts;
+  pic.mts_map = mts_map;
   pic.has_sao = has_sao;
   pic.sao_type = sao_type;
   pic.sao_band = sao_band;

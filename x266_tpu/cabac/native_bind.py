@@ -61,13 +61,17 @@ def _load():
         lib.x266t_encode_segment.restype = ctypes.c_int64
         lib.x266t_encode_segment.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         lib.x266t_decode_segment.restype = ctypes.c_int64
         lib.x266t_decode_segment.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         _lib = lib
@@ -95,9 +99,13 @@ def _sao_args(cfg, sao_params):
 
 
 def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
-                   ctu_row0: int, ctu_row1: int, sao_params=None) -> bytes:
+                   ctu_row0: int, ctu_row1: int, sao_params=None,
+                   mts_map=None) -> bytes:
     lib = _load()
     assert lib is not None
+    if mts_map is None:
+        mts_map = np.zeros_like(np.asarray(size_map))
+    mt, mtp = _i32(mts_map)
     sm, smp = _i32(size_map)
     mm, mmp = _i32(mode_map)
     cy, cyp = _i32(coef_y)
@@ -110,7 +118,9 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     cap = 32 + 4 * (cfg.width * cfg.height * 3) // 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     n = lib.x266t_encode_segment(
-        cfg.width, cfg.height, cfg.max_cu_size, smp, mmp, cyp, cbp, crp,
+        cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
+        smp, mmp, cyp, cbp, crp,
+        int(cfg.mts), mtp,
         has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
@@ -120,17 +130,20 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
 
 def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                    ctu_row0: int, ctu_row1: int, data: bytes,
-                   sao_params=None) -> None:
+                   sao_params=None, mts_map=None) -> None:
     """Fills the passed arrays in place (must be C-contiguous int32).
-    When cfg.sao, pass sao_params=(type, band, off) arrays to fill."""
+    When cfg.sao, pass sao_params=(type, band, off); when cfg.mts, pass
+    mts_map to fill."""
     lib = _load()
     assert lib is not None
+    if mts_map is None:
+        mts_map = np.zeros_like(size_map)
     arrays = [size_map, mode_map, coef_y, coef_cb, coef_cr]
     has_sao = int(cfg.sao)
     if sao_params is None:
         _, sao_params = _sao_args(cfg, None)
         has_sao = 0
-    arrays += list(sao_params)
+    arrays += [mts_map] + list(sao_params)
     for a in arrays:
         assert a.dtype == np.int32 and a.flags.c_contiguous
     buf = np.frombuffer(data, dtype=np.uint8)
@@ -141,9 +154,10 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     i32 = ctypes.POINTER(ctypes.c_int32)
     ptrs = [a.ctypes.data_as(i32) for a in arrays]
     rc = lib.x266t_decode_segment(
-        cfg.width, cfg.height, cfg.max_cu_size,
+        cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
-        has_sao, ptrs[5], ptrs[6], ptrs[7],
+        int(cfg.mts), ptrs[5],
+        has_sao, ptrs[6], ptrs[7], ptrs[8],
         ctu_row0, ctu_row1, p, len(data))
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")

@@ -53,13 +53,19 @@ def tu_scan(size: int) -> np.ndarray:
     return np.array(out, dtype=np.int32)
 
 
-def mpm_list(left: int, above: int) -> list[int]:
-    """Most-probable-mode list from neighbor modes [STD-shaped]."""
+def mpm_list(left: int, above: int, n_modes: int = 35) -> list[int]:
+    """Most-probable-mode list from neighbor modes [STD-shaped].
+    Works for both the 35-mode (wrap over 33 angulars, vertical=26) and
+    the 67-mode family (wrap over 65 angulars, vertical=50)."""
+    vert = 26 if n_modes == 35 else 50
+    n_ang = n_modes - 2
     if left == above:
         if left < 2:
-            return [PLANAR, DC, 26]
-        return [left, 2 + ((left - 2 + 31) % 32), 2 + ((left - 2 + 1) % 32)]
-    third = next(m for m in (PLANAR, DC, 26) if m not in (left, above))
+            return [PLANAR, DC, vert]
+        return [left, 2 + ((left - 2 + n_ang - 1) % n_ang),
+                2 + ((left - 2 + 1) % n_ang)]
+    third = next(m for m in (PLANAR, DC, vert)
+                 if m not in (left, above))
     return [left, above, third]
 
 
@@ -69,6 +75,8 @@ class _Walker:
     def __init__(self, cfg: CodecConfig):
         self.cfg = cfg
         self.w, self.h = cfg.width, cfg.height
+        self.n_modes = cfg.n_intra_modes
+        self.mode_bits = 5 if self.n_modes == 35 else 6
 
     # -- neighbor mode derivation (line-buffer-free rule [STD-shaped]) -----
     def _neighbor_modes(self, mode_map, ux, uy):
@@ -80,10 +88,13 @@ class _Walker:
 
 class SyntaxEncoder(_Walker):
     def __init__(self, cfg: CodecConfig, size_map, mode_map,
-                 coef_y, coef_cb, coef_cr, sao_params=None):
+                 coef_y, coef_cb, coef_cr, sao_params=None,
+                 mts_map=None):
         super().__init__(cfg)
         self.size_map = np.asarray(size_map)
         self.mode_map = np.asarray(mode_map)
+        self.mts_map = (np.asarray(mts_map) if mts_map is not None
+                        else np.zeros_like(self.size_map))
         self.coef = {"y": np.asarray(coef_y), "cb": np.asarray(coef_cb),
                      "cr": np.asarray(coef_cr)}
         self.sao = (tuple(np.asarray(a) for a in sao_params)
@@ -150,7 +161,7 @@ class SyntaxEncoder(_Walker):
         ux, uy = x // 8, y // 8
         mode = int(self.mode_map[uy, ux])
         left, above = self._neighbor_modes(self.mode_map, ux, uy)
-        mpms = mpm_list(left, above)
+        mpms = mpm_list(left, above, self.n_modes)
         if mode in mpms:
             self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 1)
             idx = mpms.index(mode)
@@ -160,7 +171,7 @@ class SyntaxEncoder(_Walker):
         else:
             self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
             rank = mode - sum(1 for m in mpms if m < mode)
-            self.enc.encode_bypass_bits(rank, 5)
+            self.enc.encode_bypass_bits(rank, self.mode_bits)
 
         by = self.coef["y"][y:y + s, x:x + s]
         bcb = self.coef["cb"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
@@ -172,6 +183,11 @@ class SyntaxEncoder(_Walker):
                             cbf_y)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 0, cbf_cb)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 1, cbf_cr)
+        if self.cfg.mts and cbf_y:
+            mts = int(self.mts_map[uy, ux])
+            self.enc.encode_bin(self.ctxs, cx.MTS, int(mts > 0))
+            if mts > 0:
+                self.enc.encode_bypass_bits(mts - 1, 2)
         if cbf_y:
             self._residual(by, s, chroma=False)
         if cbf_cb:
@@ -256,6 +272,7 @@ class SyntaxDecoder(_Walker):
         c = (cfg.ctus_y, cfg.ctus_x)
         self.sao = (np.zeros(c, np.int32), np.zeros(c, np.int32),
                     np.zeros(c + (4,), np.int32))
+        self.mts_map = np.zeros(u, dtype=np.int32)
 
     def decode_segment(self, data: bytes, ctu_row0: int,
                        ctu_row1: int) -> None:
@@ -311,7 +328,7 @@ class SyntaxDecoder(_Walker):
         ux, uy = x // 8, y // 8
         u = s // 8
         left, above = self._neighbor_modes(self.mode_map, ux, uy)
-        mpms = mpm_list(left, above)
+        mpms = mpm_list(left, above, self.n_modes)
         if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
             if self.dec.decode_bypass():
                 mode = mpms[0]
@@ -320,7 +337,7 @@ class SyntaxDecoder(_Walker):
             else:
                 mode = mpms[2]
         else:
-            rank = self.dec.decode_bypass_bits(5)
+            rank = self.dec.decode_bypass_bits(self.mode_bits)
             mode = rank
             for m in sorted(mpms):
                 if mode >= m:
@@ -332,6 +349,11 @@ class SyntaxDecoder(_Walker):
                                     cx.CBF_Y + (0 if s >= 16 else 1))
         cbf_cb = self.dec.decode_bin(self.ctxs, cx.CBF_C + 0)
         cbf_cr = self.dec.decode_bin(self.ctxs, cx.CBF_C + 1)
+        if self.cfg.mts and cbf_y:
+            mts = 0
+            if self.dec.decode_bin(self.ctxs, cx.MTS):
+                mts = 1 + self.dec.decode_bypass_bits(2)
+            self.mts_map[uy:uy + u, ux:ux + u] = mts
         if cbf_y:
             self.coef["y"][y:y + s, x:x + s] = self._residual(s, False)
         if cbf_cb:

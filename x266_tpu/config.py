@@ -145,6 +145,11 @@ class CodecConfig:
         """Config of one tile band treated as an independent sub-picture."""
         return self.replace(height=band[1] - band[0], tile_rows=0)
 
+    @property
+    def n_intra_modes(self) -> int:
+        """35 (HEVC subset) or 67 (VVC) intra prediction modes (C6)."""
+        return 67 if self.profile == Profile.VVC else 35
+
     # ---- rate-distortion --------------------------------------------------
 
     @property

@@ -1,0 +1,252 @@
+"""Fused per-band device step: ONE jit call, packed I/O (perf-critical).
+
+The remote-attached chip has ~100 ms per-call latency and tens-of-MB/s
+transfer bandwidth, so the encode pipeline is round-trip-bound if each
+stage is its own call.  This module fuses Pass A (mode decision) + MTS
+selection + Pass B (normative recon) + deblock + SAO (estimate & apply) +
+distortion accounting into a single jitted function with:
+
+  input : one packed uint8 buffer  (padded Y, Cb, Cr planes stacked)
+  output: packed int16 coefficients (Y on top, Cb|Cr side by side below),
+          one flat int16 buffer with all decision maps + SAO params,
+          per-plane SSE (device-computed, for PSNR without downloading
+          recon), and optionally the packed uint8 reconstruction.
+
+The decode step is the mirror: packed coefs + maps up, packed recon down.
+Numerically identical to the unfused path (same raw pass functions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x266_tpu.config import CodecConfig
+from x266_tpu.core.yuv import Frame
+from x266_tpu.engine.mode_decision import (PAD, make_mode_decision_raw,
+                                           make_mts_select_raw)
+from x266_tpu.engine.recon import make_recon_pass_raw
+from x266_tpu.kernels.deblock import deblock_picture
+from x266_tpu.kernels.sao import apply_sao, estimate_sao
+
+
+def _geom(cfg: CodecConfig):
+    h, w = cfg.height, cfg.width
+    hp_y, wp_y = 1 + h + PAD, 1 + w + PAD
+    hp_c, wp_c = 1 + h // 2 + PAD, 1 + w // 2 + PAD
+    return h, w, hp_y, wp_y, hp_c, wp_c
+
+
+def pack_input(cfg: CodecConfig, frame: Frame) -> np.ndarray:
+    """Frame -> one (hp_y + 2*hp_c, wp_y) uint8 buffer, 128-filled."""
+    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
+    buf = np.full((hp_y + 2 * hp_c, wp_y), 128, dtype=np.uint8)
+    buf[1:1 + h, 1:1 + w] = frame.y
+    buf[hp_y + 1:hp_y + 1 + h // 2, 1:1 + w // 2] = frame.cb
+    buf[hp_y + hp_c + 1:hp_y + hp_c + 1 + h // 2,
+        1:1 + w // 2] = frame.cr
+    return buf
+
+
+def _maps_layout(cfg: CodecConfig):
+    u = cfg.units_y * cfg.units_x
+    c = cfg.ctus_y * cfg.ctus_x
+    sizes = [("size", u), ("mode", u), ("mts", u),
+             ("sao_type", c), ("sao_band", c), ("sao_off", 4 * c)]
+    offs, pos = {}, 0
+    for name, n in sizes:
+        offs[name] = (pos, pos + n)
+        pos += n
+    return offs, pos
+
+
+def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
+    """flat int16 -> dict of int32 arrays with proper shapes."""
+    offs, _ = _maps_layout(cfg)
+    uy, ux = cfg.units_y, cfg.units_x
+    cy, cx = cfg.ctus_y, cfg.ctus_x
+
+    def get(name, shape):
+        a, b = offs[name]
+        return np.ascontiguousarray(
+            flat[a:b].astype(np.int32).reshape(shape))
+
+    return {"size": get("size", (uy, ux)), "mode": get("mode", (uy, ux)),
+            "mts": get("mts", (uy, ux)),
+            "sao_type": get("sao_type", (cy, cx)),
+            "sao_band": get("sao_band", (cy, cx)),
+            "sao_off": get("sao_off", (cy, cx, 4))}
+
+
+def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
+    """Inverse of unpack_maps (decoder upload path)."""
+    offs, total = _maps_layout(cfg)
+    flat = np.zeros(total, dtype=np.int16)
+    for name in ("size", "mode", "mts", "sao_type", "sao_band", "sao_off"):
+        a, b = offs[name]
+        flat[a:b] = maps[name].astype(np.int16).ravel()
+    return flat
+
+
+def pack_coefs_host(cfg, cy, ccb, ccr) -> np.ndarray:
+    h, w = cfg.height, cfg.width
+    buf = np.zeros((h + h // 2, w), dtype=np.int16)
+    buf[:h] = cy
+    buf[h:, :w // 2] = ccb
+    buf[h:, w // 2:] = ccr
+    return buf
+
+
+def unpack_coefs(cfg, packed: np.ndarray):
+    h, w = cfg.height, cfg.width
+    cy = np.ascontiguousarray(packed[:h].astype(np.int32))
+    ccb = np.ascontiguousarray(packed[h:, :w // 2].astype(np.int32))
+    ccr = np.ascontiguousarray(packed[h:, w // 2:].astype(np.int32))
+    return cy, ccb, ccr
+
+
+def unpack_recon(cfg, packed: np.ndarray) -> Frame:
+    h, w = cfg.height, cfg.width
+    return Frame(np.ascontiguousarray(packed[:h]),
+                 np.ascontiguousarray(packed[h:, :w // 2]),
+                 np.ascontiguousarray(packed[h:, w // 2:]))
+
+
+def _pack_coefs_device(c16: jnp.ndarray):
+    """(Hc, W) int16 -> (low uint8 plane, high int8 plane, wide flag).
+
+    Sort-free sparsity-aware readback: the host downloads only the low
+    byte plane (levels almost never exceed +-127 in lossy coding) and
+    fetches the high plane only when the wide flag says any level does.
+    low/high is an exact byte split: c16 == high*256 + low.
+    """
+    low = (c16.astype(jnp.int32) & 0xFF).astype(jnp.uint8)
+    high = (c16 >> 8).astype(jnp.int8)
+    # value fits int8 iff high equals the sign-extension of low
+    sext = (low.astype(jnp.int8) >> 7)
+    wide = jnp.any(high != sext).astype(jnp.float32)
+    return low, high, wide
+
+
+def reconstruct_coefs(low: np.ndarray, high: np.ndarray | None
+                      ) -> np.ndarray:
+    """Host inverse of _pack_coefs_device -> int32 plane."""
+    if high is None:
+        return low.astype(np.int8).astype(np.int32)
+    return (high.astype(np.int32) << 8) | low.astype(np.int32)
+
+
+@functools.cache
+def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
+    """jit: packed u8 input -> (coef packed [i8+escapes, or i16 when
+    lossless], maps i16 flat, sse f32(3) [, recon u8 packed])."""
+    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
+    md = make_mode_decision_raw(cfg)
+    mts_sel = make_mts_select_raw(cfg) if cfg.mts else None
+    rp = make_recon_pass_raw(cfg, encode=True)
+    lam = float(cfg.lambda_mode)
+    offs, total = _maps_layout(cfg)
+
+    def step(packed):
+        yP = packed[:hp_y]
+        cbP = packed[hp_y:hp_y + hp_c, :wp_c]
+        crP = packed[hp_y + hp_c:, :wp_c]
+        size_map, mode_map = md(yP)
+        if mts_sel is not None:
+            mts_map = mts_sel(yP, size_map, mode_map)
+        else:
+            mts_map = jnp.zeros_like(size_map)
+        y8, cb8, cr8, cY, cCb, cCr = rp(yP, cbP, crP, size_map,
+                                        mode_map, mts_map)
+        y = y8.astype(jnp.int32)
+        cb = cb8.astype(jnp.int32)
+        cr = cr8.astype(jnp.int32)
+        if cfg.deblock:
+            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+                                        xp=jnp)
+        orig_y = yP[1:1 + h, 1:1 + w].astype(jnp.int32)
+        orig_cb = cbP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
+        orig_cr = crP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
+        if cfg.sao:
+            st, sb, so = estimate_sao(orig_y, y, lam)
+            y = apply_sao(y, st, sb, so, xp=jnp)
+        else:
+            st = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
+            sb = jnp.zeros_like(st)
+            so = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
+
+        sse = jnp.stack([
+            jnp.sum(((y - orig_y).astype(jnp.float32)) ** 2),
+            jnp.sum(((cb - orig_cb).astype(jnp.float32)) ** 2),
+            jnp.sum(((cr - orig_cr).astype(jnp.float32)) ** 2)])
+
+        coef = jnp.zeros((h + h // 2, w), jnp.int16)
+        coef = coef.at[:h].set(cY)
+        coef = coef.at[h:, :w // 2].set(cCb)
+        coef = coef.at[h:, w // 2:].set(cCr)
+        if not cfg.lossless:
+            low, high, wide = _pack_coefs_device(coef)
+            coef = (low, high)
+            sse = jnp.concatenate([sse, wide[None]])
+
+        flat = jnp.concatenate([
+            size_map.astype(jnp.int16).ravel(),
+            mode_map.astype(jnp.int16).ravel(),
+            mts_map.astype(jnp.int16).ravel(),
+            st.astype(jnp.int16).ravel(),
+            sb.astype(jnp.int16).ravel(),
+            so.astype(jnp.int16).ravel()])
+
+        out = (coef, flat, sse)
+        if with_recon:
+            rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+            rec = rec.at[:h].set(y.astype(jnp.uint8))
+            rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+            rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+            out = out + (rec,)
+        return out
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step(cfg: CodecConfig):
+    """jit: (packed coef i16, flat maps i16) -> packed recon u8."""
+    h, w = cfg.height, cfg.width
+    rp = make_recon_pass_raw(cfg, encode=False)
+    uy, ux = cfg.units_y, cfg.units_x
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+    offs, _ = _maps_layout(cfg)
+
+    def get(flat, name, shape):
+        a, b = offs[name]
+        return flat[a:b].astype(jnp.int32).reshape(shape)
+
+    def step(coef, flat):
+        cY = coef[:h]
+        cCb = coef[h:, :w // 2]
+        cCr = coef[h:, w // 2:]
+        size_map = get(flat, "size", (uy, ux))
+        mode_map = get(flat, "mode", (uy, ux))
+        mts_map = get(flat, "mts", (uy, ux))
+        y8, cb8, cr8, *_ = rp(cY, cCb, cCr, size_map, mode_map, mts_map)
+        y = y8.astype(jnp.int32)
+        cb = cb8.astype(jnp.int32)
+        cr = cr8.astype(jnp.int32)
+        if cfg.deblock:
+            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+                                        xp=jnp)
+        if cfg.sao:
+            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
+                          get(flat, "sao_band", (cyn, cxn)),
+                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+        rec = rec.at[:h].set(y.astype(jnp.uint8))
+        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+        return rec
+
+    return jax.jit(step)

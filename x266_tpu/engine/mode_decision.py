@@ -36,14 +36,16 @@ SPLIT_BITS = 2.0         # estimate for quadtree split signalling
 
 
 def pad_plane(img: np.ndarray) -> np.ndarray:
-    """(H, W) samples -> (1+H+PAD, 1+W+PAD) int32 plane, border = 128.
+    """(H, W) samples -> (1+H+PAD, 1+W+PAD) uint8 plane, border = 128.
 
-    Layout: image pixel (y, x) lives at plane[y+1, x+1]; row/col 0 are the
-    out-of-picture reference positions (always 128 per the x266t
+    uint8 keeps the host->device upload small (4x vs int32 — transfers
+    dominate on remote-attached chips); device passes upcast to int32 on
+    entry.  Layout: image pixel (y, x) lives at plane[y+1, x+1]; row/col 0
+    are the out-of-picture reference positions (always 128 per the x266t
     availability rule).
     """
     h, w = img.shape
-    plane = np.full((1 + h + PAD, 1 + w + PAD), 128, dtype=np.int32)
+    plane = np.full((1 + h + PAD, 1 + w + PAD), 128, dtype=np.uint8)
     plane[1:1 + h, 1:1 + w] = img
     return plane
 
@@ -96,7 +98,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig):
         avail.ref_availability_masks(w, h, s).reshape(nb, -1))
     refs = jnp.where(mask, refs, 128)
 
-    preds = kintra.predict_all_modes(refs, s)                 # (B, 35, s, s)
+    preds = kintra.predict_all_modes(refs, s, cfg.n_intra_modes)
     orig = _block_gather(plane, xs, ys, s)[:, None]           # (B, 1, s, s)
     res = orig - preds                                        # (B, 35, s, s)
 
@@ -146,6 +148,7 @@ def make_mode_decision_raw(cfg: CodecConfig):
     lam = np.float32(cfg.lambda_mode)
 
     def run(plane: jnp.ndarray):
+        plane = plane.astype(jnp.int32)
         cost8, mode8 = _eval_size(plane, 8, cfg)
         size_map = jnp.full((uy, ux), 8, dtype=jnp.int32)
         mode_map = mode8.astype(jnp.int32)
@@ -182,3 +185,66 @@ def make_mode_decision_raw(cfg: CodecConfig):
 def make_mode_decision(cfg: CodecConfig):
     """jit-compiled Pass A."""
     return jax.jit(make_mode_decision_raw(cfg))
+
+
+# ---- MTS candidate selection (C10, VVC) -----------------------------------
+
+@functools.cache
+def make_mts_select_raw(cfg: CodecConfig):
+    """Per-CU MTS transform-set choice (encoder-only, staged after the
+    mode decision as in VTM: the winning mode is fixed, the 5 transform
+    pairs compete on the same RD surrogate).  Returns the un-jitted
+    f(plane, size_map, mode_map) -> mts_map (units, int32 in 0..4)."""
+    uy, ux = cfg.units_y, cfg.units_x
+    lam = np.float32(cfg.lambda_mode)
+    n_modes = cfg.n_intra_modes
+
+    def eval_size(plane, size_map, mode_map, s):
+        w, h = cfg.width, cfg.height
+        xs_np, ys_np, gy, gx = _block_positions(w, h, s)
+        xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+        nb = xs_np.shape[0]
+        u = s // 8
+        oy = (ys_np // 8).astype(np.int32)
+        ox = (xs_np // 8).astype(np.int32)
+
+        refs = _gather_refs(plane, xs, ys, s)
+        mask = jnp.asarray(
+            avail.ref_availability_masks(w, h, s).reshape(nb, -1))
+        refs = jnp.where(mask, refs, 128)
+        modes = mode_map[oy, ox]                        # (B,)
+        preds = kintra.predict_all_modes(refs, s, n_modes)
+        pred = jnp.take_along_axis(
+            preds, modes[:, None, None, None], axis=1)[:, 0]
+        orig = _block_gather(plane, xs, ys, s)
+        res = orig - pred                               # (B, s, s)
+
+        costs = []
+        for (tv, th) in ktx.MTS_COMBOS:
+            coefs = ktx.forward_transform(res, s, tv, th)
+            levels = kquant.quantize(coefs, cfg.qp, s)
+            rate = kcost.rate_estimate_levels(levels)
+            deq = kquant.dequantize(levels, cfg.qp, s)
+            rres = ktx.inverse_transform(deq, s, tv, th)
+            recon = jnp.clip(pred + rres, 0, 255)
+            costs.append(kcost.sse(recon, orig) + lam * (rate + 2.0))
+        choice = jnp.argmin(jnp.stack(costs, axis=1), axis=1)
+        return choice.reshape(gy, gx).astype(jnp.int32)
+
+    def run(plane, size_map, mode_map):
+        plane = plane.astype(jnp.int32)
+        mts_map = jnp.zeros((uy, ux), jnp.int32)
+        for s in (8, 16, 32):
+            if s > cfg.max_cu_size:
+                continue
+            choice = eval_size(plane, size_map, mode_map, s)
+            up = _upsample(choice, s // 8, uy, ux)
+            mts_map = jnp.where(size_map == s, up, mts_map)
+        return mts_map
+
+    return run
+
+
+@functools.cache
+def make_mts_select(cfg: CodecConfig):
+    return jax.jit(make_mts_select_raw(cfg))

@@ -22,10 +22,7 @@ from x266_tpu.cabac.syntax import SyntaxDecoder, SyntaxEncoder
 from x266_tpu.config import CodecConfig, SliceType
 from x266_tpu.core.headers import SliceHeader, write_slice_header
 from x266_tpu.core.yuv import Frame
-from x266_tpu.engine.mode_decision import make_mode_decision, pad_plane
-from x266_tpu.engine.recon import extract_frame, make_recon_pass
-from x266_tpu.kernels.deblock import make_deblock
-from x266_tpu.kernels.sao import make_sao_apply, make_sao_estimate
+from x266_tpu.engine import fused
 
 
 @dataclass
@@ -37,8 +34,10 @@ class TileData:
     coef_y: np.ndarray
     coef_cb: np.ndarray
     coef_cr: np.ndarray
-    recon: Frame                   # filtered reconstruction of the band
+    recon: Frame | None            # filtered recon (None if not fetched)
     sao_params: tuple | None
+    mts_map: np.ndarray | None = None
+    sse: np.ndarray | None = None  # device-computed (3,) SSE vs source
 
 
 def _to_frame(y, cb, cr) -> Frame:
@@ -47,32 +46,47 @@ def _to_frame(y, cb, cr) -> Frame:
                  np.asarray(cr).astype(np.uint8))
 
 
-def tile_compute(cfg: CodecConfig, band: Frame) -> TileData:
-    """Device passes for one tile band: mode decision, recon, filters,
-    SAO estimation.  cfg must be the band-local config."""
-    y_plane = pad_plane(band.y.astype(np.int32))
-    cb_plane = pad_plane(band.cb.astype(np.int32))
-    cr_plane = pad_plane(band.cr.astype(np.int32))
+def tile_compute_async(cfg: CodecConfig, band: Frame,
+                       with_recon: bool = True, device=None):
+    """Dispatch one tile band's fused device step (mode decision, MTS,
+    recon, deblock, SAO, distortion — ONE jit call) WITHOUT blocking;
+    returns a zero-arg finalize() -> TileData that downloads the
+    results.  Dispatching every band/frame before finalizing any lets
+    device compute overlap host downloads and entropy coding (critical
+    on high-latency remote-attached chips)."""
+    import jax
 
-    size_map, mode_map = make_mode_decision(cfg)(y_plane)
-    out = make_recon_pass(cfg, encode=True)(
-        y_plane, cb_plane, cr_plane, size_map, mode_map)
-    coef_y, coef_cb, coef_cr = (np.asarray(p) for p in out[3:6])
+    packed = fused.pack_input(cfg, band)
+    if device is not None:
+        packed = jax.device_put(packed, device)
+    out = fused.make_encode_step(cfg, with_recon)(packed)
 
-    y, cb, cr = (np.asarray(p).astype(np.int32)
-                 for p in extract_frame(cfg, out))
-    if cfg.deblock:
-        y, cb, cr = (np.asarray(p)
-                     for p in make_deblock(cfg)(y, cb, cr, size_map))
-    sao_params = None
-    if cfg.sao:
-        st, sb, so = make_sao_estimate(cfg)(band.y.astype(np.int32), y)
-        sao_params = (np.asarray(st), np.asarray(sb), np.asarray(so))
-        y = make_sao_apply(cfg)(y, *sao_params)
+    def finalize() -> TileData:
+        if cfg.lossless:
+            cy, ccb, ccr = fused.unpack_coefs(cfg, np.asarray(out[0]))
+            sse = np.asarray(out[2])
+        else:
+            low, high = out[0]
+            stats = np.asarray(out[2])
+            sse = stats[:3]
+            high_np = np.asarray(high) if stats[3] > 0 else None
+            full = fused.reconstruct_coefs(np.asarray(low), high_np)
+            cy, ccb, ccr = fused.unpack_coefs(cfg, full)
+        maps = fused.unpack_maps(cfg, np.asarray(out[1]))
+        recon = (fused.unpack_recon(cfg, np.asarray(out[3]))
+                 if with_recon else None)
+        sao_params = ((maps["sao_type"], maps["sao_band"],
+                       maps["sao_off"]) if cfg.sao else None)
+        return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
+                        recon, sao_params, maps["mts"], sse)
 
-    return TileData(cfg, np.asarray(size_map), np.asarray(mode_map),
-                    coef_y, coef_cb, coef_cr, _to_frame(y, cb, cr),
-                    sao_params)
+    return finalize
+
+
+def tile_compute(cfg: CodecConfig, band: Frame, with_recon: bool = True,
+                 device=None) -> TileData:
+    """Blocking convenience wrapper over tile_compute_async."""
+    return tile_compute_async(cfg, band, with_recon, device)()
 
 
 def tile_entropy(td: TileData) -> list[bytes]:
@@ -81,10 +95,11 @@ def tile_entropy(td: TileData) -> list[bytes]:
     if native_bind.available():
         return [native_bind.encode_segment(
             cfg, td.size_map, td.mode_map, td.coef_y, td.coef_cb,
-            td.coef_cr, r0, r1, td.sao_params)
+            td.coef_cr, r0, r1, td.sao_params, td.mts_map)
             for (r0, r1) in cfg.segment_ctu_rows()]
     enc = SyntaxEncoder(cfg, td.size_map, td.mode_map, td.coef_y,
-                        td.coef_cb, td.coef_cr, td.sao_params)
+                        td.coef_cb, td.coef_cr, td.sao_params,
+                        td.mts_map)
     return [enc.encode_segment(r0, r1)
             for (r0, r1) in cfg.segment_ctu_rows()]
 
@@ -104,21 +119,26 @@ def assemble_slice(cfg: CodecConfig, poc: int,
     return write_slice_header(sh) + payload
 
 
-def encode_picture(cfg: CodecConfig, frame: Frame, poc: int
-                   ) -> tuple[bytes, Frame]:
-    """Returns (slice RBSP, reconstructed picture)."""
-    tiles = [tile_compute(cfg.tile_cfg(b), band)
+def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
+                   with_recon: bool = True
+                   ) -> tuple[bytes, Frame | None, np.ndarray]:
+    """Returns (slice RBSP, reconstructed picture or None, sse (3,))."""
+    tiles = [tile_compute(cfg.tile_cfg(b), band, with_recon)
              for b, band in zip(cfg.tile_bands(),
                                 split_bands(cfg, frame))]
     segments = [seg for td in tiles for seg in tile_entropy(td)]
-    recon = Frame(np.concatenate([t.recon.y for t in tiles]),
-                  np.concatenate([t.recon.cb for t in tiles]),
-                  np.concatenate([t.recon.cr for t in tiles]))
-    return assemble_slice(cfg, poc, segments), recon
+    recon = None
+    if with_recon:
+        recon = Frame(np.concatenate([t.recon.y for t in tiles]),
+                      np.concatenate([t.recon.cb for t in tiles]),
+                      np.concatenate([t.recon.cr for t in tiles]))
+    sse = np.sum([t.sse for t in tiles], axis=0)
+    return assemble_slice(cfg, poc, segments), recon, sse
 
 
 def tile_decode(cfg: CodecConfig, segments: list[bytes]) -> Frame:
-    """Decode one tile band from its segment payloads (band-local cfg)."""
+    """Decode one tile band from its segment payloads (band-local cfg):
+    host entropy parse, then one fused device call."""
     dec = SyntaxDecoder(cfg)
     rows = cfg.segment_ctu_rows()
     assert len(segments) == len(rows)
@@ -127,22 +147,19 @@ def tile_decode(cfg: CodecConfig, segments: list[bytes]) -> Frame:
             native_bind.decode_segment(
                 cfg, dec.size_map, dec.mode_map, dec.coef["y"],
                 dec.coef["cb"], dec.coef["cr"], r0, r1, data,
-                sao_params=dec.sao)
+                sao_params=dec.sao, mts_map=dec.mts_map)
     else:
         for (r0, r1), data in zip(rows, segments):
             dec.decode_segment(data, r0, r1)
 
-    out = make_recon_pass(cfg, encode=False)(
-        dec.coef["y"], dec.coef["cb"], dec.coef["cr"],
-        dec.size_map, dec.mode_map)
-    y, cb, cr = (np.asarray(p).astype(np.int32)
-                 for p in extract_frame(cfg, out))
-    if cfg.deblock:
-        y, cb, cr = (np.asarray(p)
-                     for p in make_deblock(cfg)(y, cb, cr, dec.size_map))
-    if cfg.sao:
-        y = make_sao_apply(cfg)(y, *dec.sao)
-    return _to_frame(y, cb, cr)
+    coef = fused.pack_coefs_host(cfg, dec.coef["y"], dec.coef["cb"],
+                                 dec.coef["cr"])
+    flat = fused.pack_maps_host(cfg, {
+        "size": dec.size_map, "mode": dec.mode_map, "mts": dec.mts_map,
+        "sao_type": dec.sao[0], "sao_band": dec.sao[1],
+        "sao_off": dec.sao[2]})
+    rec = np.asarray(fused.make_decode_step(cfg)(coef, flat))
+    return fused.unpack_recon(cfg, rec)
 
 
 def decode_picture(cfg: CodecConfig, sh: SliceHeader,

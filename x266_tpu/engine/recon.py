@@ -40,25 +40,51 @@ def _gather_ref(plane, x, y, s):
     return jnp.concatenate([row, col])
 
 
-def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless):
-    """One TU: returns (recon_block (s,s), coef_block (s,s))."""
+def _fwd_mts(res, s, qp, mts_idx, use_mts):
+    """Forward transform + quant with per-TU MTS selection (luma)."""
+    if not use_mts:
+        return kquant.quantize(ktx.forward_transform(res[None], s),
+                               qp, s)[0]
+    branches = [
+        (lambda r, tv=tv, th=th:
+         kquant.quantize(ktx.forward_transform(r[None], s, tv, th),
+                         qp, s)[0])
+        for (tv, th) in ktx.MTS_COMBOS]
+    return jax.lax.switch(mts_idx, branches, res)
+
+
+def _inv_mts(lev, s, qp, mts_idx, use_mts):
+    if not use_mts:
+        return ktx.inverse_transform(
+            kquant.dequantize(lev[None], qp, s), s)[0]
+    branches = [
+        (lambda lv, tv=tv, th=th:
+         ktx.inverse_transform(
+             kquant.dequantize(lv[None], qp, s), s, tv, th)[0])
+        for (tv, th) in ktx.MTS_COMBOS]
+    return jax.lax.switch(mts_idx, branches, lev)
+
+
+def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
+        n_modes, mts_idx=None):
+    """One TU: returns (recon_block (s,s), coef_block (s,s)).
+    mts_idx: traced scalar MTS candidate (luma TUs, cfg.mts) or None."""
+    use_mts = mts_idx is not None
     ref = _gather_ref(plane, x, y, s)
-    pred = kintra.predict_mode(ref, mode, s)
+    pred = kintra.predict_mode(ref, mode, s, n_modes)
     if encode:
         orig = jax.lax.dynamic_slice(src, (y + 1, x + 1), (s, s))
         if lossless:
             return orig, orig - pred
         res = orig - pred
-        lev = kquant.quantize(ktx.forward_transform(res[None], s), qp, s)[0]
-        rres = ktx.inverse_transform(
-            kquant.dequantize(lev[None], qp, s), s)[0]
+        lev = _fwd_mts(res, s, qp, mts_idx, use_mts)
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
         return jnp.clip(pred + rres, 0, 255), lev
     else:
         lev = jax.lax.dynamic_slice(coef, (y, x), (s, s))
         if lossless:
             return jnp.clip(pred + lev, 0, 255), lev
-        rres = ktx.inverse_transform(
-            kquant.dequantize(lev[None], qp, s), s)[0]
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
         return jnp.clip(pred + rres, 0, 255), lev
 
 
@@ -66,10 +92,11 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless):
 def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     """Build the un-jitted reconstruction pass (for composition).
 
-    encode=True:  f(origY_pad, origCb_pad, origCr_pad, size_map, mode_map)
-    encode=False: f(coefY, coefCb, coefCr, size_map, mode_map)
-    both return (reconY_pad, reconCb_pad, reconCr_pad,
-                 coefY, coefCb, coefCr)   [planes padded, coefs tight]
+    encode=True:  f(origY_pad, origCb_pad, origCr_pad,
+                    size_map, mode_map, mts_map)
+    encode=False: f(coefY, coefCb, coefCr, size_map, mode_map, mts_map)
+    both return (reconY u8, reconCb u8, reconCr u8,
+                 coefY i16, coefCb i16, coefCr i16)  [all unpadded]
     """
     w, h = cfg.width, cfg.height
     cw, ch = w // 2, h // 2
@@ -78,8 +105,17 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     n_ctu = cx_n * cy_n
     qp = cfg.qp
     lossless = cfg.lossless
+    n_modes = cfg.n_intra_modes
 
-    def run(a, b, c, size_map, mode_map):
+    use_mts = cfg.mts
+
+    def run(a, b, c, size_map, mode_map, mts_map):
+        # Inputs may arrive in narrow dtypes (uint8 pixels / int16 levels)
+        # to keep host<->device transfers small; all internal math is
+        # int32 (exactness, SURVEY.md §7 hard-part #3).
+        a = a.astype(jnp.int32)
+        b = b.astype(jnp.int32)
+        c = c.astype(jnp.int32)
         if encode:
             srcY, srcCb, srcCr = a, b, c
             coefY = jnp.zeros((h, w), jnp.int32)
@@ -100,18 +136,19 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 x = ux * 8
                 y = uy * 8
                 mode = mode_map[uy, ux]
+                mts_idx = mts_map[uy, ux] if use_mts else None
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
-                               encode, lossless)
+                               encode, lossless, n_modes, mts_idx)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, cs, qp,
-                                 encode, lossless)
+                                 encode, lossless, n_modes)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, cs, qp,
-                                 encode, lossless)
+                                 encode, lossless, n_modes)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
                 cCr2 = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))
@@ -153,7 +190,14 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
 
         carry = (yP, cbP, crP, coefY, coefCb, coefCr)
         carry, _ = jax.lax.scan(ctu_body, carry, jnp.arange(n_ctu))
-        return carry
+        # Narrow + slice ON DEVICE: recon as unpadded uint8 pictures,
+        # levels as int16 (they fit by the quant clamp) — ~3x smaller
+        # downloads, which dominates wall clock on remote-attached chips.
+        y8 = carry[0][1:1 + h, 1:1 + w].astype(jnp.uint8)
+        cb8 = carry[1][1:1 + ch, 1:1 + cw].astype(jnp.uint8)
+        cr8 = carry[2][1:1 + ch, 1:1 + cw].astype(jnp.uint8)
+        return (y8, cb8, cr8, carry[3].astype(jnp.int16),
+                carry[4].astype(jnp.int16), carry[5].astype(jnp.int16))
 
     return run
 
@@ -165,11 +209,5 @@ def make_recon_pass(cfg: CodecConfig, encode: bool):
 
 
 def extract_frame(cfg: CodecConfig, planes) -> tuple[np.ndarray, ...]:
-    """Pull the picture out of padded recon planes -> uint8 arrays."""
-    yP, cbP, crP = planes[:3]
-    y = np.asarray(yP)[1:1 + cfg.height, 1:1 + cfg.width].astype(np.uint8)
-    cb = np.asarray(cbP)[1:1 + cfg.height // 2,
-                         1:1 + cfg.width // 2].astype(np.uint8)
-    cr = np.asarray(crP)[1:1 + cfg.height // 2,
-                         1:1 + cfg.width // 2].astype(np.uint8)
-    return y, cb, cr
+    """Recon planes (already unpadded uint8 on device) -> host arrays."""
+    return tuple(np.asarray(p) for p in planes[:3])

@@ -19,9 +19,9 @@ from x266_tpu.specmodel import intra as spec
 
 
 @functools.cache
-def _consts(size: int):
+def _consts(size: int, n_modes: int = spec.NUM_MODES):
     # NumPy (not jnp) so the cache never holds trace-scoped constants.
-    w, shifts = spec.stacked_weights(size)
+    w, shifts = spec.stacked_weights(size, n_modes)
     s = spec.smoothing_matrix(size)
     return (w.astype(np.int8), shifts.astype(np.int32),
             s.astype(np.int8))
@@ -29,31 +29,32 @@ def _consts(size: int):
 
 def extend_refs(refs: jnp.ndarray, size: int) -> jnp.ndarray:
     """(B, R) int32 raw refs -> (B, 2R) [raw, smoothed]."""
-    _, _, s = _consts(size)
+    _, _, s = _consts(size)[:3]
     sm = (refs @ s.T.astype(jnp.int32) + 2) >> 2
     return jnp.concatenate([refs, sm], axis=-1)
 
 
-def predict_all_modes(refs: jnp.ndarray, size: int) -> jnp.ndarray:
-    """(B, R) int32 reference vectors -> (B, 35, s, s) int32 predictions."""
-    w, shifts, _ = _consts(size)
+def predict_all_modes(refs: jnp.ndarray, size: int,
+                      n_modes: int = spec.NUM_MODES) -> jnp.ndarray:
+    """(B, R) int32 reference vectors -> (B, n_modes, s, s) int32."""
+    w, shifts, _ = _consts(size, n_modes)
     ext = extend_refs(refs.astype(jnp.int32), size)
     p = jnp.einsum("bn,mkn->bmk", ext, w.astype(jnp.int32),
                    preferred_element_type=jnp.int32)
     sh = shifts[None, :, None]
     p = (p + (1 << (sh - 1))) >> sh
     b = refs.shape[0]
-    return p.reshape(b, spec.NUM_MODES, size, size)
+    return p.reshape(b, n_modes, size, size)
 
 
-def predict_mode(ref: jnp.ndarray, mode: jnp.ndarray, size: int
-                 ) -> jnp.ndarray:
+def predict_mode(ref: jnp.ndarray, mode: jnp.ndarray, size: int,
+                 n_modes: int = spec.NUM_MODES) -> jnp.ndarray:
     """One (R,) ref vector + scalar mode -> (s, s) int32 prediction.
 
     Used inside the reconstruction scan (batch=1, mode is a traced
     scalar); weights are gathered by dynamic index.
     """
-    w, shifts, _ = _consts(size)
+    w, shifts, _ = _consts(size, n_modes)
     ext = extend_refs(ref.astype(jnp.int32)[None], size)[0]
     wm = jax.lax.dynamic_index_in_dim(jnp.asarray(w), mode, axis=0,
                                       keepdims=False)

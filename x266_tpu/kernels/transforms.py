@@ -23,6 +23,15 @@ def _mat(tx_type: int, size: int) -> np.ndarray:
     return spec.matrix_for(tx_type, size).astype(np.int32)
 
 
+# MTS candidate set (C10, VVC-shaped): index -> (vertical, horizontal).
+# 0 is the default DCT-II pair; 1..4 are the DST-VII/DCT-VIII combos.
+MTS_COMBOS = ((spec.TX_DCT2, spec.TX_DCT2),
+              (spec.TX_DST7, spec.TX_DST7),
+              (spec.TX_DCT8, spec.TX_DST7),
+              (spec.TX_DST7, spec.TX_DCT8),
+              (spec.TX_DCT8, spec.TX_DCT8))
+
+
 def _rshift_round(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     return (x + (1 << (shift - 1))) >> shift
 

@@ -24,12 +24,9 @@ from x266_tpu.config import CodecConfig
 from x266_tpu.core import headers
 from x266_tpu.core.nal import NalType, write_nal
 from x266_tpu.core.yuv import Frame
-from x266_tpu.engine.mode_decision import make_mode_decision, pad_plane
 from x266_tpu.engine.picture import (TileData, assemble_slice,
-                                     split_bands, tile_entropy)
-from x266_tpu.engine.recon import make_recon_pass
-from x266_tpu.kernels.deblock import make_deblock
-from x266_tpu.kernels.sao import make_sao_apply, make_sao_estimate
+                                     split_bands, tile_compute,
+                                     tile_entropy)
 
 
 class ShardedEncoder:
@@ -40,41 +37,17 @@ class ShardedEncoder:
     """
 
     def __init__(self, cfg: CodecConfig, devices=None,
-                 entropy_threads: int = 8):
+                 entropy_threads: int = 8, with_recon: bool = True):
         self.cfg = cfg
         self.devices = list(devices) if devices else jax.devices()
         self.entropy_threads = entropy_threads
+        self.with_recon = with_recon
 
     # -- device side --------------------------------------------------------
     def _band_compute(self, bcfg: CodecConfig, band: Frame, device):
-        """Launch one band's device passes on `device`; returns lazy
-        (jax arrays stay on device until consumed)."""
-        planes = [jax.device_put(pad_plane(p.astype(np.int32)), device)
-                  for p in (band.y, band.cb, band.cr)]
-        size_map, mode_map = make_mode_decision(bcfg)(planes[0])
-        out = make_recon_pass(bcfg, encode=True)(
-            *planes, size_map, mode_map)
-        # slice the picture out of the padded planes ON DEVICE (async;
-        # avoids a host sync between bands)
-        h, w = bcfg.height, bcfg.width
-        y = out[0][1:1 + h, 1:1 + w]
-        cb = out[1][1:1 + h // 2, 1:1 + w // 2]
-        cr = out[2][1:1 + h // 2, 1:1 + w // 2]
-        if bcfg.deblock:
-            y, cb, cr = make_deblock(bcfg)(y, cb, cr, size_map)
-        sao_params = None
-        if bcfg.sao:
-            orig_y = jax.device_put(band.y.astype(np.int32), device)
-            st, sb, so = make_sao_estimate(bcfg)(orig_y, y)
-            sao_params = (np.asarray(st), np.asarray(sb), np.asarray(so))
-            y = make_sao_apply(bcfg)(y, *sao_params)
-        return TileData(
-            bcfg, np.asarray(size_map), np.asarray(mode_map),
-            np.asarray(out[3]), np.asarray(out[4]), np.asarray(out[5]),
-            Frame(np.asarray(y).astype(np.uint8),
-                  np.asarray(cb).astype(np.uint8),
-                  np.asarray(cr).astype(np.uint8)),
-            sao_params)
+        """One band through the fused device step on `device`."""
+        return tile_compute(bcfg, band, with_recon=self.with_recon,
+                            device=device)
 
     # -- front-end ----------------------------------------------------------
     def encode(self, frames: list[Frame]) -> EncodeResult:
@@ -101,6 +74,7 @@ class ShardedEncoder:
                write_nal(NalType.PPS, headers.write_pps(cfg))]
         recons: list[Frame] = []
         frame_bits: list[int] = []
+        sses: list = []
         for fi in range(len(frames)):
             segments = [s for bi in range(len(bands))
                         for s in segs[(fi, bi)]]
@@ -108,11 +82,14 @@ class ShardedEncoder:
             nal = write_nal(NalType.IDR, rbsp)
             out.append(nal)
             frame_bits.append(8 * len(nal))
-            recons.append(Frame(
-                np.concatenate([tiles[(fi, bi)].recon.y
-                                for bi in range(len(bands))]),
-                np.concatenate([tiles[(fi, bi)].recon.cb
-                                for bi in range(len(bands))]),
-                np.concatenate([tiles[(fi, bi)].recon.cr
-                                for bi in range(len(bands))])))
-        return EncodeResult(b"".join(out), recons, frame_bits)
+            if self.with_recon:
+                recons.append(Frame(
+                    np.concatenate([tiles[(fi, bi)].recon.y
+                                    for bi in range(len(bands))]),
+                    np.concatenate([tiles[(fi, bi)].recon.cb
+                                    for bi in range(len(bands))]),
+                    np.concatenate([tiles[(fi, bi)].recon.cr
+                                    for bi in range(len(bands))])))
+            sses.append(np.sum([tiles[(fi, bi)].sse
+                                for bi in range(len(bands))], axis=0))
+        return EncodeResult(b"".join(out), recons, frame_bits, sse=sses)

@@ -32,12 +32,43 @@ import functools
 import numpy as np
 
 PLANAR, DC = 0, 1
-NUM_MODES = 35
+NUM_MODES = 35            # HEVC-subset profile
+NUM_MODES_VVC = 67        # VVC profile (67 modes, square blocks)
 
-# intraPredAngle for modes 2..34 [STD].
+# intraPredAngle for modes 2..34, HEVC 35-mode family [STD].
 ANGLES = np.array([32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17,
                    -21, -26, -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5,
                    9, 13, 17, 21, 26, 32], dtype=np.int32)
+
+# |intraPredAngle| ladder for the VVC 65-angle family, offsets 0..16 from
+# pure horizontal (mode 18) / vertical (mode 50) [STD H.266 8.4.5.2.12].
+ABS_ANGLES_VVC = np.array([0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
+                           23, 26, 29, 32], dtype=np.int32)
+
+
+def num_modes(profile_vvc: bool) -> int:
+    return NUM_MODES_VVC if profile_vvc else NUM_MODES
+
+
+def mode_geometry(mode: int, n_modes: int) -> tuple[bool, int]:
+    """(vertical_family, intraPredAngle) for an angular mode [STD].
+
+    35-mode: vertical iff mode >= 18, angle from ANGLES.
+    67-mode: vertical iff mode >= 34; pure H = 18, pure V = 50;
+    angle magnitude from ABS_ANGLES_VVC, sign toward the diagonals.
+    """
+    assert mode >= 2
+    if n_modes == NUM_MODES:
+        return mode >= 18, int(ANGLES[mode - 2])
+    vertical = mode >= 34
+    center = 50 if vertical else 18
+    off = mode - center
+    mag = int(ABS_ANGLES_VVC[abs(off)])
+    if vertical:
+        a = mag if off >= 0 else -mag
+    else:
+        a = mag if off <= 0 else -mag
+    return vertical, a
 
 
 def ref_len(size: int) -> int:
@@ -90,27 +121,32 @@ def smoothing_matrix(size: int) -> np.ndarray:
     return s
 
 
-def use_smoothed(size: int, mode: int) -> bool:
+def use_smoothed(size: int, mode: int, n_modes: int = NUM_MODES) -> bool:
     """HEVC-style strong intra smoothing rule [STD]: never for 4x4 or DC;
     for angular modes, when the distance to pure H/V exceeds the per-size
-    threshold; planar counts as maximally distant."""
+    threshold; planar counts as maximally distant.  Thresholds double in
+    the 67-mode family (same angular distance)."""
     if size == 4 or mode == DC:
         return False
     if mode == PLANAR:
         return True
-    thresh = {8: 7, 16: 1, 32: 0}.get(size)
+    if n_modes == NUM_MODES:
+        thresh = {8: 7, 16: 1, 32: 0}.get(size)
+        dist = min(abs(mode - 10), abs(mode - 26))
+    else:
+        thresh = {8: 14, 16: 2, 32: 0}.get(size)
+        dist = min(abs(mode - 18), abs(mode - 50))
     if thresh is None:
         return False
-    dist = min(abs(mode - 10), abs(mode - 26))
     return dist > thresh
 
 
-def _angular_weights(size: int, mode: int) -> np.ndarray:
+def _angular_weights(size: int, mode: int,
+                     n_modes: int = NUM_MODES) -> np.ndarray:
     """(s*s, R) two-tap angular weights, shift 5, offset 16 [STD]."""
     s = size
     r = ref_len(s)
-    a = int(ANGLES[mode - 2])
-    vertical = mode >= 18
+    vertical, a = mode_geometry(mode, n_modes)
 
     # refMain[k] for k in [-s, 2s]; entries are ref-vector indices.
     def main_idx(k: int) -> int:
@@ -119,7 +155,7 @@ def _angular_weights(size: int, mode: int) -> np.ndarray:
         if k > 0:
             return (_idx_top(s, k - 1) if vertical else _idx_left(s, k - 1))
         # negative side: inverse-angle projection onto the side reference
-        inv = -round(8192.0 / a)          # a < 0 here; inv > 0
+        inv = round(8192.0 / -a)          # a < 0 here; inv > 0
         j = ((-k) * inv + 128) >> 8       # refSide index, 0 = corner
         if j == 0:
             return _idx_corner()
@@ -172,7 +208,8 @@ def mode_shift(size: int, mode: int) -> int:
 
 
 @functools.cache
-def weight_matrix(size: int, mode: int) -> np.ndarray:
+def weight_matrix(size: int, mode: int,
+                  n_modes: int = NUM_MODES) -> np.ndarray:
     """(s*s, R) int32 weights in *raw-ref* space (smoothing not applied);
     rows sum to exactly 2^mode_shift(size, mode)."""
     if mode == PLANAR:
@@ -180,26 +217,27 @@ def weight_matrix(size: int, mode: int) -> np.ndarray:
     elif mode == DC:
         w = _dc_weights(size)
     else:
-        w = _angular_weights(size, mode)
+        w = _angular_weights(size, mode, n_modes)
     assert (w.sum(axis=1) == (1 << mode_shift(size, mode))).all()
     return w
 
 
 @functools.cache
-def stacked_weights(size: int) -> tuple[np.ndarray, np.ndarray]:
+def stacked_weights(size: int, n_modes: int = NUM_MODES
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """All-modes matrices over the extended [raw, smoothed] ref vector.
 
-    Returns (W, shifts): W int8 (NUM_MODES, s*s, 2R) where per mode the
+    Returns (W, shifts): W int8 (n_modes, s*s, 2R) where per mode the
     raw or the smoothed half is populated per use_smoothed(); shifts
-    (NUM_MODES,) int32.  Weight magnitudes <= 32 < 127 so int8 is exact.
+    (n_modes,) int32.  Weight magnitudes <= 32 < 127 so int8 is exact.
     """
     r = ref_len(size)
-    w = np.zeros((NUM_MODES, size * size, 2 * r), dtype=np.int8)
-    shifts = np.zeros(NUM_MODES, dtype=np.int32)
-    for m in range(NUM_MODES):
-        wm = weight_matrix(size, m)
+    w = np.zeros((n_modes, size * size, 2 * r), dtype=np.int8)
+    shifts = np.zeros(n_modes, dtype=np.int32)
+    for m in range(n_modes):
+        wm = weight_matrix(size, m, n_modes)
         assert np.abs(wm).max() <= 127
-        if use_smoothed(size, m):
+        if use_smoothed(size, m, n_modes):
             w[m, :, r:] = wm
         else:
             w[m, :, :r] = wm
@@ -215,10 +253,11 @@ def extend_refs(ref: np.ndarray) -> np.ndarray:
     return np.concatenate([ref.astype(np.int64), sm])
 
 
-def predict(ref: np.ndarray, size: int, mode: int) -> np.ndarray:
+def predict(ref: np.ndarray, size: int, mode: int,
+            n_modes: int = NUM_MODES) -> np.ndarray:
     """NumPy oracle: predict an (s, s) block from an (R,) ref vector."""
     ext = extend_refs(ref)
-    w, shifts = stacked_weights(size)
+    w, shifts = stacked_weights(size, n_modes)
     sh = int(shifts[mode])
     p = (w[mode].astype(np.int64) @ ext + (1 << (sh - 1))) >> sh
     return p.reshape(size, size).astype(np.int32)
