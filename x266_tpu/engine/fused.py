@@ -28,7 +28,7 @@ from x266_tpu.config import CodecConfig
 from x266_tpu.core.yuv import Frame
 from x266_tpu.engine.mode_decision import (PAD, make_mode_decision_raw,
                                            make_mts_select_raw)
-from x266_tpu.engine.recon import make_recon_pass_raw
+from x266_tpu.engine.recon import select_recon_impl
 from x266_tpu.kernels.deblock import deblock_picture
 from x266_tpu.kernels.sao import apply_sao, estimate_sao
 
@@ -146,7 +146,7 @@ def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
     h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
     md = make_mode_decision_raw(cfg)
     mts_sel = make_mts_select_raw(cfg) if cfg.mts else None
-    rp = make_recon_pass_raw(cfg, encode=True)
+    rp = select_recon_impl(cfg, encode=True)
     lam = float(cfg.lambda_mode)
     offs, total = _maps_layout(cfg)
 
@@ -216,7 +216,7 @@ def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
 def make_decode_step(cfg: CodecConfig):
     """jit: (packed coef i16, flat maps i16) -> packed recon u8."""
     h, w = cfg.height, cfg.width
-    rp = make_recon_pass_raw(cfg, encode=False)
+    rp = select_recon_impl(cfg, encode=False)
     uy, ux = cfg.units_y, cfg.units_x
     cyn, cxn = cfg.ctus_y, cfg.ctus_x
     offs, _ = _maps_layout(cfg)

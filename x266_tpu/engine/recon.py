@@ -208,6 +208,23 @@ def make_recon_pass(cfg: CodecConfig, encode: bool):
     return jax.jit(make_recon_pass_raw(cfg, encode))
 
 
+def select_recon_impl(cfg: CodecConfig, encode: bool):
+    """Implementation selector.  The wavefront pass (engine.recon_wave)
+    is bit-identical and has 8x fewer *sequential* steps, but measured
+    6x SLOWER on TPU v5e: its per-step gather/scatter merges lower to
+    serialized scatters that cost far more than the tiny per-TU compute
+    they batch.  The sequential scan therefore stays the default;
+    X266T_WAVE_RECON=1 selects the wavefront (kept correct and tested —
+    it is the right shape if the merge is later done as a Pallas kernel
+    with explicit VMEM windows)."""
+    import os
+
+    if os.environ.get("X266T_WAVE_RECON"):
+        from x266_tpu.engine.recon_wave import make_recon_wave_raw
+        return make_recon_wave_raw(cfg, encode)
+    return make_recon_pass_raw(cfg, encode)
+
+
 def extract_frame(cfg: CodecConfig, planes) -> tuple[np.ndarray, ...]:
     """Recon planes (already unpadded uint8 on device) -> host arrays."""
     return tuple(np.asarray(p) for p in planes[:3])
