@@ -54,6 +54,8 @@ class Encoder:
                 raise ValueError("frame size does not match config")
         out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
+        if cfg.intra_period != 1:
+            return self._encode_gop(cfg, frames, out)
 
         # Phase 1: dispatch every (frame, band) device step (async);
         # Phase 2: finalize + entropy-code in POC order.  Device compute
@@ -87,6 +89,33 @@ class Encoder:
         sses: list = []
         for rbsp, recon, sse in results:
             nal = write_nal(NalType.IDR, rbsp)
+            out.append(nal)
+            if recon is not None:
+                recons.append(recon)
+            frame_bits.append(8 * len(nal))
+            sses.append(sse)
+        return EncodeResult(b"".join(out), recons, frame_bits,
+                            sse=sses)
+
+    def _encode_gop(self, cfg: CodecConfig, frames: list[Frame],
+                    out: list[bytes]) -> EncodeResult:
+        """Low-delay GOP stream: IDR every intra_period, P otherwise;
+        the reference pyramids stay device-resident between frames
+        (C16 DPB)."""
+        from x266_tpu.core.nal import NalType as NT
+        from x266_tpu.engine.picture import encode_picture_gop
+
+        if cfg.tile_rows:
+            raise ValueError("P pictures support single tile in v1")
+        recons: list[Frame] = []
+        frame_bits: list[int] = []
+        sses: list = []
+        pyramids = None
+        for poc, frame in enumerate(frames):
+            rbsp, recon, sse, pyramids, st = encode_picture_gop(
+                cfg, frame, poc, pyramids, self.with_recon)
+            nal_type = (NT.IDR if st.name == "I" else NT.TRAIL)
+            nal = write_nal(nal_type, rbsp)
             out.append(nal)
             if recon is not None:
                 recons.append(recon)

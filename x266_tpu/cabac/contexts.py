@@ -22,7 +22,10 @@ GT2 = 73           # 2: luma / chroma
 SAO_ON = 75        # 1: sao type != off
 SAO_KIND = 76      # 1: band (1) vs edge (0)
 MTS = 77           # 1: mts_idx != 0 (VVC MTS, C10)
-NUM_CONTEXTS = 78
+SKIP = 78          # 1: cu_skip_flag (P slices)
+PRED_MODE = 79     # 1: intra (1) vs inter (0), P slices
+MVD_GT0 = 80       # 2: mvd component != 0 (x, y)
+NUM_CONTEXTS = 82
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

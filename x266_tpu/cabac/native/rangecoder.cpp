@@ -35,7 +35,10 @@ constexpr int CTX_GT2 = 73;
 constexpr int CTX_SAO_ON = 75;
 constexpr int CTX_SAO_KIND = 76;
 constexpr int CTX_MTS = 77;
-constexpr int NUM_CONTEXTS = 78;
+constexpr int CTX_SKIP = 78;
+constexpr int CTX_PRED_MODE = 79;
+constexpr int CTX_MVD_GT0 = 80;
+constexpr int NUM_CONTEXTS = 82;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -228,6 +231,7 @@ const Scan& scan_for(int size) {
 
 // ---- shared syntax helpers ------------------------------------------------
 constexpr int PLANAR = 0, DC_MODE = 1;
+constexpr int PRED_INTRA = 0, PRED_INTER = 1, PRED_SKIP = 2;
 
 int sig_ctx(int px, int py, int cg, bool chroma) {
   int d = px + py;
@@ -267,17 +271,43 @@ struct Picture {
   int32_t* coef_cr;
   int has_mts = 0;                 // cfg.mts flag
   int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
+  int is_p = 0;                    // P slice
+  int32_t* pred_map = nullptr;     // (Uy, Ux) 0 intra / 1 inter / 2 skip
+  int32_t* mvx_map = nullptr;      // (Uy, Ux) quarter-pel
+  int32_t* mvy_map = nullptr;
   int has_sao = 0;                 // cfg.sao flag
   int32_t* sao_type = nullptr;     // (Cy, Cx)
   int32_t* sao_band = nullptr;     // (Cy, Cx)
   int32_t* sao_off = nullptr;      // (Cy, Cx, 4)
 
+  // Non-intra neighbors count as DC (mirror of syntax.py rule).
   int neighbor_left(int ux, int uy) const {
-    return ux > 0 ? mode_map[uy * ux_n + ux - 1] : DC_MODE;
+    if (ux <= 0) return DC_MODE;
+    if (is_p && pred_map[uy * ux_n + ux - 1] != PRED_INTRA)
+      return DC_MODE;
+    return mode_map[uy * ux_n + ux - 1];
   }
   int neighbor_above(int ux, int uy) const {
-    return (uy > 0 && (uy & 7) != 0) ? mode_map[(uy - 1) * ux_n + ux]
-                                     : DC_MODE;
+    if (!(uy > 0 && (uy & 7) != 0)) return DC_MODE;
+    if (is_p && pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA)
+      return DC_MODE;
+    return mode_map[(uy - 1) * ux_n + ux];
+  }
+  // Skip/MVD predictor; mirrors engine.inter.mv_predictor_np.
+  void mv_predictor(int ux, int uy, int* px, int* py) const {
+    if (ux > 0 && pred_map[uy * ux_n + ux - 1] != PRED_INTRA) {
+      *px = mvx_map[uy * ux_n + ux - 1];
+      *py = mvy_map[uy * ux_n + ux - 1];
+      return;
+    }
+    if (uy > 0 && (uy & 7) != 0 &&
+        pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA) {
+      *px = mvx_map[(uy - 1) * ux_n + ux];
+      *py = mvy_map[(uy - 1) * ux_n + ux];
+      return;
+    }
+    *px = 0;
+    *py = 0;
   }
 };
 
@@ -392,8 +422,38 @@ struct SegEncoder {
     }
   }
 
+  void code_mvd(int v, int comp) {
+    enc.encode_bin(ctxs, CTX_MVD_GT0 + comp, v != 0);
+    if (v) {
+      enc.encode_bypass(v < 0);
+      int val = (v < 0 ? -v : v) - 1;
+      int m = 1;
+      while (val >= (1 << m)) {
+        enc.encode_bypass(1);
+        val -= 1 << m;
+        m++;
+      }
+      enc.encode_bypass(0);
+      enc.encode_bypass_bits((uint32_t)val, m);
+    }
+  }
+
   void leaf(int x, int y, int s) {
     int ux = x / 8, uy = y / 8;
+    if (pic.is_p) {
+      int kind = pic.pred_map[uy * pic.ux_n + ux];
+      enc.encode_bin(ctxs, CTX_SKIP, kind == PRED_SKIP);
+      if (kind == PRED_SKIP) return;
+      enc.encode_bin(ctxs, CTX_PRED_MODE, kind == PRED_INTRA);
+      if (kind == PRED_INTER) {
+        int px, py;
+        pic.mv_predictor(ux, uy, &px, &py);
+        code_mvd(pic.mvx_map[uy * pic.ux_n + ux] - px, 0);
+        code_mvd(pic.mvy_map[uy * pic.ux_n + ux] - py, 1);
+        leaf_residuals(x, y, s);
+        return;
+      }
+    }
     int mode = pic.mode_map[uy * pic.ux_n + ux];
     int mpm[3];
     mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
@@ -412,6 +472,11 @@ struct SegEncoder {
         if (mpm[i] < mode) rank--;
       enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
     }
+    leaf_residuals(x, y, s);
+  }
+
+  void leaf_residuals(int x, int y, int s) {
+    int ux = x / 8, uy = y / 8;
     int w = pic.width, cw = w / 2;
     auto any_nz = [](const int32_t* p, int stride, int x0, int y0,
                      int n) {
@@ -586,8 +651,52 @@ struct SegDecoder {
       plane[(y0 + sc.y[i]) * stride + (x0 + sc.x[i])] = coefs[i];
   }
 
+  int decode_mvd(int comp) {
+    if (!dec.decode_bin(ctxs, CTX_MVD_GT0 + comp)) return 0;
+    int neg = dec.decode_bypass();
+    int m = 1;
+    int base = 1;
+    while (dec.decode_bypass()) {
+      base += 1 << m;
+      m++;
+      if (m > 20) { dec.error = true; return 0; }
+    }
+    int v = base + (int)dec.decode_bypass_bits(m);
+    return neg ? -v : v;
+  }
+
+  void fill_pred(int ux, int uy, int u, int kind, int mvx, int mvy) {
+    for (int j = 0; j < u; j++)
+      for (int i = 0; i < u; i++) {
+        pic.pred_map[(uy + j) * pic.ux_n + ux + i] = kind;
+        pic.mvx_map[(uy + j) * pic.ux_n + ux + i] = mvx;
+        pic.mvy_map[(uy + j) * pic.ux_n + ux + i] = mvy;
+      }
+  }
+
   void leaf(int x, int y, int s) {
     int ux = x / 8, uy = y / 8;
+    if (pic.is_p) {
+      int u = s / 8;
+      for (int j = 0; j < u; j++)
+        for (int i = 0; i < u; i++)
+          pic.size_map[(uy + j) * pic.ux_n + ux + i] = s;
+      if (dec.decode_bin(ctxs, CTX_SKIP)) {
+        int px, py;
+        pic.mv_predictor(ux, uy, &px, &py);
+        fill_pred(ux, uy, u, PRED_SKIP, px, py);
+        return;
+      }
+      if (!dec.decode_bin(ctxs, CTX_PRED_MODE)) {
+        int px, py;
+        pic.mv_predictor(ux, uy, &px, &py);
+        int mvx = px + decode_mvd(0);
+        int mvy = py + decode_mvd(1);
+        fill_pred(ux, uy, u, PRED_INTER, mvx, mvy);
+        leaf_residuals(x, y, s);
+        return;
+      }
+    }
     int mpm[3];
     mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
              pic.n_modes, mpm);
@@ -614,6 +723,12 @@ struct SegDecoder {
         pic.size_map[(uy + j) * pic.ux_n + ux + i] = s;
         pic.mode_map[(uy + j) * pic.ux_n + ux + i] = mode;
       }
+    leaf_residuals(x, y, s);
+  }
+
+  void leaf_residuals(int x, int y, int s) {
+    int ux = x / 8, uy = y / 8;
+    int u = s / 8;
     int cbf_y = dec.decode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1));
     int cbf_cb = dec.decode_bin(ctxs, CTX_CBF_C + 0);
     int cbf_cr = dec.decode_bin(ctxs, CTX_CBF_C + 1);
@@ -691,7 +806,10 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
                              const int32_t* mode_map,
                              const int32_t* coef_y, const int32_t* coef_cb,
                              const int32_t* coef_cr, int32_t has_mts,
-                             const int32_t* mts_map, int32_t has_sao,
+                             const int32_t* mts_map, int32_t is_p,
+                             const int32_t* pred_map,
+                             const int32_t* mvx_map,
+                             const int32_t* mvy_map, int32_t has_sao,
                              const int32_t* sao_type,
                              const int32_t* sao_band,
                              const int32_t* sao_off, int32_t ctu_row0,
@@ -713,6 +831,10 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_cr = const_cast<int32_t*>(coef_cr);
   pic.has_mts = has_mts;
   pic.mts_map = const_cast<int32_t*>(mts_map);
+  pic.is_p = is_p;
+  pic.pred_map = const_cast<int32_t*>(pred_map);
+  pic.mvx_map = const_cast<int32_t*>(mvx_map);
+  pic.mvy_map = const_cast<int32_t*>(mvy_map);
   pic.has_sao = has_sao;
   pic.sao_type = const_cast<int32_t*>(sao_type);
   pic.sao_band = const_cast<int32_t*>(sao_band);
@@ -738,7 +860,9 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
                              int32_t* size_map, int32_t* mode_map,
                              int32_t* coef_y, int32_t* coef_cb,
                              int32_t* coef_cr, int32_t has_mts,
-                             int32_t* mts_map, int32_t has_sao,
+                             int32_t* mts_map, int32_t is_p,
+                             int32_t* pred_map, int32_t* mvx_map,
+                             int32_t* mvy_map, int32_t has_sao,
                              int32_t* sao_type, int32_t* sao_band,
                              int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, const uint8_t* data,
@@ -759,6 +883,10 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_cr = coef_cr;
   pic.has_mts = has_mts;
   pic.mts_map = mts_map;
+  pic.is_p = is_p;
+  pic.pred_map = pred_map;
+  pic.mvx_map = mvx_map;
+  pic.mvy_map = mvy_map;
   pic.has_sao = has_sao;
   pic.sao_type = sao_type;
   pic.sao_band = sao_band;

@@ -65,6 +65,7 @@ def _load():
             i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         lib.x266t_decode_segment.restype = ctypes.c_int64
         lib.x266t_decode_segment.argtypes = [
@@ -72,6 +73,7 @@ def _load():
             ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p,
+            ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         _lib = lib
@@ -98,9 +100,20 @@ def _sao_args(cfg, sao_params):
                np.ascontiguousarray(so, np.int32))
 
 
+def _inter_args(cfg, inter_maps):
+    if inter_maps is None:
+        z = np.zeros((cfg.units_y, cfg.units_x), np.int32)
+        return 0, (z, z, z)
+    pm, mx, my = inter_maps
+    return 1, (np.ascontiguousarray(pm, np.int32),
+               np.ascontiguousarray(mx, np.int32),
+               np.ascontiguousarray(my, np.int32))
+
+
 def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                    ctu_row0: int, ctu_row1: int, sao_params=None,
-                   mts_map=None) -> bytes:
+                   mts_map=None, inter_maps=None) -> bytes:
+    # inter_maps: (pred_map, mvx_map, mvy_map) for P slices, else None
     lib = _load()
     assert lib is not None
     if mts_map is None:
@@ -111,6 +124,10 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     cy, cyp = _i32(coef_y)
     cb, cbp = _i32(coef_cb)
     cr, crp = _i32(coef_cr)
+    is_p, (pm, mx, my) = _inter_args(cfg, inter_maps)
+    pm, pmp = _i32(pm)
+    mx, mxp = _i32(mx)
+    my, myp = _i32(my)
     has_sao, (st, sb, so) = _sao_args(cfg, sao_params)
     st, stp = _i32(st)
     sb, sbp = _i32(sb)
@@ -121,6 +138,7 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         smp, mmp, cyp, cbp, crp,
         int(cfg.mts), mtp,
+        is_p, pmp, mxp, myp,
         has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
@@ -130,20 +148,25 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
 
 def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                    ctu_row0: int, ctu_row1: int, data: bytes,
-                   sao_params=None, mts_map=None) -> None:
-    """Fills the passed arrays in place (must be C-contiguous int32).
-    When cfg.sao, pass sao_params=(type, band, off); when cfg.mts, pass
-    mts_map to fill."""
+                   sao_params=None, mts_map=None,
+                   inter_maps=None) -> None:
+    # Fills the passed arrays in place (C-contiguous int32).  When
+    # cfg.sao pass sao_params=(type, band, off); when cfg.mts pass
+    # mts_map; for P slices pass inter_maps=(pred, mvx, mvy) to fill.
     lib = _load()
     assert lib is not None
     if mts_map is None:
         mts_map = np.zeros_like(size_map)
     arrays = [size_map, mode_map, coef_y, coef_cb, coef_cr]
+    is_p = 1
+    if inter_maps is None:
+        _, inter_maps = _inter_args(cfg, None)
+        is_p = 0
     has_sao = int(cfg.sao)
     if sao_params is None:
         _, sao_params = _sao_args(cfg, None)
         has_sao = 0
-    arrays += [mts_map] + list(sao_params)
+    arrays += [mts_map] + list(inter_maps) + list(sao_params)
     for a in arrays:
         assert a.dtype == np.int32 and a.flags.c_contiguous
     buf = np.frombuffer(data, dtype=np.uint8)
@@ -157,7 +180,8 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
         int(cfg.mts), ptrs[5],
-        has_sao, ptrs[6], ptrs[7], ptrs[8],
+        is_p, ptrs[6], ptrs[7], ptrs[8],
+        has_sao, ptrs[9], ptrs[10], ptrs[11],
         ctu_row0, ctu_row1, p, len(data))
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")

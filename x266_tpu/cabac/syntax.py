@@ -26,6 +26,8 @@ from x266_tpu.cabac.engine import ContextSet, RangeDecoder, RangeEncoder
 from x266_tpu.config import CodecConfig
 from x266_tpu.specmodel.intra import DC, PLANAR
 
+PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2
+
 
 @functools.cache
 def diag_scan(n: int) -> np.ndarray:
@@ -78,23 +80,50 @@ class _Walker:
         self.n_modes = cfg.n_intra_modes
         self.mode_bits = 5 if self.n_modes == 35 else 6
 
+    def _mv_predictor(self, ux, uy):
+        """Skip/MVD predictor; mirrors engine.inter.mv_predictor_np and
+        the device rule in the recon scan exactly."""
+        pm, mx, my = self.pred_map, self.mvx_map, self.mvy_map
+        if ux > 0 and pm[uy, ux - 1] != PRED_INTRA:
+            return int(mx[uy, ux - 1]), int(my[uy, ux - 1])
+        if uy > 0 and (uy & 7) != 0 and pm[uy - 1, ux] != PRED_INTRA:
+            return int(mx[uy - 1, ux]), int(my[uy - 1, ux])
+        return 0, 0
+
     # -- neighbor mode derivation (line-buffer-free rule [STD-shaped]) -----
     def _neighbor_modes(self, mode_map, ux, uy):
-        left = int(mode_map[uy, ux - 1]) if ux > 0 else DC
-        above = int(mode_map[uy - 1, ux]) if (uy > 0 and (uy & 7) != 0) \
-            else DC
+        """Non-intra neighbors count as DC [STD]: in P slices the
+        decoder has no intra mode for inter CUs, so both sides must
+        ignore mode_map there."""
+        left = above = DC
+        if ux > 0 and (not self.is_p
+                       or self.pred_map[uy, ux - 1] == PRED_INTRA):
+            left = int(mode_map[uy, ux - 1])
+        if uy > 0 and (uy & 7) != 0 and (
+                not self.is_p
+                or self.pred_map[uy - 1, ux] == PRED_INTRA):
+            above = int(mode_map[uy - 1, ux])
         return left, above
 
 
 class SyntaxEncoder(_Walker):
     def __init__(self, cfg: CodecConfig, size_map, mode_map,
                  coef_y, coef_cb, coef_cr, sao_params=None,
-                 mts_map=None):
+                 mts_map=None, is_p=False, pred_map=None,
+                 mvx_map=None, mvy_map=None):
         super().__init__(cfg)
         self.size_map = np.asarray(size_map)
         self.mode_map = np.asarray(mode_map)
         self.mts_map = (np.asarray(mts_map) if mts_map is not None
                         else np.zeros_like(self.size_map))
+        self.is_p = is_p
+        z = np.zeros_like(self.size_map)
+        self.pred_map = (np.asarray(pred_map) if pred_map is not None
+                         else z)
+        self.mvx_map = (np.asarray(mvx_map) if mvx_map is not None
+                        else z)
+        self.mvy_map = (np.asarray(mvy_map) if mvy_map is not None
+                        else z)
         self.coef = {"y": np.asarray(coef_y), "cb": np.asarray(coef_cb),
                      "cr": np.asarray(coef_cr)}
         self.sao = (tuple(np.asarray(a) for a in sao_params)
@@ -157,8 +186,35 @@ class SyntaxEncoder(_Walker):
         assert actual == s, (x, y, s, actual)
         self._leaf(x, y, s)
 
+    def _code_mvd(self, v, comp):
+        self.enc.encode_bin(self.ctxs, cx.MVD_GT0 + comp, int(v != 0))
+        if v:
+            self.enc.encode_bypass(int(v < 0))
+            val = abs(v) - 1
+            m = 1
+            while val >= (1 << m):
+                self.enc.encode_bypass(1)
+                val -= 1 << m
+                m += 1
+            self.enc.encode_bypass(0)
+            self.enc.encode_bypass_bits(val, m)
+
     def _leaf(self, x, y, s):
         ux, uy = x // 8, y // 8
+        if self.is_p:
+            kind = int(self.pred_map[uy, ux])
+            self.enc.encode_bin(self.ctxs, cx.SKIP,
+                                int(kind == PRED_SKIP))
+            if kind == PRED_SKIP:
+                return   # derived MV, no residual, nothing else coded
+            self.enc.encode_bin(self.ctxs, cx.PRED_MODE,
+                                int(kind == PRED_INTRA))
+            if kind == PRED_INTER:
+                px, py = self._mv_predictor(ux, uy)
+                self._code_mvd(int(self.mvx_map[uy, ux]) - px, 0)
+                self._code_mvd(int(self.mvy_map[uy, ux]) - py, 1)
+                self._leaf_residuals(x, y, s)
+                return
         mode = int(self.mode_map[uy, ux])
         left, above = self._neighbor_modes(self.mode_map, ux, uy)
         mpms = mpm_list(left, above, self.n_modes)
@@ -172,7 +228,10 @@ class SyntaxEncoder(_Walker):
             self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
             rank = mode - sum(1 for m in mpms if m < mode)
             self.enc.encode_bypass_bits(rank, self.mode_bits)
+        self._leaf_residuals(x, y, s)
 
+    def _leaf_residuals(self, x, y, s):
+        ux, uy = x // 8, y // 8
         by = self.coef["y"][y:y + s, x:x + s]
         bcb = self.coef["cb"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
         bcr = self.coef["cr"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
@@ -273,6 +332,10 @@ class SyntaxDecoder(_Walker):
         self.sao = (np.zeros(c, np.int32), np.zeros(c, np.int32),
                     np.zeros(c + (4,), np.int32))
         self.mts_map = np.zeros(u, dtype=np.int32)
+        self.is_p = False
+        self.pred_map = np.zeros(u, dtype=np.int32)
+        self.mvx_map = np.zeros(u, dtype=np.int32)
+        self.mvy_map = np.zeros(u, dtype=np.int32)
 
     def decode_segment(self, data: bytes, ctu_row0: int,
                        ctu_row1: int) -> None:
@@ -324,9 +387,41 @@ class SyntaxDecoder(_Walker):
                 return
         self._leaf(x, y, s)
 
+    def _decode_mvd(self, comp):
+        if not self.dec.decode_bin(self.ctxs, cx.MVD_GT0 + comp):
+            return 0
+        neg = self.dec.decode_bypass()
+        m = 1
+        base = 1
+        while self.dec.decode_bypass():
+            base += 1 << m
+            m += 1
+            if m > 20:
+                raise ValueError("corrupt mvd")
+        v = base + self.dec.decode_bypass_bits(m)
+        return -v if neg else v
+
     def _leaf(self, x, y, s):
         ux, uy = x // 8, y // 8
         u = s // 8
+        if self.is_p:
+            self.size_map[uy:uy + u, ux:ux + u] = s
+            if self.dec.decode_bin(self.ctxs, cx.SKIP):
+                px, py = self._mv_predictor(ux, uy)
+                self.pred_map[uy:uy + u, ux:ux + u] = PRED_SKIP
+                self.mvx_map[uy:uy + u, ux:ux + u] = px
+                self.mvy_map[uy:uy + u, ux:ux + u] = py
+                return
+            if not self.dec.decode_bin(self.ctxs, cx.PRED_MODE):
+                px, py = self._mv_predictor(ux, uy)
+                mvx = px + self._decode_mvd(0)
+                mvy = py + self._decode_mvd(1)
+                self.pred_map[uy:uy + u, ux:ux + u] = PRED_INTER
+                self.mvx_map[uy:uy + u, ux:ux + u] = mvx
+                self.mvy_map[uy:uy + u, ux:ux + u] = mvy
+                self._leaf_residuals(x, y, s, u, ux, uy)
+                return
+            # else fall through to intra coding below
         left, above = self._neighbor_modes(self.mode_map, ux, uy)
         mpms = mpm_list(left, above, self.n_modes)
         if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
@@ -344,7 +439,9 @@ class SyntaxDecoder(_Walker):
                     mode += 1
         self.size_map[uy:uy + u, ux:ux + u] = s
         self.mode_map[uy:uy + u, ux:ux + u] = mode
+        self._leaf_residuals(x, y, s, u, ux, uy)
 
+    def _leaf_residuals(self, x, y, s, u, ux, uy):
         cbf_y = self.dec.decode_bin(self.ctxs,
                                     cx.CBF_Y + (0 if s >= 16 else 1))
         cbf_cb = self.dec.decode_bin(self.ctxs, cx.CBF_C + 0)

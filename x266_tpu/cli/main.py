@@ -37,7 +37,8 @@ def cmd_encode(args) -> int:
         Profile.HEVC_SUBSET,
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
         mts=args.mts, tile_rows=args.tile_rows,
-        rows_per_segment=args.segment_rows)
+        rows_per_segment=args.segment_rows,
+        intra_period=args.gop)
     frames = read_yuv420(args.input, w, h, args.frames)
     if not frames:
         print("no frames read", file=sys.stderr)
@@ -111,6 +112,9 @@ def main(argv=None) -> int:
     e.add_argument("--sao", action="store_true")
     e.add_argument("--mts", action="store_true")
     e.add_argument("--tile-rows", type=int, default=0)
+    e.add_argument("--gop", type=int, default=1,
+                   help="intra period: 1 = all-intra, N = IDR every N "
+                        "(low-delay P between)")
     e.add_argument("--segment-rows", type=int, default=0,
                    dest="segment_rows")
     e.add_argument("--sharded", action="store_true",

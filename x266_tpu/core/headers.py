@@ -31,6 +31,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.mts)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
+    w.ue(cfg.intra_period - 1)
     w.align()
     return w.bytes_value()
 
@@ -50,13 +51,14 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     mts = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
+    intra_period = r.ue() + 1
     r.align()
     return CodecConfig(width=width, height=height, bit_depth=bit_depth,
                        profile=profile, ctu_size=ctu_size,
                        max_cu_size=max_cu, lossless=lossless,
                        deblock=deblock, sao=sao, alf=alf, mts=mts,
                        rows_per_segment=rows_per_segment,
-                       tile_rows=tile_rows)
+                       tile_rows=tile_rows, intra_period=intra_period)
 
 
 def write_pps(cfg: CodecConfig) -> bytes:

@@ -55,7 +55,8 @@ def _maps_layout(cfg: CodecConfig):
     u = cfg.units_y * cfg.units_x
     c = cfg.ctus_y * cfg.ctus_x
     sizes = [("size", u), ("mode", u), ("mts", u),
-             ("sao_type", c), ("sao_band", c), ("sao_off", 4 * c)]
+             ("sao_type", c), ("sao_band", c), ("sao_off", 4 * c),
+             ("pred", u), ("mvx", u), ("mvy", u)]
     offs, pos = {}, 0
     for name, n in sizes:
         offs[name] = (pos, pos + n)
@@ -78,14 +79,17 @@ def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
             "mts": get("mts", (uy, ux)),
             "sao_type": get("sao_type", (cy, cx)),
             "sao_band": get("sao_band", (cy, cx)),
-            "sao_off": get("sao_off", (cy, cx, 4))}
+            "sao_off": get("sao_off", (cy, cx, 4)),
+            "pred": get("pred", (uy, ux)), "mvx": get("mvx", (uy, ux)),
+            "mvy": get("mvy", (uy, ux))}
 
 
 def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
     """Inverse of unpack_maps (decoder upload path)."""
     offs, total = _maps_layout(cfg)
     flat = np.zeros(total, dtype=np.int16)
-    for name in ("size", "mode", "mts", "sao_type", "sao_band", "sao_off"):
+    for name in ("size", "mode", "mts", "sao_type", "sao_band",
+                 "sao_off", "pred", "mvx", "mvy"):
         a, b = offs[name]
         flat[a:b] = maps[name].astype(np.int16).ravel()
     return flat
@@ -192,13 +196,17 @@ def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
             coef = (low, high)
             sse = jnp.concatenate([sse, wide[None]])
 
+        zu = jnp.zeros_like(size_map)
         flat = jnp.concatenate([
             size_map.astype(jnp.int16).ravel(),
             mode_map.astype(jnp.int16).ravel(),
             mts_map.astype(jnp.int16).ravel(),
             st.astype(jnp.int16).ravel(),
             sb.astype(jnp.int16).ravel(),
-            so.astype(jnp.int16).ravel()])
+            so.astype(jnp.int16).ravel(),
+            zu.astype(jnp.int16).ravel(),       # pred (I slice)
+            zu.astype(jnp.int16).ravel(),       # mvx
+            zu.astype(jnp.int16).ravel()])      # mvy
 
         out = (coef, flat, sse)
         if with_recon:
@@ -250,3 +258,225 @@ def make_decode_step(cfg: CodecConfig):
         return rec
 
     return jax.jit(step)
+
+
+# ---- P-picture steps (inter path, SURVEY.md M3) ---------------------------
+
+def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP):
+    """Deblock + SAO + SSE shared by the I and P encode steps."""
+    h, w = cfg.height, cfg.width
+    lam = float(cfg.lambda_mode)
+    y = y8.astype(jnp.int32)
+    cb = cb8.astype(jnp.int32)
+    cr = cr8.astype(jnp.int32)
+    if cfg.deblock:
+        y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp, xp=jnp)
+    orig_y = yP[1:1 + h, 1:1 + w].astype(jnp.int32)
+    orig_cb = cbP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
+    orig_cr = crP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
+    if cfg.sao:
+        st, sb, so = estimate_sao(orig_y, y, lam)
+        y = apply_sao(y, st, sb, so, xp=jnp)
+    else:
+        st = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
+        sb = jnp.zeros_like(st)
+        so = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
+    sse = jnp.stack([
+        jnp.sum(((y - orig_y).astype(jnp.float32)) ** 2),
+        jnp.sum(((cb - orig_cb).astype(jnp.float32)) ** 2),
+        jnp.sum(((cr - orig_cr).astype(jnp.float32)) ** 2)])
+    return y, cb, cr, (st, sb, so), sse
+
+
+def _build_pyramids_device(y, cb, cr):
+    from x266_tpu.kernels import interp as kinterp
+
+    py = kinterp.build_pyramid(kinterp.pad_ref(y.astype(jnp.int32)),
+                               False)
+    pcb = kinterp.build_pyramid(kinterp.pad_ref(cb.astype(jnp.int32)),
+                                True)
+    pcr = kinterp.build_pyramid(kinterp.pad_ref(cr.astype(jnp.int32)),
+                                True)
+    return py, pcb, pcr
+
+
+def _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps_list, sse,
+                  with_recon, with_pyramids):
+    h, w = cfg.height, cfg.width
+    coef = jnp.zeros((h + h // 2, w), jnp.int16)
+    coef = coef.at[:h].set(cY)
+    coef = coef.at[h:, :w // 2].set(cCb)
+    coef = coef.at[h:, w // 2:].set(cCr)
+    if not cfg.lossless:
+        low, high, wide = _pack_coefs_device(coef)
+        coef = (low, high)
+        sse = jnp.concatenate([sse, wide[None]])
+    flat = jnp.concatenate([m.astype(jnp.int16).ravel()
+                            for m in maps_list])
+    out = (coef, flat, sse)
+    if with_recon:
+        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+        rec = rec.at[:h].set(y.astype(jnp.uint8))
+        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+        out = out + (rec,)
+    if with_pyramids:
+        out = out + (_build_pyramids_device(y, cb, cr),)
+    return out
+
+
+@functools.cache
+def make_encode_step_i(cfg: CodecConfig, with_recon: bool,
+                       with_pyramids: bool):
+    """I-picture step that additionally emits the reference pyramids for
+    subsequent P pictures (device-resident DPB, C16)."""
+    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
+    md = make_mode_decision_raw(cfg)
+    mts_sel = make_mts_select_raw(cfg) if cfg.mts else None
+    rp = select_recon_impl(cfg, encode=True)
+    uy, ux = cfg.units_y, cfg.units_x
+
+    def step(packed):
+        yP = packed[:hp_y]
+        cbP = packed[hp_y:hp_y + hp_c, :wp_c]
+        crP = packed[hp_y + hp_c:, :wp_c]
+        size_map, mode_map = md(yP)
+        if mts_sel is not None:
+            mts_map = mts_sel(yP, size_map, mode_map)
+        else:
+            mts_map = jnp.zeros_like(size_map)
+        y8, cb8, cr8, cY, cCb, cCr = rp(yP, cbP, crP, size_map,
+                                        mode_map, mts_map)
+        y, cb, cr, (st, sb, so), sse = _filters_and_stats(
+            cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+        zero_u = jnp.zeros((uy, ux), jnp.int32)
+        maps = [size_map, mode_map, mts_map, st, sb, so,
+                zero_u, zero_u, zero_u]
+        return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
+                             with_recon, with_pyramids)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
+    """P-picture step: ME + P mode decision + inter recon + filters +
+    next-reference pyramids, ONE call.  Takes the previous picture's
+    pyramids (device arrays) alongside the packed input."""
+    from x266_tpu.engine.inter import (make_mode_decision_p_raw,
+                                       make_recon_inter_raw)
+
+    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
+    mdp = make_mode_decision_p_raw(cfg)
+    rp = make_recon_inter_raw(cfg, encode=True)
+
+    def step(packed, pyr_y, pyr_cb, pyr_cr):
+        yP = packed[:hp_y]
+        cbP = packed[hp_y:hp_y + hp_c, :wp_c]
+        crP = packed[hp_y + hp_c:, :wp_c]
+        size_map, mode_map, pred_map, mvx_map, mvy_map = mdp(yP, pyr_y)
+        mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
+        (y8, cb8, cr8, cY, cCb, cCr,
+         mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
+                                mts_map, pred_map, mvx_map, mvy_map,
+                                pyr_y, pyr_cb, pyr_cr)
+        y, cb, cr, (st, sb, so), sse = _filters_and_stats(
+            cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+        maps = [size_map, mode_map, mts_map, st, sb, so,
+                pred_map, mvx_fin.astype(jnp.int32),
+                mvy_fin.astype(jnp.int32)]
+        return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
+                             with_recon, True)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_p(cfg: CodecConfig, with_pyramids: bool = True):
+    """P decode: (packed coef i16, flat maps i16, pyramids) ->
+    (packed recon u8 [, new pyramids])."""
+    from x266_tpu.engine.inter import make_recon_inter_raw
+
+    h, w = cfg.height, cfg.width
+    rp = make_recon_inter_raw(cfg, encode=False)
+    uy, ux = cfg.units_y, cfg.units_x
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+    offs, _ = _maps_layout(cfg)
+
+    def get(flat, name, shape):
+        a, b = offs[name]
+        return flat[a:b].astype(jnp.int32).reshape(shape)
+
+    def step(coef, flat, pyr_y, pyr_cb, pyr_cr):
+        cY = coef[:h]
+        cCb = coef[h:, :w // 2]
+        cCr = coef[h:, w // 2:]
+        size_map = get(flat, "size", (uy, ux))
+        y8, cb8, cr8, *_ = rp(
+            cY, cCb, cCr, size_map, get(flat, "mode", (uy, ux)),
+            get(flat, "mts", (uy, ux)), get(flat, "pred", (uy, ux)),
+            get(flat, "mvx", (uy, ux)), get(flat, "mvy", (uy, ux)),
+            pyr_y, pyr_cb, pyr_cr)
+        y = y8.astype(jnp.int32)
+        cb = cb8.astype(jnp.int32)
+        cr = cr8.astype(jnp.int32)
+        if cfg.deblock:
+            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+                                        xp=jnp)
+        if cfg.sao:
+            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
+                          get(flat, "sao_band", (cyn, cxn)),
+                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+        rec = rec.at[:h].set(y.astype(jnp.uint8))
+        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+        out = (rec,)
+        if with_pyramids:
+            out = out + (_build_pyramids_device(y, cb, cr),)
+        return out
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_i(cfg: CodecConfig, with_pyramids: bool):
+    """I decode emitting pyramids for subsequent P pictures."""
+    h, w = cfg.height, cfg.width
+    rp = select_recon_impl(cfg, encode=False)
+    uy, ux = cfg.units_y, cfg.units_x
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+    offs, _ = _maps_layout(cfg)
+
+    def get(flat, name, shape):
+        a, b = offs[name]
+        return flat[a:b].astype(jnp.int32).reshape(shape)
+
+    def run(coef, flat):
+        cY = coef[:h]
+        cCb = coef[h:, :w // 2]
+        cCr = coef[h:, w // 2:]
+        size_map = get(flat, "size", (uy, ux))
+        y8, cb8, cr8, *_ = rp(cY, cCb, cCr, size_map,
+                              get(flat, "mode", (uy, ux)),
+                              get(flat, "mts", (uy, ux)))
+        y = y8.astype(jnp.int32)
+        cb = cb8.astype(jnp.int32)
+        cr = cr8.astype(jnp.int32)
+        if cfg.deblock:
+            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+                                        xp=jnp)
+        if cfg.sao:
+            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
+                          get(flat, "sao_band", (cyn, cxn)),
+                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+        rec = rec.at[:h].set(y.astype(jnp.uint8))
+        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+        out = (rec,)
+        if with_pyramids:
+            out = out + (_build_pyramids_device(y, cb, cr),)
+        return out
+
+    return jax.jit(run)

@@ -1,0 +1,351 @@
+"""Inter coding engine (C7/C8/C16 + P-slice recon; SURVEY.md M3).
+
+Low-delay-P v1: one reference (the previous decoded picture, device-
+resident as an interpolation pyramid), one MV per CU, skip mode (derived
+MV, no residual), quarter-pel MC.
+
+Pass A (mode decision, parallel): per CU size the intra candidates (as in
+engine.mode_decision) compete against (a) an explicit-MV inter candidate
+seeded by the 16x16 ME grid and (b) a skip estimate with the left
+neighbor's MV as predictor proxy.  The normative skip MV is derived in
+Pass B from actual neighbors, so the estimate only steers RD.
+
+Pass B (recon scan): the sequential scan gains an inter branch per CU —
+MC gather from the pyramid instead of neighbor prediction — and carries
+an MV-state plane so skip CUs derive their MV from decoded neighbors
+(rule mirrored exactly in both entropy walkers):
+  predictor = left unit's MV if left CU is inter, else above (same CTU
+  row) if inter, else (0, 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x266_tpu.config import CodecConfig
+from x266_tpu.engine import availability as avail
+from x266_tpu.engine.mode_decision import (PAD, _block_gather,
+                                           _block_positions, _eval_size,
+                                           _gather_refs, _sum_children,
+                                           _upsample, MODE_SIGNAL_BITS,
+                                           SPLIT_BITS)
+from x266_tpu.engine.recon import _fwd_mts, _gather_ref, _inv_mts
+from x266_tpu.kernels import cost as kcost
+from x266_tpu.kernels import intra as kintra
+from x266_tpu.kernels import interp
+from x266_tpu.kernels import me as kme
+from x266_tpu.kernels import quant as kquant
+from x266_tpu.kernels import transforms as ktx
+
+PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2
+
+
+def mv_predictor_np(pred_map, mvx_map, mvy_map, ux, uy):
+    """Host-side predictor rule (entropy walkers mirror this)."""
+    if ux > 0 and pred_map[uy, ux - 1] != PRED_INTRA:
+        return int(mvx_map[uy, ux - 1]), int(mvy_map[uy, ux - 1])
+    if uy > 0 and (uy & 7) != 0 and pred_map[uy - 1, ux] != PRED_INTRA:
+        return int(mvx_map[uy - 1, ux]), int(mvy_map[uy - 1, ux])
+    return 0, 0
+
+
+def _inter_cost(cfg, plane, pyr_y, mv_grid, size):
+    """Explicit-inter and skip candidate costs for all size-s blocks.
+
+    Returns (cost_inter, mvx, mvy, cost_skip) as (gy, gx) grids.
+    """
+    w, h, s = cfg.width, cfg.height, size
+    lam = np.float32(cfg.lambda_mode)
+    xs_np, ys_np, gy, gx = _block_positions(w, h, s)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    nb = xs_np.shape[0]
+
+    # MV candidate: the ME grid entry at the block's top-left corner
+    m_y = (ys_np // kme.ME_BLOCK).astype(np.int32)
+    m_x = (xs_np // kme.ME_BLOCK).astype(np.int32)
+    mv = mv_grid[m_y, m_x]                        # (B, 2) quarter-pel
+    # skip-proxy predictor: left ME block's MV (clamped at the edge)
+    mvl = mv_grid[m_y, np.maximum(m_x - 1, 0)]
+
+    orig = _block_gather(plane, xs, ys, s)        # (B, s, s)
+
+    def mc(x, y, m):
+        return interp.mc_block(pyr_y, x, y, m[0], m[1], s)
+
+    pred = jax.vmap(mc)(xs, ys, mv)
+    pred_skip = jax.vmap(mc)(xs, ys, mvl)
+
+    res = orig - pred
+    mv_bits = jnp.sum(2.0 + 2.0 * jnp.log2(
+        jnp.abs(mv - mvl).astype(jnp.float32) + 1.0), axis=1)
+    dist_s = kcost.sse(pred_skip, orig)
+    if cfg.lossless:
+        rate = kcost.rate_estimate_levels(res)
+        cost_i = lam * (rate + mv_bits + 3.0)
+        # skip carries no residual and its REAL MV is derived in Pass B
+        # (may differ from the proxy evaluated here), so it can never be
+        # proven pixel-exact at decision time: disallow under lossless
+        cost_s = jnp.full_like(dist_s, jnp.inf)
+    else:
+        coefs = ktx.forward_transform(res.reshape(nb, s, s), s)
+        levels = kquant.quantize(coefs, cfg.qp, s)
+        rate = kcost.rate_estimate_levels(levels)
+        deq = kquant.dequantize(levels, cfg.qp, s)
+        rres = ktx.inverse_transform(deq, s)
+        recon = jnp.clip(pred + rres, 0, 255)
+        dist = kcost.sse(recon, orig)
+        cost_i = dist + lam * (rate + mv_bits + 3.0)
+        cost_s = dist_s + lam * 2.0
+
+    return (cost_i.reshape(gy, gx), mv[:, 0].reshape(gy, gx),
+            mv[:, 1].reshape(gy, gx), cost_s.reshape(gy, gx))
+
+
+@functools.cache
+def make_mode_decision_p_raw(cfg: CodecConfig):
+    """Pass A for P pictures: padded luma plane + luma pyramid ->
+    (size_map, mode_map, pred_map, mvx_map, mvy_map)."""
+    uy, ux = cfg.units_y, cfg.units_x
+    lam = np.float32(cfg.lambda_mode)
+
+    def run(plane, pyr_y):
+        plane = plane.astype(jnp.int32)
+        mv_grid = kme.me_search(
+            plane[1:1 + cfg.height, 1:1 + cfg.width], pyr_y, cfg,
+            float(cfg.lambda_mode))
+
+        per_size = {}
+        for s in (8, 16, 32):
+            if s > cfg.max_cu_size:
+                continue
+            cost_intra, mode_intra = _eval_size(plane, s, cfg)
+            c_int, mvx, mvy, c_skip = _inter_cost(cfg, plane, pyr_y,
+                                                  mv_grid, s)
+            valid = jnp.isfinite(cost_intra)
+            c_int = jnp.where(valid, c_int, jnp.inf)
+            c_skip = jnp.where(valid, c_skip, jnp.inf)
+            best = jnp.minimum(jnp.minimum(cost_intra, c_int), c_skip)
+            kind = jnp.where(
+                c_skip <= jnp.minimum(cost_intra, c_int), PRED_SKIP,
+                jnp.where(c_int < cost_intra, PRED_INTER, PRED_INTRA)
+            ).astype(jnp.int32)
+            per_size[s] = (best, mode_intra, kind, mvx, mvy)
+
+        size_map = jnp.full((uy, ux), 8, jnp.int32)
+        b8, m8, k8, x8, y8 = per_size[8]
+        mode_map = m8.astype(jnp.int32)
+        pred_map = k8
+        mvx_map = x8
+        mvy_map = y8
+        best = b8
+        for s in (16, 32):
+            if s not in per_size:
+                continue
+            bs, ms, ks, xs_, ys_ = per_size[s]
+            child = _sum_children(best, *bs.shape) + lam * SPLIT_BITS
+            use = bs <= child
+            sel = _upsample(use, s // 8, uy, ux)
+            size_map = jnp.where(sel, s, size_map)
+            mode_map = jnp.where(sel, _upsample(ms, s // 8, uy, ux),
+                                 mode_map)
+            pred_map = jnp.where(sel, _upsample(ks, s // 8, uy, ux),
+                                 pred_map)
+            mvx_map = jnp.where(sel, _upsample(xs_, s // 8, uy, ux),
+                                mvx_map)
+            mvy_map = jnp.where(sel, _upsample(ys_, s // 8, uy, ux),
+                                mvy_map)
+            best = jnp.where(use, bs, child)
+
+        return size_map, mode_map, pred_map, mvx_map, mvy_map
+
+    return run
+
+
+@functools.cache
+def make_recon_inter_raw(cfg: CodecConfig, encode: bool):
+    """P-picture reconstruction scan.
+
+    encode: f(srcY_pad, srcCb_pad, srcCr_pad, size_map, mode_map,
+             mts_map, pred_map, mvx_map, mvy_map, pyr_y, pyr_cb, pyr_cr)
+    decode: f(coefY, coefCb, coefCr, ...same maps/pyramids...)
+    returns (y u8, cb u8, cr u8, coefY i16, coefCb i16, coefCr i16,
+             mvx_final i16, mvy_final i16)   [final MVs incl. derived
+             skip MVs, needed by the encoder's entropy walker]
+    """
+    w, h = cfg.width, cfg.height
+    cw, ch = w // 2, h // 2
+    ux_n, uy_n = cfg.units_x, cfg.units_y
+    cx_n, cy_n = cfg.ctus_x, cfg.ctus_y
+    n_ctu = cx_n * cy_n
+    qp = cfg.qp
+    lossless = cfg.lossless
+    n_modes = cfg.n_intra_modes
+    use_mts = cfg.mts
+
+    def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
+            mvy_map, pyr_y, pyr_cb, pyr_cr):
+        a = a.astype(jnp.int32)
+        b = b.astype(jnp.int32)
+        c = c.astype(jnp.int32)
+        if encode:
+            srcY, srcCb, srcCr = a, b, c
+            coefY = jnp.zeros((h, w), jnp.int32)
+            coefCb = jnp.zeros((ch, cw), jnp.int32)
+            coefCr = jnp.zeros((ch, cw), jnp.int32)
+        else:
+            coefY, coefCb, coefCr = a, b, c
+            srcY = srcCb = srcCr = None
+        yP = jnp.full((1 + h + PAD, 1 + w + PAD), 128, jnp.int32)
+        cbP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
+        crP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
+        mvx_st = jnp.zeros((uy_n, ux_n), jnp.int32)
+        mvy_st = jnp.zeros((uy_n, ux_n), jnp.int32)
+
+        def derive_mv(ux, uy):
+            uxl = jnp.maximum(ux - 1, 0)
+            uyl = jnp.maximum(uy - 1, 0)
+            left_ok = (ux > 0) & (pred_map[uy, uxl] != PRED_INTRA)
+            above_ok = (uy > 0) & ((uy & 7) != 0) \
+                & (pred_map[uyl, ux] != PRED_INTRA)
+            mvx = jnp.where(left_ok, mvx_st_ref[0][uy, uxl],
+                            jnp.where(above_ok, mvx_st_ref[0][uyl, ux],
+                                      0))
+            mvy = jnp.where(left_ok, mvy_st_ref[0][uy, uxl],
+                            jnp.where(above_ok, mvy_st_ref[0][uyl, ux],
+                                      0))
+            return mvx, mvy
+
+        # mutable closure cell for the state planes inside branches
+        mvx_st_ref = [mvx_st]
+        mvy_st_ref = [mvy_st]
+
+        def residual_path(pred, src, coefp, x, y, s, mts_idx, skip):
+            """Shared lossy/lossless residual handling for one block."""
+            if encode:
+                orig = jax.lax.dynamic_slice(src, (y + 1, x + 1), (s, s))
+                if lossless:
+                    lev = jnp.where(skip, 0, orig - pred)
+                    rec = jnp.where(skip, pred, orig)
+                    return jnp.clip(rec, 0, 255), lev
+                res = orig - pred
+                lev = _fwd_mts(res, s, qp, mts_idx, use_mts)
+                lev = jnp.where(skip, 0, lev)
+                rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
+                return jnp.clip(pred + rres, 0, 255), lev
+            else:
+                lev = jax.lax.dynamic_slice(coefp, (y, x), (s, s))
+                if lossless:
+                    return jnp.clip(pred + lev, 0, 255), lev
+                rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
+                return jnp.clip(pred + rres, 0, 255), lev
+
+        def make_branch(s):
+            cs = s // 2
+            u = s // 8
+
+            def branch(args):
+                yP, cbP, crP, cY, cCb, cCr, mvxs, mvys, ux, uy = args
+                mvx_st_ref[0] = mvxs
+                mvy_st_ref[0] = mvys
+                x = ux * 8
+                y = uy * 8
+                mode = mode_map[uy, ux]
+                kind = pred_map[uy, ux]
+                mts_idx = mts_map[uy, ux] if use_mts else None
+                skip = kind == PRED_SKIP
+                dx, dy = derive_mv(ux, uy)
+                mvx = jnp.where(skip, dx, mvx_map[uy, ux])
+                mvy = jnp.where(skip, dy, mvy_map[uy, ux])
+                is_inter = kind != PRED_INTRA
+
+                # luma prediction: intra refs or MC gather
+                ref = _gather_ref(yP, x, y, s)
+                pred_i = kintra.predict_mode(ref, mode, s, n_modes)
+                pred_m = interp.mc_block(pyr_y, x, y, mvx, mvy, s)
+                pred = jnp.where(is_inter, pred_m, pred_i)
+                # inter CUs never use MTS (mts_map is 0 there)
+                rec, lev = residual_path(pred, srcY, cY, x, y, s,
+                                         mts_idx, skip)
+                yP = jax.lax.dynamic_update_slice(yP, rec,
+                                                  (y + 1, x + 1))
+                cY = jax.lax.dynamic_update_slice(cY, lev, (y, x))
+
+                xc, yc = x // 2, y // 2
+                cmx, cmy = mvx >> 1, mvy >> 1
+                refb = _gather_ref(cbP, xc, yc, cs)
+                pb_i = kintra.predict_mode(refb, mode, cs, n_modes)
+                pb_m = interp.mc_block(pyr_cb, xc, yc, cmx, cmy, cs)
+                pb = jnp.where(is_inter, pb_m, pb_i)
+                recb, levb = residual_path(pb, srcCb, cCb, xc, yc, cs,
+                                           None if not use_mts else
+                                           jnp.int32(0), skip)
+                cbP = jax.lax.dynamic_update_slice(cbP, recb,
+                                                   (yc + 1, xc + 1))
+                cCb = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
+
+                refr = _gather_ref(crP, xc, yc, cs)
+                pr_i = kintra.predict_mode(refr, mode, cs, n_modes)
+                pr_m = interp.mc_block(pyr_cr, xc, yc, cmx, cmy, cs)
+                pr = jnp.where(is_inter, pr_m, pr_i)
+                recr, levr = residual_path(pr, srcCr, cCr, xc, yc, cs,
+                                           None if not use_mts else
+                                           jnp.int32(0), skip)
+                crP = jax.lax.dynamic_update_slice(crP, recr,
+                                                   (yc + 1, xc + 1))
+                cCr = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))
+
+                # record the CU's final MV over its units
+                blkx = jnp.broadcast_to(mvx, (u, u)).astype(jnp.int32)
+                blky = jnp.broadcast_to(mvy, (u, u)).astype(jnp.int32)
+                mvxs = jax.lax.dynamic_update_slice(mvxs, blkx, (uy, ux))
+                mvys = jax.lax.dynamic_update_slice(mvys, blky, (uy, ux))
+                return yP, cbP, crP, cY, cCb, cCr, mvxs, mvys
+
+            return branch
+
+        branches = [make_branch(8), make_branch(16), make_branch(32)]
+
+        def unit_body(z, carry):
+            yP, cbP, crP, cY, cCb, cCr, mvxs, mvys, cx, cy = carry
+            zx = (z & 1) | (((z >> 2) & 1) << 1) | (((z >> 4) & 1) << 2)
+            zy = ((z >> 1) & 1) | (((z >> 3) & 1) << 1) \
+                | (((z >> 5) & 1) << 2)
+            ux = cx * 8 + zx
+            uy = cy * 8 + zy
+            inb = (ux < ux_n) & (uy < uy_n)
+            uxc = jnp.minimum(ux, ux_n - 1)
+            uyc = jnp.minimum(uy, uy_n - 1)
+            sz = size_map[uyc, uxc]
+            units = sz >> 3
+            origin = ((ux & (units - 1)) == 0) & ((uy & (units - 1)) == 0)
+            code = (sz == 16).astype(jnp.int32) \
+                + 2 * (sz == 32).astype(jnp.int32)
+
+            def do(ops):
+                return jax.lax.switch(code, branches, ops)
+
+            ops = (yP, cbP, crP, cY, cCb, cCr, mvxs, mvys, uxc, uyc)
+            out = jax.lax.cond(inb & origin, do, lambda o: o[:8], ops)
+            return (*out, cx, cy)
+
+        def ctu_body(carry, ctu_idx):
+            cy = ctu_idx // cx_n
+            cx = ctu_idx % cx_n
+            state = (*carry, cx, cy)
+            state = jax.lax.fori_loop(0, 64, unit_body, state)
+            return state[:8], None
+
+        carry = (yP, cbP, crP, coefY, coefCb, coefCr, mvx_st, mvy_st)
+        carry, _ = jax.lax.scan(ctu_body, carry, jnp.arange(n_ctu))
+        y8 = carry[0][1:1 + h, 1:1 + w].astype(jnp.uint8)
+        cb8 = carry[1][1:1 + ch, 1:1 + cw].astype(jnp.uint8)
+        cr8 = carry[2][1:1 + ch, 1:1 + cw].astype(jnp.uint8)
+        return (y8, cb8, cr8, carry[3].astype(jnp.int16),
+                carry[4].astype(jnp.int16), carry[5].astype(jnp.int16),
+                carry[6].astype(jnp.int16), carry[7].astype(jnp.int16))
+
+    return run

@@ -110,11 +110,11 @@ def split_bands(cfg: CodecConfig, frame: Frame) -> list[Frame]:
             for (y0, y1) in cfg.tile_bands()]
 
 
-def assemble_slice(cfg: CodecConfig, poc: int,
-                   segments: list[bytes]) -> bytes:
+def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
+                   slice_type: SliceType = SliceType.I) -> bytes:
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
-    sh = SliceHeader(SliceType.I, poc=poc, qp=cfg.qp,
+    sh = SliceHeader(slice_type, poc=poc, qp=cfg.qp,
                      entry_points=[int(e) for e in entry_points])
     return write_slice_header(sh) + payload
 
@@ -134,6 +134,26 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
                       np.concatenate([t.recon.cr for t in tiles]))
     sse = np.sum([t.sse for t in tiles], axis=0)
     return assemble_slice(cfg, poc, segments), recon, sse
+
+
+def _parse_segments(cfg: CodecConfig, segments: list[bytes],
+                    is_p: bool) -> SyntaxDecoder:
+    dec = SyntaxDecoder(cfg)
+    dec.is_p = is_p
+    rows = cfg.segment_ctu_rows()
+    assert len(segments) == len(rows)
+    if native_bind.available():
+        for (r0, r1), data in zip(rows, segments):
+            native_bind.decode_segment(
+                cfg, dec.size_map, dec.mode_map, dec.coef["y"],
+                dec.coef["cb"], dec.coef["cr"], r0, r1, data,
+                sao_params=dec.sao, mts_map=dec.mts_map,
+                inter_maps=((dec.pred_map, dec.mvx_map, dec.mvy_map)
+                            if is_p else None))
+    else:
+        for (r0, r1), data in zip(rows, segments):
+            dec.decode_segment(data, r0, r1)
+    return dec
 
 
 def tile_decode(cfg: CodecConfig, segments: list[bytes]) -> Frame:
@@ -157,7 +177,8 @@ def tile_decode(cfg: CodecConfig, segments: list[bytes]) -> Frame:
     flat = fused.pack_maps_host(cfg, {
         "size": dec.size_map, "mode": dec.mode_map, "mts": dec.mts_map,
         "sao_type": dec.sao[0], "sao_band": dec.sao[1],
-        "sao_off": dec.sao[2]})
+        "sao_off": dec.sao[2], "pred": dec.pred_map,
+        "mvx": dec.mvx_map, "mvy": dec.mvy_map})
     rec = np.asarray(fused.make_decode_step(cfg)(coef, flat))
     return fused.unpack_recon(cfg, rec)
 
@@ -182,3 +203,87 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     return Frame(np.concatenate([t.y for t in tiles]),
                  np.concatenate([t.cb for t in tiles]),
                  np.concatenate([t.cr for t in tiles]))
+
+
+# ---- GOP / P-picture pipeline (M3, low-delay P, single tile v1) -----------
+
+def _finalize_common(cfg, out, with_recon, n_fixed=3):
+    """Shared unpack of a fused encode step's outputs."""
+    if cfg.lossless:
+        cy, ccb, ccr = fused.unpack_coefs(cfg, np.asarray(out[0]))
+        sse = np.asarray(out[2])
+    else:
+        low, high = out[0]
+        stats = np.asarray(out[2])
+        sse = stats[:3]
+        high_np = np.asarray(high) if stats[3] > 0 else None
+        full = fused.reconstruct_coefs(np.asarray(low), high_np)
+        cy, ccb, ccr = fused.unpack_coefs(cfg, full)
+    maps = fused.unpack_maps(cfg, np.asarray(out[1]))
+    recon = (fused.unpack_recon(cfg, np.asarray(out[n_fixed]))
+             if with_recon else None)
+    return cy, ccb, ccr, maps, sse, recon
+
+
+def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
+                       pyramids, with_recon: bool = True):
+    """Encode one picture of a GOP stream (intra_period > 1).
+
+    pyramids: previous picture's device pyramids or None (forces IDR).
+    Returns (rbsp, recon|None, sse, new_pyramids, slice_type).
+    """
+    assert cfg.num_tiles == 1, "P pictures support single tile in v1"
+    is_p = pyramids is not None and (poc % cfg.intra_period != 0)
+    packed = fused.pack_input(cfg, frame)
+    if is_p:
+        out = fused.make_encode_step_p(cfg, with_recon)(packed, *pyramids)
+    else:
+        out = fused.make_encode_step_i(cfg, with_recon, True)(packed)
+    new_pyr = out[-1]
+    cy, ccb, ccr, maps, sse, recon = _finalize_common(
+        cfg, out, with_recon)
+    sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
+                  if cfg.sao else None)
+    inter_maps = ((maps["pred"], maps["mvx"], maps["mvy"])
+                  if is_p else None)
+    if native_bind.available():
+        segments = [native_bind.encode_segment(
+            cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
+            sao_params, maps["mts"], inter_maps)
+            for (r0, r1) in cfg.segment_ctu_rows()]
+    else:
+        enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy, ccb,
+                            ccr, sao_params, maps["mts"], is_p=is_p,
+                            pred_map=maps["pred"], mvx_map=maps["mvx"],
+                            mvy_map=maps["mvy"])
+        segments = [enc.encode_segment(r0, r1)
+                    for (r0, r1) in cfg.segment_ctu_rows()]
+    st = SliceType.P if is_p else SliceType.I
+    rbsp = assemble_slice(cfg, poc, segments, st)
+    return rbsp, recon, sse, new_pyr, st
+
+
+def decode_picture_gop(cfg: CodecConfig, sh: SliceHeader,
+                       payload: bytes, pyramids):
+    """Decode one GOP picture; returns (Frame, new_pyramids)."""
+    assert cfg.num_tiles == 1
+    bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
+    segments = [payload[b0:b1]
+                for b0, b1 in zip(bounds[:-1], bounds[1:])]
+    is_p = sh.slice_type == SliceType.P
+    dec = _parse_segments(cfg, segments, is_p)
+    coef = fused.pack_coefs_host(cfg, dec.coef["y"], dec.coef["cb"],
+                                 dec.coef["cr"])
+    flat = fused.pack_maps_host(cfg, {
+        "size": dec.size_map, "mode": dec.mode_map, "mts": dec.mts_map,
+        "sao_type": dec.sao[0], "sao_band": dec.sao[1],
+        "sao_off": dec.sao[2], "pred": dec.pred_map,
+        "mvx": dec.mvx_map, "mvy": dec.mvy_map})
+    if is_p:
+        if pyramids is None:
+            raise ValueError("P slice before any reference picture")
+        rec, new_pyr = fused.make_decode_step_p(cfg, True)(
+            coef, flat, *pyramids)
+    else:
+        rec, new_pyr = fused.make_decode_step_i(cfg, True)(coef, flat)
+    return fused.unpack_recon(cfg, np.asarray(rec)), new_pyr
