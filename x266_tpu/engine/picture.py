@@ -226,15 +226,19 @@ def _finalize_common(cfg, out, with_recon, n_fixed=3):
 
 
 def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
-                       pyramids, with_recon: bool = True):
+                       pyramids, with_recon: bool = True, device=None):
     """Encode one picture of a GOP stream (intra_period > 1).
 
     pyramids: previous picture's device pyramids or None (forces IDR).
+    device: optional placement target (the GOP's DPB then lives there).
     Returns (rbsp, recon|None, sse, new_pyramids, slice_type).
     """
     assert cfg.num_tiles == 1, "P pictures support single tile in v1"
     is_p = pyramids is not None and (poc % cfg.intra_period != 0)
     packed = fused.pack_input(cfg, frame)
+    if device is not None:
+        import jax
+        packed = jax.device_put(packed, device)
     if is_p:
         out = fused.make_encode_step_p(cfg, with_recon)(packed, *pyramids)
     else:

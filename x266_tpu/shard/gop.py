@@ -1,0 +1,136 @@
+"""GOP-level distribution + elastic recovery (P1, SURVEY.md §2.2/§5).
+
+GOPs are closed (IDR-started) units [STD], so they are the natural
+data-parallel grain across hosts/devices (BASELINE.json:5 "frames/GOPs
+sharded over hosts") and the natural recovery grain: a failed worker's
+GOP is simply re-dispatched to a survivor, and bitstream assembly in POC
+order is idempotent — the final stream is bit-identical no matter which
+worker encoded what or how many retries happened (tests pin this).
+
+Checkpoint/resume rides the same boundaries (utils.checkpoint): after
+each in-order GOP the partial stream + JSON state are durable; resume
+re-encodes nothing before the checkpoint.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from x266_tpu.api.encoder import EncodeResult
+from x266_tpu.config import CodecConfig
+from x266_tpu.core import headers
+from x266_tpu.core.nal import NalType, write_nal
+from x266_tpu.core.yuv import Frame
+from x266_tpu.utils.checkpoint import (CheckpointWriter, resume_state,
+                                       truncate_to_checkpoint)
+
+
+class GopScheduler:
+    """Distributes closed GOPs over devices with retry-on-failure.
+
+    fault_hook(gop_index, attempt): test seam — called before a GOP is
+    encoded; raising simulates a worker failure (the GOP is then retried
+    on the next device, up to max_retries).
+    """
+
+    def __init__(self, cfg: CodecConfig, devices=None,
+                 max_retries: int = 2, fault_hook=None):
+        if cfg.tile_rows:
+            raise ValueError("GOP scheduler expects single-tile configs")
+        self.cfg = cfg
+        self.devices = list(devices) if devices else jax.devices()
+        self.max_retries = max_retries
+        self.fault_hook = fault_hook
+
+    def _gops(self, frames: list[Frame]) -> list[tuple[int, list[Frame]]]:
+        n = self.cfg.intra_period if self.cfg.intra_period > 1 else 1
+        return [(i, frames[i:i + n]) for i in range(0, len(frames), n)]
+
+    def _encode_gop(self, gop_idx: int, poc0: int, gop: list[Frame],
+                    device) -> list[tuple[bytes, Frame | None, np.ndarray]]:
+        from x266_tpu.engine import fused
+        from x266_tpu.engine.picture import _finalize_common  # noqa
+        from x266_tpu.engine.picture import encode_picture_gop
+
+        out = []
+        pyramids = None
+        for k, frame in enumerate(gop):
+            # placement: move the packed input to the worker's device;
+            # the DPB pyramids then live there for the whole GOP
+            rbsp, recon, sse, pyramids, st = encode_picture_gop(
+                self.cfg, frame, poc0 + k, pyramids,
+                with_recon=True, device=device)
+            nal_type = NalType.IDR if st.name == "I" else NalType.TRAIL
+            out.append((write_nal(nal_type, rbsp), recon, sse))
+        return out
+
+    def encode(self, frames: list[Frame],
+               checkpoint_path: str | None = None) -> EncodeResult:
+        cfg = self.cfg
+        gops = self._gops(frames)
+
+        start_poc = 0
+        writer = None
+        if checkpoint_path is not None:
+            resumed = resume_state(checkpoint_path, cfg)
+            if resumed is not None:
+                start_poc, byte_off = resumed
+                truncate_to_checkpoint(checkpoint_path, byte_off)
+                writer = CheckpointWriter.__new__(CheckpointWriter)
+                writer.path = checkpoint_path
+                writer.ckpt_path = checkpoint_path + ".ckpt"
+                writer.cfg = cfg
+                writer._fp = open(checkpoint_path, "ab")
+                writer._bytes = byte_off
+            else:
+                writer = CheckpointWriter(checkpoint_path, cfg)
+                writer.append_nal(write_nal(NalType.SPS,
+                                            headers.write_sps(cfg)))
+                writer.append_nal(write_nal(NalType.PPS,
+                                            headers.write_pps(cfg)))
+                writer.mark_gop_boundary(0)
+
+        todo = [(gi, poc0, gop) for gi, (poc0, gop) in enumerate(gops)
+                if poc0 >= start_poc]
+
+        def run_one(item):
+            gi, poc0, gop = item
+            last_err = None
+            for attempt in range(self.max_retries + 1):
+                device = self.devices[(gi + attempt) % len(self.devices)]
+                try:
+                    if self.fault_hook is not None:
+                        self.fault_hook(gi, attempt)
+                    return gi, self._encode_gop(gi, poc0, gop, device)
+                except Exception as e:  # worker failure: re-dispatch
+                    last_err = e
+            raise RuntimeError(
+                f"GOP {gi} failed after {self.max_retries + 1} "
+                f"attempts") from last_err
+
+        with ThreadPoolExecutor(min(4, len(self.devices))) as pool:
+            done = dict(pool.map(run_one, todo))
+
+        out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+               write_nal(NalType.PPS, headers.write_pps(cfg))]
+        recons: list[Frame] = []
+        frame_bits: list[int] = []
+        sses: list = []
+        for gi, (poc0, gop) in enumerate(gops):
+            if poc0 < start_poc:
+                continue
+            for nal, recon, sse in done[gi]:
+                out.append(nal)
+                if writer is not None:
+                    writer.append_nal(nal)
+                recons.append(recon)
+                frame_bits.append(8 * len(nal))
+                sses.append(sse)
+            if writer is not None:
+                writer.mark_gop_boundary(poc0 + len(gop))
+        if writer is not None:
+            writer.close()
+        return EncodeResult(b"".join(out), recons, frame_bits, sse=sses)
