@@ -26,7 +26,8 @@ class Decoder:
             elif nal_type in (NalType.IDR, NalType.TRAIL):
                 if cfg is None or qp is None:
                     raise ValueError("slice before parameter sets")
-                sh, off = headers.parse_slice_header(rbsp)
+                sh, off = headers.parse_slice_header(
+                    rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x)
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
                 if (sh.slice_type == SliceType.P
                         or nal_type == NalType.TRAIL):

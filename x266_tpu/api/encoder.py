@@ -52,6 +52,8 @@ class Encoder:
         for frame in frames:
             if (frame.height, frame.width) != (cfg.height, cfg.width):
                 raise ValueError("frame size does not match config")
+        if cfg.alf and cfg.num_tiles != 1:
+            raise ValueError("ALF supports single tile in v1")
         out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
         if cfg.intra_period != 1:
@@ -74,7 +76,8 @@ class Encoder:
         for poc, fin_list in enumerate(pending):
             tiles = [fin() for fin in fin_list]
             segments = [seg for td in tiles for seg in tile_entropy(td)]
-            rbsp = assemble_slice(cfg, poc, segments)
+            rbsp = assemble_slice(cfg, poc, segments,
+                                  alf=tiles[0].alf)
             recon = None
             if self.with_recon:
                 recon = Frame(

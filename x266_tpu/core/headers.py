@@ -84,6 +84,11 @@ class SliceHeader:
     # entropy segment after the first begins — the WPP entry-point analog
     # [STD], enabling host-side stitching of independently coded segments.
     entry_points: list[int]
+    # ALF (C15) picture parameters, present iff SPS alf flag: 25 classes
+    # x 12 diamond-pair coefficients (se(v)) and per-CTB on/off bits
+    # (x266t carries these in the slice header instead of an APS).
+    alf_coeffs: list[int] | None = None       # flattened 300 ints
+    alf_flags: list[int] | None = None        # Cy*Cx bits
 
 
 def write_slice_header(sh: SliceHeader) -> bytes:
@@ -94,11 +99,17 @@ def write_slice_header(sh: SliceHeader) -> bytes:
     w.ue(len(sh.entry_points))
     for off in sh.entry_points:
         w.ue(off)
+    if sh.alf_coeffs is not None:
+        for c in sh.alf_coeffs:
+            w.se(int(c))
+        for f in sh.alf_flags:
+            w.flag(int(f))
     w.align()
     return w.bytes_value()
 
 
-def parse_slice_header(rbsp: bytes) -> tuple[SliceHeader, int]:
+def parse_slice_header(rbsp: bytes, has_alf: bool = False,
+                       num_ctbs: int = 0) -> tuple[SliceHeader, int]:
     """Returns (header, payload_byte_offset_within_rbsp)."""
     r = BitReader(rbsp)
     st = SliceType(r.ue())
@@ -106,5 +117,10 @@ def parse_slice_header(rbsp: bytes) -> tuple[SliceHeader, int]:
     qp = r.se() + 26
     n = r.ue()
     entries = [r.ue() for _ in range(n)]
+    alf_coeffs = alf_flags = None
+    if has_alf:
+        alf_coeffs = [r.se() for _ in range(25 * 12)]
+        alf_flags = [int(r.flag()) for _ in range(num_ctbs)]
     r.align()
-    return SliceHeader(st, poc, qp, entries), r.byte_position
+    return SliceHeader(st, poc, qp, entries, alf_coeffs,
+                       alf_flags), r.byte_position

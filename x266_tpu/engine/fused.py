@@ -56,7 +56,8 @@ def _maps_layout(cfg: CodecConfig):
     c = cfg.ctus_y * cfg.ctus_x
     sizes = [("size", u), ("mode", u), ("mts", u),
              ("sao_type", c), ("sao_band", c), ("sao_off", 4 * c),
-             ("pred", u), ("mvx", u), ("mvy", u)]
+             ("pred", u), ("mvx", u), ("mvy", u),
+             ("alf_flag", c), ("alf_coef", 25 * 12)]
     offs, pos = {}, 0
     for name, n in sizes:
         offs[name] = (pos, pos + n)
@@ -81,7 +82,9 @@ def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
             "sao_band": get("sao_band", (cy, cx)),
             "sao_off": get("sao_off", (cy, cx, 4)),
             "pred": get("pred", (uy, ux)), "mvx": get("mvx", (uy, ux)),
-            "mvy": get("mvy", (uy, ux))}
+            "mvy": get("mvy", (uy, ux)),
+            "alf_flag": get("alf_flag", (cy, cx)),
+            "alf_coef": get("alf_coef", (25, 12))}
 
 
 def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
@@ -89,7 +92,8 @@ def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
     offs, total = _maps_layout(cfg)
     flat = np.zeros(total, dtype=np.int16)
     for name in ("size", "mode", "mts", "sao_type", "sao_band",
-                 "sao_off", "pred", "mvx", "mvy"):
+                 "sao_off", "pred", "mvx", "mvy", "alf_flag",
+                 "alf_coef"):
         a, b = offs[name]
         flat[a:b] = maps[name].astype(np.int16).ravel()
     return flat
@@ -143,127 +147,22 @@ def reconstruct_coefs(low: np.ndarray, high: np.ndarray | None
     return (high.astype(np.int32) << 8) | low.astype(np.int32)
 
 
-@functools.cache
 def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
-    """jit: packed u8 input -> (coef packed [i8+escapes, or i16 when
-    lossless], maps i16 flat, sse f32(3) [, recon u8 packed])."""
-    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
-    md = make_mode_decision_raw(cfg)
-    mts_sel = make_mts_select_raw(cfg) if cfg.mts else None
-    rp = select_recon_impl(cfg, encode=True)
-    lam = float(cfg.lambda_mode)
-    offs, total = _maps_layout(cfg)
-
-    def step(packed):
-        yP = packed[:hp_y]
-        cbP = packed[hp_y:hp_y + hp_c, :wp_c]
-        crP = packed[hp_y + hp_c:, :wp_c]
-        size_map, mode_map = md(yP)
-        if mts_sel is not None:
-            mts_map = mts_sel(yP, size_map, mode_map)
-        else:
-            mts_map = jnp.zeros_like(size_map)
-        y8, cb8, cr8, cY, cCb, cCr = rp(yP, cbP, crP, size_map,
-                                        mode_map, mts_map)
-        y = y8.astype(jnp.int32)
-        cb = cb8.astype(jnp.int32)
-        cr = cr8.astype(jnp.int32)
-        if cfg.deblock:
-            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
-                                        xp=jnp)
-        orig_y = yP[1:1 + h, 1:1 + w].astype(jnp.int32)
-        orig_cb = cbP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
-        orig_cr = crP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
-        if cfg.sao:
-            st, sb, so = estimate_sao(orig_y, y, lam)
-            y = apply_sao(y, st, sb, so, xp=jnp)
-        else:
-            st = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
-            sb = jnp.zeros_like(st)
-            so = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
-
-        sse = jnp.stack([
-            jnp.sum(((y - orig_y).astype(jnp.float32)) ** 2),
-            jnp.sum(((cb - orig_cb).astype(jnp.float32)) ** 2),
-            jnp.sum(((cr - orig_cr).astype(jnp.float32)) ** 2)])
-
-        coef = jnp.zeros((h + h // 2, w), jnp.int16)
-        coef = coef.at[:h].set(cY)
-        coef = coef.at[h:, :w // 2].set(cCb)
-        coef = coef.at[h:, w // 2:].set(cCr)
-        if not cfg.lossless:
-            low, high, wide = _pack_coefs_device(coef)
-            coef = (low, high)
-            sse = jnp.concatenate([sse, wide[None]])
-
-        zu = jnp.zeros_like(size_map)
-        flat = jnp.concatenate([
-            size_map.astype(jnp.int16).ravel(),
-            mode_map.astype(jnp.int16).ravel(),
-            mts_map.astype(jnp.int16).ravel(),
-            st.astype(jnp.int16).ravel(),
-            sb.astype(jnp.int16).ravel(),
-            so.astype(jnp.int16).ravel(),
-            zu.astype(jnp.int16).ravel(),       # pred (I slice)
-            zu.astype(jnp.int16).ravel(),       # mvx
-            zu.astype(jnp.int16).ravel()])      # mvy
-
-        out = (coef, flat, sse)
-        if with_recon:
-            rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-            rec = rec.at[:h].set(y.astype(jnp.uint8))
-            rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-            rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
-            out = out + (rec,)
-        return out
-
-    return jax.jit(step)
+    """All-intra step (no pyramid output); see make_encode_step_i."""
+    return make_encode_step_i(cfg, with_recon, False)
 
 
-@functools.cache
 def make_decode_step(cfg: CodecConfig):
-    """jit: (packed coef i16, flat maps i16) -> packed recon u8."""
-    h, w = cfg.height, cfg.width
-    rp = select_recon_impl(cfg, encode=False)
-    uy, ux = cfg.units_y, cfg.units_x
-    cyn, cxn = cfg.ctus_y, cfg.ctus_x
-    offs, _ = _maps_layout(cfg)
-
-    def get(flat, name, shape):
-        a, b = offs[name]
-        return flat[a:b].astype(jnp.int32).reshape(shape)
-
-    def step(coef, flat):
-        cY = coef[:h]
-        cCb = coef[h:, :w // 2]
-        cCr = coef[h:, w // 2:]
-        size_map = get(flat, "size", (uy, ux))
-        mode_map = get(flat, "mode", (uy, ux))
-        mts_map = get(flat, "mts", (uy, ux))
-        y8, cb8, cr8, *_ = rp(cY, cCb, cCr, size_map, mode_map, mts_map)
-        y = y8.astype(jnp.int32)
-        cb = cb8.astype(jnp.int32)
-        cr = cr8.astype(jnp.int32)
-        if cfg.deblock:
-            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
-                                        xp=jnp)
-        if cfg.sao:
-            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
-                          get(flat, "sao_band", (cyn, cxn)),
-                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
-        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-        rec = rec.at[:h].set(y.astype(jnp.uint8))
-        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
-        return rec
-
-    return jax.jit(step)
+    """All-intra decode (no pyramids); see make_decode_step_i."""
+    return make_decode_step_i(cfg, False)
 
 
 # ---- P-picture steps (inter path, SURVEY.md M3) ---------------------------
 
 def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP):
-    """Deblock + SAO + SSE shared by the I and P encode steps."""
+    """Deblock + SAO + ALF + SSE shared by the I and P encode steps."""
+    from x266_tpu.kernels import alf as kalf
+
     h, w = cfg.height, cfg.width
     lam = float(cfg.lambda_mode)
     y = y8.astype(jnp.int32)
@@ -281,11 +180,16 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP):
         st = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
         sb = jnp.zeros_like(st)
         so = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
+    if cfg.alf:
+        alf_coef, alf_flag, y = kalf.estimate_alf(orig_y, y, lam)
+    else:
+        alf_coef = jnp.zeros((25, 12), jnp.int32)
+        alf_flag = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
     sse = jnp.stack([
         jnp.sum(((y - orig_y).astype(jnp.float32)) ** 2),
         jnp.sum(((cb - orig_cb).astype(jnp.float32)) ** 2),
         jnp.sum(((cr - orig_cr).astype(jnp.float32)) ** 2)])
-    return y, cb, cr, (st, sb, so), sse
+    return y, cb, cr, (st, sb, so), (alf_flag, alf_coef), sse
 
 
 def _build_pyramids_device(y, cb, cr):
@@ -347,11 +251,11 @@ def make_encode_step_i(cfg: CodecConfig, with_recon: bool,
             mts_map = jnp.zeros_like(size_map)
         y8, cb8, cr8, cY, cCb, cCr = rp(yP, cbP, crP, size_map,
                                         mode_map, mts_map)
-        y, cb, cr, (st, sb, so), sse = _filters_and_stats(
+        y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
         zero_u = jnp.zeros((uy, ux), jnp.int32)
         maps = [size_map, mode_map, mts_map, st, sb, so,
-                zero_u, zero_u, zero_u]
+                zero_u, zero_u, zero_u, af, ac]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, with_pyramids)
 
@@ -380,11 +284,11 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
          mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
                                 mts_map, pred_map, mvx_map, mvy_map,
                                 pyr_y, pyr_cb, pyr_cr)
-        y, cb, cr, (st, sb, so), sse = _filters_and_stats(
+        y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
         maps = [size_map, mode_map, mts_map, st, sb, so,
                 pred_map, mvx_fin.astype(jnp.int32),
-                mvy_fin.astype(jnp.int32)]
+                mvy_fin.astype(jnp.int32), af, ac]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, True)
 
@@ -427,6 +331,11 @@ def make_decode_step_p(cfg: CodecConfig, with_pyramids: bool = True):
             y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
                           get(flat, "sao_band", (cyn, cxn)),
                           get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        if cfg.alf:
+            from x266_tpu.kernels import alf as kalf
+            y = kalf.apply_alf(y, kalf.classify(y),
+                               get(flat, "alf_coef", (25, 12)),
+                               get(flat, "alf_flag", (cyn, cxn)))
         rec = jnp.zeros((h + h // 2, w), jnp.uint8)
         rec = rec.at[:h].set(y.astype(jnp.uint8))
         rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
@@ -470,13 +379,17 @@ def make_decode_step_i(cfg: CodecConfig, with_pyramids: bool):
             y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
                           get(flat, "sao_band", (cyn, cxn)),
                           get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        if cfg.alf:
+            from x266_tpu.kernels import alf as kalf
+            y = kalf.apply_alf(y, kalf.classify(y),
+                               get(flat, "alf_coef", (25, 12)),
+                               get(flat, "alf_flag", (cyn, cxn)))
         rec = jnp.zeros((h + h // 2, w), jnp.uint8)
         rec = rec.at[:h].set(y.astype(jnp.uint8))
         rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
         rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
-        out = (rec,)
         if with_pyramids:
-            out = out + (_build_pyramids_device(y, cb, cr),)
-        return out
+            return rec, _build_pyramids_device(y, cb, cr)
+        return rec
 
     return jax.jit(run)

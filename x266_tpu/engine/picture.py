@@ -38,6 +38,7 @@ class TileData:
     sao_params: tuple | None
     mts_map: np.ndarray | None = None
     sse: np.ndarray | None = None  # device-computed (3,) SSE vs source
+    alf: tuple | None = None       # (flags (Cy,Cx), coeffs (25,12))
 
 
 def _to_frame(y, cb, cr) -> Frame:
@@ -77,8 +78,10 @@ def tile_compute_async(cfg: CodecConfig, band: Frame,
                  if with_recon else None)
         sao_params = ((maps["sao_type"], maps["sao_band"],
                        maps["sao_off"]) if cfg.sao else None)
+        alf = ((maps["alf_flag"], maps["alf_coef"])
+               if cfg.alf else None)
         return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
-                        recon, sao_params, maps["mts"], sse)
+                        recon, sao_params, maps["mts"], sse, alf)
 
     return finalize
 
@@ -111,11 +114,20 @@ def split_bands(cfg: CodecConfig, frame: Frame) -> list[Frame]:
 
 
 def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
-                   slice_type: SliceType = SliceType.I) -> bytes:
+                   slice_type: SliceType = SliceType.I,
+                   alf: tuple | None = None) -> bytes:
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
+    coeffs = flags = None
+    if cfg.alf:
+        af, ac = alf if alf is not None else (
+            np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
+            np.zeros((25, 12), np.int32))
+        coeffs = [int(v) for v in np.asarray(ac).ravel()]
+        flags = [int(v) for v in np.asarray(af).ravel()]
     sh = SliceHeader(slice_type, poc=poc, qp=cfg.qp,
-                     entry_points=[int(e) for e in entry_points])
+                     entry_points=[int(e) for e in entry_points],
+                     alf_coeffs=coeffs, alf_flags=flags)
     return write_slice_header(sh) + payload
 
 
@@ -123,6 +135,8 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
                    with_recon: bool = True
                    ) -> tuple[bytes, Frame | None, np.ndarray]:
     """Returns (slice RBSP, reconstructed picture or None, sse (3,))."""
+    if cfg.alf and cfg.num_tiles != 1:
+        raise ValueError("ALF supports single tile in v1")
     tiles = [tile_compute(cfg.tile_cfg(b), band, with_recon)
              for b, band in zip(cfg.tile_bands(),
                                 split_bands(cfg, frame))]
@@ -133,7 +147,8 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
                       np.concatenate([t.recon.cb for t in tiles]),
                       np.concatenate([t.recon.cr for t in tiles]))
     sse = np.sum([t.sse for t in tiles], axis=0)
-    return assemble_slice(cfg, poc, segments), recon, sse
+    return assemble_slice(cfg, poc, segments,
+                          alf=tiles[0].alf), recon, sse
 
 
 def _parse_segments(cfg: CodecConfig, segments: list[bytes],
@@ -156,7 +171,18 @@ def _parse_segments(cfg: CodecConfig, segments: list[bytes],
     return dec
 
 
-def tile_decode(cfg: CodecConfig, segments: list[bytes]) -> Frame:
+def _alf_maps_from_header(cfg: CodecConfig, sh) -> dict:
+    if cfg.alf and sh is not None and sh.alf_coeffs is not None:
+        return {"alf_flag": np.asarray(sh.alf_flags, np.int32).reshape(
+                    cfg.ctus_y, cfg.ctus_x),
+                "alf_coef": np.asarray(sh.alf_coeffs, np.int32).reshape(
+                    25, 12)}
+    return {"alf_flag": np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
+            "alf_coef": np.zeros((25, 12), np.int32)}
+
+
+def tile_decode(cfg: CodecConfig, segments: list[bytes],
+                sh=None) -> Frame:
     """Decode one tile band from its segment payloads (band-local cfg):
     host entropy parse, then one fused device call."""
     dec = SyntaxDecoder(cfg)
@@ -178,7 +204,8 @@ def tile_decode(cfg: CodecConfig, segments: list[bytes]) -> Frame:
         "size": dec.size_map, "mode": dec.mode_map, "mts": dec.mts_map,
         "sao_type": dec.sao[0], "sao_band": dec.sao[1],
         "sao_off": dec.sao[2], "pred": dec.pred_map,
-        "mvx": dec.mvx_map, "mvy": dec.mvy_map})
+        "mvx": dec.mvx_map, "mvy": dec.mvy_map,
+        **_alf_maps_from_header(cfg, sh)})
     rec = np.asarray(fused.make_decode_step(cfg)(coef, flat))
     return fused.unpack_recon(cfg, rec)
 
@@ -196,7 +223,7 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     for band in bands:
         bcfg = cfg.tile_cfg(band)
         n = bcfg.num_segments
-        tiles.append(tile_decode(bcfg, segments[idx:idx + n]))
+        tiles.append(tile_decode(bcfg, segments[idx:idx + n], sh))
         idx += n
     if idx != len(segments):
         raise ValueError("segment count mismatch")
@@ -263,7 +290,8 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
         segments = [enc.encode_segment(r0, r1)
                     for (r0, r1) in cfg.segment_ctu_rows()]
     st = SliceType.P if is_p else SliceType.I
-    rbsp = assemble_slice(cfg, poc, segments, st)
+    alf = ((maps["alf_flag"], maps["alf_coef"]) if cfg.alf else None)
+    rbsp = assemble_slice(cfg, poc, segments, st, alf)
     return rbsp, recon, sse, new_pyr, st
 
 
@@ -282,7 +310,8 @@ def decode_picture_gop(cfg: CodecConfig, sh: SliceHeader,
         "size": dec.size_map, "mode": dec.mode_map, "mts": dec.mts_map,
         "sao_type": dec.sao[0], "sao_band": dec.sao[1],
         "sao_off": dec.sao[2], "pred": dec.pred_map,
-        "mvx": dec.mvx_map, "mvy": dec.mvy_map})
+        "mvx": dec.mvx_map, "mvy": dec.mvy_map,
+        **_alf_maps_from_header(cfg, sh)})
     if is_p:
         if pyramids is None:
             raise ValueError("P slice before any reference picture")
