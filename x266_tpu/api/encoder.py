@@ -10,7 +10,6 @@ from x266_tpu.config import CodecConfig
 from x266_tpu.core import headers
 from x266_tpu.core.nal import NalType, write_nal
 from x266_tpu.core.yuv import Frame
-from x266_tpu.engine.picture import encode_picture
 
 
 @dataclass

@@ -174,3 +174,27 @@ def preset_cfg2(width: int = 1920, height: int = 1080) -> CodecConfig:
     """Config 2: all-intra 1080p VVC with MTS + CABAC, one chip."""
     return CodecConfig(width=width, height=height, profile=Profile.VVC,
                        mts=True, intra_period=1)
+
+
+def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:
+    """Config 3: low-delay P 1080p, integer+fractional ME."""
+    return CodecConfig(width=width, height=height, qp=32,
+                       intra_period=32)
+
+
+def preset_cfg4(width: int = 3840, height: int = 2160) -> CodecConfig:
+    """Config 4 (toolset): 4K with deblock/SAO/ALF loop filters.
+
+    v1 carries the full filter chain and GOP-16 low-delay P; the
+    random-access B hierarchy and multi-chip tiles-for-P are round-2
+    items (ROADMAP.md)."""
+    return CodecConfig(width=width, height=height, qp=32,
+                       intra_period=16, deblock=True, sao=True, alf=True)
+
+
+def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:
+    """Config 5 (single-host form): GOPs scheduled over local devices
+    with wavefront entropy segments; multi-host DCN is round 2."""
+    return CodecConfig(width=width, height=height, qp=32,
+                       intra_period=16, deblock=True, sao=True,
+                       rows_per_segment=1)

@@ -7,7 +7,6 @@ required by the test-suite.
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
 
 import numpy as np

@@ -27,11 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from x266_tpu.config import CodecConfig
-from x266_tpu.engine import availability as avail
 from x266_tpu.engine.mode_decision import (PAD, _block_gather,
                                            _block_positions, _eval_size,
-                                           _gather_refs, _sum_children,
-                                           _upsample, MODE_SIGNAL_BITS,
+                                           _sum_children, _upsample,
                                            SPLIT_BITS)
 from x266_tpu.engine.recon import _fwd_mts, _gather_ref, _inv_mts
 from x266_tpu.kernels import cost as kcost

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from x266_tpu.config import CodecConfig
-from x266_tpu.engine.mode_decision import PAD
 from x266_tpu.engine.recon import _fwd_mts, _inv_mts
 from x266_tpu.kernels import intra as kintra
 

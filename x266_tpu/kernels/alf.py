@@ -19,8 +19,6 @@ TPU-first formulation:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -51,8 +51,6 @@ class GopScheduler:
 
     def _encode_gop(self, gop_idx: int, poc0: int, gop: list[Frame],
                     device) -> list[tuple[bytes, Frame | None, np.ndarray]]:
-        from x266_tpu.engine import fused
-        from x266_tpu.engine.picture import _finalize_common  # noqa
         from x266_tpu.engine.picture import encode_picture_gop
 
         out = []
