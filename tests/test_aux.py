@@ -100,3 +100,20 @@ def test_stage_timers():
         pass
     r = t.report()
     assert r["a"]["calls"] == 2
+
+
+def test_partition_gops():
+    from x266_tpu.shard.multihost import partition_gops
+    parts = partition_gops(10, 3, 2)
+    # gops: (0,3)(3,3)(6,3)(9,1) round-robin over 2 processes
+    assert parts[0] == [(0, 3), (6, 3)]
+    assert parts[1] == [(3, 3), (9, 1)]
+    flat = sorted(g for p in parts for g in p)
+    assert sum(l for _, l in flat) == 10
+
+
+def test_multihost_single_process(clip, cfg):
+    from x266_tpu.shard.multihost import encode_multihost
+    res = encode_multihost(cfg, clip)
+    serial = Encoder(cfg).encode(clip)
+    assert res.bitstream == serial.bitstream
