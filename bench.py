@@ -24,7 +24,7 @@ def main() -> None:
     # persistent compile cache: 1080p pipeline compiles take minutes on
     # the remote compile service; cache them across bench runs
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/x266t_jax_cache")
+                      "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from x266_tpu.api import Decoder, Encoder

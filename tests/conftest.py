@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles >100 distinct graphs;
+# caching them (a) cuts repeat-run time from ~15 min to ~2 min and
+# (b) sidesteps a rare XLA-CPU compiler segfault seen after many
+# compilations accumulate in one process.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
