@@ -25,3 +25,18 @@ jax.config.update("jax_platforms", "cpu")
 # compilations accumulate in one process.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+# In-process defense against the XLA-CPU accumulation segfault: drop
+# live executables periodically (disk cache makes re-loads cheap).
+import pytest  # noqa: E402
+
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 20 == 0:
+        jax.clear_caches()

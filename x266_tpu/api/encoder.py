@@ -42,9 +42,14 @@ class Encoder:
     >>> result = enc.encode(frames)
     """
 
-    def __init__(self, cfg: CodecConfig, with_recon: bool = True):
+    def __init__(self, cfg: CodecConfig, with_recon: bool = True,
+                 rate_control=None):
+        """rate_control: utils.ratecontrol.RateControlState for bitrate-
+        targeted encoding (per-frame QP in the slice header); None =
+        fixed QP."""
         self.cfg = cfg
         self.with_recon = with_recon
+        self.rate_control = rate_control
 
     def encode(self, frames: list[Frame]) -> EncodeResult:
         cfg = self.cfg
@@ -55,7 +60,7 @@ class Encoder:
             raise ValueError("ALF supports single tile in v1")
         out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
-        if cfg.intra_period != 1:
+        if cfg.intra_period != 1 or self.rate_control is not None:
             return self._encode_gop(cfg, frames, out)
 
         # Phase 1: dispatch every (frame, band) device step (async);
@@ -113,9 +118,11 @@ class Encoder:
         frame_bits: list[int] = []
         sses: list = []
         pyramids = None
+        rc = self.rate_control
         for poc, frame in enumerate(frames):
+            fcfg = cfg if rc is None else cfg.replace(qp=rc.qp)
             rbsp, recon, sse, pyramids, st = encode_picture_gop(
-                cfg, frame, poc, pyramids, self.with_recon)
+                fcfg, frame, poc, pyramids, self.with_recon)
             nal_type = (NT.IDR if st.name == "I" else NT.TRAIL)
             nal = write_nal(nal_type, rbsp)
             out.append(nal)
@@ -123,5 +130,7 @@ class Encoder:
                 recons.append(recon)
             frame_bits.append(8 * len(nal))
             sses.append(sse)
+            if rc is not None:
+                rc.update(8 * len(nal))
         return EncodeResult(b"".join(out), recons, frame_bits,
                             sse=sses)

@@ -47,6 +47,10 @@ def cmd_encode(args) -> int:
     if args.sharded:
         from x266_tpu.shard import ShardedEncoder
         enc = ShardedEncoder(cfg)
+    elif args.bitrate:
+        from x266_tpu.utils.ratecontrol import make_controller
+        enc = Encoder(cfg, rate_control=make_controller(
+            cfg, args.bitrate, args.fps))
     else:
         enc = Encoder(cfg)
     t0 = time.time()
@@ -119,6 +123,11 @@ def main(argv=None) -> int:
                    dest="segment_rows")
     e.add_argument("--sharded", action="store_true",
                    help="distribute tiles/frames over all devices")
+    e.add_argument("--bitrate", type=float, default=None,
+                   help="target kbps (enables rate control; QP adapts "
+                        "per frame within +-6 of --qp)")
+    e.add_argument("--fps", type=float, default=30.0,
+                   help="frame rate for --bitrate budgeting")
     e.add_argument("--stats", default=None, help="JSONL stats path")
     e.set_defaults(fn=cmd_encode)
 

@@ -261,7 +261,8 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
     Returns (rbsp, recon|None, sse, new_pyramids, slice_type).
     """
     assert cfg.num_tiles == 1, "P pictures support single tile in v1"
-    is_p = pyramids is not None and (poc % cfg.intra_period != 0)
+    is_p = (pyramids is not None and cfg.intra_period > 1
+            and poc % cfg.intra_period != 0)
     packed = fused.pack_input(cfg, frame)
     if device is not None:
         import jax
