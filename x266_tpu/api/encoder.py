@@ -43,13 +43,16 @@ class Encoder:
     """
 
     def __init__(self, cfg: CodecConfig, with_recon: bool = True,
-                 rate_control=None):
+                 rate_control=None, batch_frames: int = 4):
         """rate_control: utils.ratecontrol.RateControlState for bitrate-
         targeted encoding (per-frame QP in the slice header); None =
-        fixed QP."""
+        fixed QP.  batch_frames: all-intra single-tile frames per
+        vmapped device call (they share the recon scan's sequential
+        latency); 1 disables batching."""
         self.cfg = cfg
         self.with_recon = with_recon
         self.rate_control = rate_control
+        self.batch_frames = max(1, batch_frames)
 
     def encode(self, frames: list[Frame]) -> EncodeResult:
         cfg = self.cfg
@@ -66,15 +69,39 @@ class Encoder:
         # Phase 1: dispatch every (frame, band) device step (async);
         # Phase 2: finalize + entropy-code in POC order.  Device compute
         # of later frames overlaps downloads/entropy of earlier ones;
-        # the bitstream is identical to the fully serial loop.
+        # the bitstream is identical to the fully serial loop.  For the
+        # common single-tile case, frames go up in vmapped chunks so the
+        # sequential recon scan is amortized across the batch.
         from x266_tpu.engine.picture import (assemble_slice, split_bands,
                                              tile_compute_async,
-                                             tile_entropy)
+                                             tile_entropy,
+                                             tiles_compute_batched_async)
         bands = cfg.tile_bands()
-        pending = [[tile_compute_async(cfg.tile_cfg(b), band,
-                                       self.with_recon)
-                    for b, band in zip(bands, split_bands(cfg, frame))]
-                   for frame in frames]
+        bf = self.batch_frames
+        if len(bands) == 1 and bf > 1 and len(frames) > 1:
+            chunks = [frames[i:i + bf]
+                      for i in range(0, len(frames), bf)]
+            fins = [tiles_compute_batched_async(cfg, ch,
+                                                self.with_recon)
+                    for ch in chunks]
+            pending = []
+            for fin, ch in zip(fins, chunks):
+                done = {"tds": None, "fin": fin}
+
+                def mk(done, idx):
+                    def get():
+                        if done["tds"] is None:
+                            done["tds"] = done["fin"]()
+                        return done["tds"][idx]
+                    return get
+
+                pending += [[mk(done, i)] for i in range(len(ch))]
+        else:
+            pending = [[tile_compute_async(cfg.tile_cfg(b), band,
+                                           self.with_recon)
+                        for b, band in zip(bands,
+                                           split_bands(cfg, frame))]
+                       for frame in frames]
 
         results = []
         for poc, fin_list in enumerate(pending):

@@ -229,11 +229,9 @@ def _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps_list, sse,
     return out
 
 
-@functools.cache
-def make_encode_step_i(cfg: CodecConfig, with_recon: bool,
-                       with_pyramids: bool):
-    """I-picture step that additionally emits the reference pyramids for
-    subsequent P pictures (device-resident DPB, C16)."""
+def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
+                            with_pyramids: bool):
+    """Un-jitted I-picture step (vmappable)."""
     h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
     md = make_mode_decision_raw(cfg)
     mts_sel = make_mts_select_raw(cfg) if cfg.mts else None
@@ -259,7 +257,26 @@ def make_encode_step_i(cfg: CodecConfig, with_recon: bool,
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, with_pyramids)
 
-    return jax.jit(step)
+    return step
+
+
+@functools.cache
+def make_encode_step_i(cfg: CodecConfig, with_recon: bool,
+                       with_pyramids: bool):
+    """I-picture step; optionally emits the reference pyramids for
+    subsequent P pictures (device-resident DPB, C16)."""
+    return jax.jit(_make_encode_step_i_raw(cfg, with_recon,
+                                           with_pyramids))
+
+
+@functools.cache
+def make_encode_step_i_batched(cfg: CodecConfig, with_recon: bool):
+    """vmap of the I step over a leading frame axis: F independent
+    pictures advance the sequential reconstruction scan in lockstep, so
+    the scan's per-step latency is amortized F-fold — the central
+    throughput lever for all-intra streams on this chip."""
+    return jax.jit(jax.vmap(_make_encode_step_i_raw(cfg, with_recon,
+                                                    False)))
 
 
 @functools.cache

@@ -92,6 +92,53 @@ def tile_compute(cfg: CodecConfig, band: Frame, with_recon: bool = True,
     return tile_compute_async(cfg, band, with_recon, device)()
 
 
+def _finalize_one(cfg, out, with_recon) -> TileData:
+    """Unpack one frame's (coef, flat, sse[, recon]) group -> TileData."""
+    if cfg.lossless:
+        cy, ccb, ccr = fused.unpack_coefs(cfg, np.asarray(out[0]))
+        sse = np.asarray(out[2])
+    else:
+        low, high = out[0]
+        stats = np.asarray(out[2])
+        sse = stats[:3]
+        high_np = np.asarray(high) if stats[3] > 0 else None
+        full = fused.reconstruct_coefs(np.asarray(low), high_np)
+        cy, ccb, ccr = fused.unpack_coefs(cfg, full)
+    maps = fused.unpack_maps(cfg, np.asarray(out[1]))
+    recon = (fused.unpack_recon(cfg, np.asarray(out[3]))
+             if with_recon else None)
+    sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
+                  if cfg.sao else None)
+    alf = ((maps["alf_flag"], maps["alf_coef"]) if cfg.alf else None)
+    return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
+                    recon, sao_params, maps["mts"], sse, alf)
+
+
+def tiles_compute_batched_async(cfg: CodecConfig, frames: list[Frame],
+                                with_recon: bool = True):
+    """Dispatch a CHUNK of all-intra single-tile frames as ONE vmapped
+    device call; returns finalize() -> list[TileData] (one per frame).
+    F frames share the reconstruction scan's sequential latency."""
+    import jax
+
+    packed = np.stack([fused.pack_input(cfg, f) for f in frames])
+    out = fused.make_encode_step_i_batched(cfg, with_recon)(packed)
+
+    def finalize() -> list[TileData]:
+        tds = []
+        for i in range(len(frames)):
+            if cfg.lossless:
+                per = (out[0][i], out[1][i], out[2][i]) + (
+                    (out[3][i],) if with_recon else ())
+            else:
+                per = ((out[0][0][i], out[0][1][i]), out[1][i],
+                       out[2][i]) + ((out[3][i],) if with_recon else ())
+            tds.append(_finalize_one(cfg, per, with_recon))
+        return tds
+
+    return finalize
+
+
 def tile_entropy(td: TileData) -> list[bytes]:
     """Entropy-code one tile band -> its segment payloads (host/native)."""
     cfg = td.cfg
