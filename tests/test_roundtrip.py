@@ -75,3 +75,12 @@ def test_qp_monotonic():
     psnr = [s[1] for s in stats]
     assert bits[0] > bits[1] > bits[2]
     assert psnr[0] > psnr[1] > psnr[2]
+
+
+def test_batched_equals_serial():
+    # vmapped frame batching must not change a single bit
+    cfg = CodecConfig(width=96, height=64, qp=32)
+    frames = synthetic_clip(96, 64, 5, kind="mixed", seed=60)
+    a = Encoder(cfg, batch_frames=4).encode(frames)
+    b = Encoder(cfg, batch_frames=1).encode(frames)
+    assert a.bitstream == b.bitstream

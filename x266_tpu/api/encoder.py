@@ -43,12 +43,12 @@ class Encoder:
     """
 
     def __init__(self, cfg: CodecConfig, with_recon: bool = True,
-                 rate_control=None, batch_frames: int = 4):
+                 rate_control=None, batch_frames: int = 1):
         """rate_control: utils.ratecontrol.RateControlState for bitrate-
         targeted encoding (per-frame QP in the slice header); None =
         fixed QP.  batch_frames: all-intra single-tile frames per
         vmapped device call (they share the recon scan's sequential
-        latency); 1 disables batching."""
+        latency; ~2x throughput at 4 on TPU); default 1 = unbatched."""
         self.cfg = cfg
         self.with_recon = with_recon
         self.rate_control = rate_control

@@ -52,7 +52,7 @@ def cmd_encode(args) -> int:
         enc = Encoder(cfg, rate_control=make_controller(
             cfg, args.bitrate, args.fps))
     else:
-        enc = Encoder(cfg)
+        enc = Encoder(cfg, batch_frames=args.batch)
     t0 = time.time()
     res = enc.encode(frames)
     dt = time.time() - t0
@@ -123,6 +123,8 @@ def main(argv=None) -> int:
                    dest="segment_rows")
     e.add_argument("--sharded", action="store_true",
                    help="distribute tiles/frames over all devices")
+    e.add_argument("--batch", type=int, default=1,
+                   help="all-intra frames per vmapped device call")
     e.add_argument("--bitrate", type=float, default=None,
                    help="target kbps (enables rate control; QP adapts "
                         "per frame within +-6 of --qp)")

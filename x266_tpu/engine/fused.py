@@ -271,10 +271,13 @@ def make_encode_step_i(cfg: CodecConfig, with_recon: bool,
 
 @functools.cache
 def make_encode_step_i_batched(cfg: CodecConfig, with_recon: bool):
-    """vmap of the I step over a leading frame axis: F independent
-    pictures advance the sequential reconstruction scan in lockstep, so
-    the scan's per-step latency is amortized F-fold — the central
-    throughput lever for all-intra streams on this chip."""
+    """vmap of the I step over a leading frame axis.
+
+    Bit-identical to the serial loop (tested), but measured ~20x SLOWER
+    on TPU v5e: under vmap the scan's dynamic_update_slices lower to
+    scatters (the same cliff as the wavefront recon).  Kept as the
+    correct batching skeleton — it becomes the win once a Pallas kernel
+    owns the plane state; do not enable by default until then."""
     return jax.jit(jax.vmap(_make_encode_step_i_raw(cfg, with_recon,
                                                     False)))
 
