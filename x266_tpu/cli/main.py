@@ -36,7 +36,7 @@ def cmd_encode(args) -> int:
         profile=Profile.VVC if args.profile == "vvc" else
         Profile.HEVC_SUBSET,
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
-        mts=args.mts, tile_rows=args.tile_rows,
+        alf=args.alf, mts=args.mts, tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop)
     frames = read_yuv420(args.input, w, h, args.frames)
@@ -114,6 +114,7 @@ def main(argv=None) -> int:
     e.add_argument("--lossless", action="store_true")
     e.add_argument("--deblock", action="store_true")
     e.add_argument("--sao", action="store_true")
+    e.add_argument("--alf", action="store_true")
     e.add_argument("--mts", action="store_true")
     e.add_argument("--tile-rows", type=int, default=0)
     e.add_argument("--gop", type=int, default=1,
