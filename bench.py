@@ -37,10 +37,12 @@ def main() -> None:
                       rows_per_segment=1)
     frames = synthetic_clip(width, height, 8, kind="mixed")
 
-    # serving path: bitstream leaves the chip, recon stays on device
-    enc = Encoder(cfg, with_recon=False)
-    # warm-up: compile + first frame
-    enc.encode(frames[:1])
+    # serving path: bitstream leaves the chip, recon stays on device;
+    # frames batch 4-per-device-call (vmapped over the Pallas recon
+    # kernel) to amortize the per-call dispatch/transfer latency
+    enc = Encoder(cfg, with_recon=False, batch_frames=4)
+    # warm-up: compile + first chunk
+    enc.encode(frames[:4])
 
     t0 = time.time()
     res = enc.encode(frames)

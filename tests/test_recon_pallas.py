@@ -1,0 +1,99 @@
+"""Bit-exactness of the Pallas recon kernel vs the XLA scan (C6/C10-C12).
+
+engine.recon_pallas must reproduce engine.recon.make_recon_pass_raw
+EXACTLY (recon planes and coefficient planes) for every profile/tool
+combination — it is a normative-path implementation swap, so equality is
+the whole contract.  Runs in interpret mode on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from x266_tpu.config import CodecConfig, Profile
+from x266_tpu.engine.mode_decision import (make_mode_decision,
+                                           make_mts_select, pad_plane)
+from x266_tpu.engine.recon import make_recon_pass
+from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
+
+import jax
+
+
+def _frame(w, h, seed):
+    rng = np.random.default_rng(seed)
+    # Mix of gradient + noise so mode decision picks varied sizes/modes.
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx * 3 + yy * 2) // 4 % 256).astype(np.uint8)
+    y = np.clip(y.astype(np.int32)
+                + rng.integers(-24, 25, (h, w)), 0, 255).astype(np.uint8)
+    cb = np.clip(128 + (xx[::2, ::2] % 64) - 32
+                 + rng.integers(-10, 11, (h // 2, w // 2)),
+                 0, 255).astype(np.uint8)
+    cr = np.clip(128 - (yy[::2, ::2] % 48) + 24
+                 + rng.integers(-10, 11, (h // 2, w // 2)),
+                 0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
+CFGS = [
+    CodecConfig(width=104, height=72, qp=30),
+    CodecConfig(width=128, height=64, qp=37, profile=Profile.VVC, mts=True),
+    CodecConfig(width=104, height=72, qp=30, lossless=True),
+    CodecConfig(width=64, height=64, qp=22, max_cu_size=16),
+]
+
+
+@pytest.mark.parametrize("cfg", CFGS, ids=lambda c: (
+    f"{c.width}x{c.height}-qp{c.qp}"
+    f"{'-mts' if c.mts else ''}{'-ll' if c.lossless else ''}"
+    f"-cu{c.max_cu_size}"))
+def test_encode_matches_scan(cfg):
+    y, cb, cr = _frame(cfg.width, cfg.height, seed=7)
+    yP = pad_plane(y).astype(np.int32)
+    cbP = pad_plane(cb).astype(np.int32)
+    crP = pad_plane(cr).astype(np.int32)
+    size_map, mode_map = make_mode_decision(cfg)(yP)
+    if cfg.mts:
+        mts_map = make_mts_select(cfg)(yP, size_map, mode_map)
+    else:
+        mts_map = np.zeros_like(np.asarray(size_map))
+
+    ref = make_recon_pass(cfg, encode=True)(yP, cbP, crP, size_map,
+                                            mode_map, mts_map)
+    got = jax.jit(make_recon_pallas_raw(cfg, encode=True))(
+        yP, cbP, crP, size_map, mode_map, mts_map)
+
+    names = ["reconY", "reconCb", "reconCr", "coefY", "coefCb", "coefCr"]
+    for n, r, g in zip(names, ref, got):
+        r = np.asarray(r)
+        g = np.asarray(g)
+        bad = np.argwhere(r != g)
+        assert bad.size == 0, (
+            f"{n}: {bad.shape[0]} mismatches, first at {bad[:5].tolist()} "
+            f"ref={r[tuple(bad[0])]}, got={g[tuple(bad[0])]}")
+
+
+@pytest.mark.parametrize("cfg", CFGS[:3], ids=lambda c: (
+    f"{c.width}x{c.height}{'-mts' if c.mts else ''}"
+    f"{'-ll' if c.lossless else ''}"))
+def test_decode_matches_scan(cfg):
+    y, cb, cr = _frame(cfg.width, cfg.height, seed=11)
+    yP = pad_plane(y).astype(np.int32)
+    cbP = pad_plane(cb).astype(np.int32)
+    crP = pad_plane(cr).astype(np.int32)
+    size_map, mode_map = make_mode_decision(cfg)(yP)
+    if cfg.mts:
+        mts_map = make_mts_select(cfg)(yP, size_map, mode_map)
+    else:
+        mts_map = np.zeros_like(np.asarray(size_map))
+    enc = make_recon_pass(cfg, encode=True)(yP, cbP, crP, size_map,
+                                            mode_map, mts_map)
+    cY = np.asarray(enc[3]).astype(np.int32)
+    cCb = np.asarray(enc[4]).astype(np.int32)
+    cCr = np.asarray(enc[5]).astype(np.int32)
+
+    ref = make_recon_pass(cfg, encode=False)(cY, cCb, cCr, size_map,
+                                             mode_map, mts_map)
+    got = jax.jit(make_recon_pallas_raw(cfg, encode=False))(
+        cY, cCb, cCr, size_map, mode_map, mts_map)
+    for n, r, g in zip(["reconY", "reconCb", "reconCr"], ref[:3], got[:3]):
+        assert (np.asarray(r) == np.asarray(g)).all(), f"{n} mismatch"

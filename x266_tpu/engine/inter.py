@@ -69,7 +69,7 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size):
     # skip-proxy predictor: left ME block's MV (clamped at the edge)
     mvl = mv_grid[m_y, np.maximum(m_x - 1, 0)]
 
-    orig = _block_gather(plane, xs, ys, s)        # (B, s, s)
+    orig = _block_gather(plane, gy, gx, s)        # (B, s, s)
 
     def mc(x, y, m):
         return interp.mc_block(pyr_y, x, y, m[0], m[1], s)

@@ -58,27 +58,36 @@ def _block_positions(width: int, height: int, size: int):
     return xs, ys, gy, gx
 
 
-def _gather_refs(plane: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+def _gather_refs(plane: jnp.ndarray, gy: int, gx: int,
                  size: int) -> jnp.ndarray:
-    """Batched reference vectors [corner, top 2s, left 2s] per block."""
+    """Batched reference vectors [corner, top 2s, left 2s] per block.
+
+    Block positions form the full aligned grid, so the gather is pure
+    strided slicing (the vmapped dynamic_slice this replaces lowers to
+    an XLA gather: ~120 ms at 1080p s=8 vs ~2 ms for the slices).
+    Layout matches engine.recon._gather_ref: plane[y, x:x+2s+1] then
+    plane[y+1:y+1+2s, x] with (x, y) = block origin in plane coords.
+    """
     s = size
+    # top row incl. corner: R[iy, ix*s + t], t in [0, 2s]
+    rows = plane[0:gy * s:s, :]                       # (gy, Wp)
+    top = jnp.stack([rows[:, t:t + gx * s:s]
+                     for t in range(2 * s + 1)], axis=-1)
+    # left column: plane[iy*s + 1 + r, ix*s], r in [0, 2s)
+    cols = plane[:, 0:gx * s:s]                       # (Hp, gx)
+    left = jnp.stack([cols[1 + r:1 + r + gy * s:s, :]
+                      for r in range(2 * s)], axis=-1)
+    refs = jnp.concatenate([top, left], axis=-1)      # (gy, gx, 4s+1)
+    return refs.reshape(gy * gx, 4 * s + 1)
 
-    def one(x, y):
-        row = jax.lax.dynamic_slice(plane, (y, x), (1, 2 * s + 1))[0]
-        col = jax.lax.dynamic_slice(plane, (y + 1, x), (2 * s, 1))[:, 0]
-        return jnp.concatenate([row, col])
 
-    return jax.vmap(one)(xs, ys)
-
-
-def _block_gather(plane: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+def _block_gather(plane: jnp.ndarray, gy: int, gx: int,
                   size: int) -> jnp.ndarray:
+    """All aligned (s, s) blocks as one reshape/transpose (no gather)."""
     s = size
-
-    def one(x, y):
-        return jax.lax.dynamic_slice(plane, (y + 1, x + 1), (s, s))
-
-    return jax.vmap(one)(xs, ys)
+    blk = plane[1:1 + gy * s, 1:1 + gx * s]
+    blk = blk.reshape(gy, s, gx, s).transpose(0, 2, 1, 3)
+    return blk.reshape(gy * gx, s, s)
 
 
 def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig):
@@ -93,13 +102,13 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig):
     xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
     nb = xs_np.shape[0]
 
-    refs = _gather_refs(plane, xs, ys, s)                     # (B, R)
+    refs = _gather_refs(plane, gy, gx, s)                     # (B, R)
     mask = jnp.asarray(
         avail.ref_availability_masks(w, h, s).reshape(nb, -1))
     refs = jnp.where(mask, refs, 128)
 
     preds = kintra.predict_all_modes(refs, s, cfg.n_intra_modes)
-    orig = _block_gather(plane, xs, ys, s)[:, None]           # (B, 1, s, s)
+    orig = _block_gather(plane, gy, gx, s)[:, None]           # (B, 1, s, s)
     res = orig - preds                                        # (B, 35, s, s)
 
     nm = preds.shape[1]
@@ -208,7 +217,7 @@ def make_mts_select_raw(cfg: CodecConfig):
         oy = (ys_np // 8).astype(np.int32)
         ox = (xs_np // 8).astype(np.int32)
 
-        refs = _gather_refs(plane, xs, ys, s)
+        refs = _gather_refs(plane, gy, gx, s)
         mask = jnp.asarray(
             avail.ref_availability_masks(w, h, s).reshape(nb, -1))
         refs = jnp.where(mask, refs, 128)
@@ -216,7 +225,7 @@ def make_mts_select_raw(cfg: CodecConfig):
         preds = kintra.predict_all_modes(refs, s, n_modes)
         pred = jnp.take_along_axis(
             preds, modes[:, None, None, None], axis=1)[:, 0]
-        orig = _block_gather(plane, xs, ys, s)
+        orig = _block_gather(plane, gy, gx, s)
         res = orig - pred                               # (B, s, s)
 
         costs = []

@@ -125,14 +125,29 @@ def tiles_compute_batched_async(cfg: CodecConfig, frames: list[Frame],
     out = fused.make_encode_step_i_batched(cfg, with_recon)(packed)
 
     def finalize() -> list[TileData]:
+        # Materialize whole-batch arrays in ONE transfer each (per-frame
+        # np.asarray slices would each pay a tunnel round trip).
+        if cfg.lossless:
+            host = [np.asarray(out[0]), np.asarray(out[1]),
+                    np.asarray(out[2])]
+        else:
+            stats = np.asarray(out[2])
+            low = np.asarray(out[0][0])
+            # the high plane only moves if any frame needs it
+            high = (np.asarray(out[0][1]) if (stats[:, 3] > 0).any()
+                    else None)
+            flat = np.asarray(out[1])
+        rec = np.asarray(out[3]) if with_recon else None
         tds = []
         for i in range(len(frames)):
             if cfg.lossless:
-                per = (out[0][i], out[1][i], out[2][i]) + (
-                    (out[3][i],) if with_recon else ())
+                per = (host[0][i], host[1][i], host[2][i]) + (
+                    (rec[i],) if with_recon else ())
             else:
-                per = ((out[0][0][i], out[0][1][i]), out[1][i],
-                       out[2][i]) + ((out[3][i],) if with_recon else ())
+                hi = high[i] if high is not None else np.zeros_like(
+                    low[i], np.int8)
+                per = ((low[i], hi), flat[i], stats[i]) + (
+                    (rec[i],) if with_recon else ())
             tds.append(_finalize_one(cfg, per, with_recon))
         return tds
 

@@ -209,19 +209,29 @@ def make_recon_pass(cfg: CodecConfig, encode: bool):
 
 
 def select_recon_impl(cfg: CodecConfig, encode: bool):
-    """Implementation selector.  The wavefront pass (engine.recon_wave)
-    is bit-identical and has 8x fewer *sequential* steps, but measured
-    6x SLOWER on TPU v5e: its per-step gather/scatter merges lower to
-    serialized scatters that cost far more than the tiny per-TU compute
-    they batch.  The sequential scan therefore stays the default;
-    X266T_WAVE_RECON=1 selects the wavefront (kept correct and tested —
-    it is the right shape if the merge is later done as a Pallas kernel
-    with explicit VMEM windows)."""
+    """Implementation selector.
+
+    - Pallas kernel (engine.recon_pallas): the whole scan in ONE kernel
+      with the CTU working set in VMEM — measured 12x faster than the
+      XLA scan at 1080p on TPU v5e, bit-exact (tests/test_recon_pallas).
+      Default on the TPU backend; X266T_PALLAS=0 disables, =1 forces
+      (interpret mode on CPU — correct but slow, so not the CPU default).
+    - XLA scan (this module): the portable reference; CPU/test default.
+    - Wavefront (engine.recon_wave, X266T_WAVE_RECON=1): bit-identical,
+      8x fewer sequential steps, but 6x slower under XLA (scatter-bound);
+      kept as the schedule study that motivated the Pallas kernel.
+    """
     import os
 
     if os.environ.get("X266T_WAVE_RECON"):
         from x266_tpu.engine.recon_wave import make_recon_wave_raw
         return make_recon_wave_raw(cfg, encode)
+    flag = os.environ.get("X266T_PALLAS")
+    use_pallas = (jax.default_backend() == "tpu" if flag is None
+                  else flag != "0")
+    if use_pallas:
+        from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
+        return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)
 
 

@@ -1,0 +1,677 @@
+"""Pallas TPU kernel for the normative reconstruction scan (C6/C10-C12/C18).
+
+Drop-in replacement for ``engine.recon.make_recon_pass_raw`` (same signature,
+bit-exact by construction — validated by tests/test_recon_pallas.py).  The
+XLA scan costs ~0.4 s/frame at 1080p purely in per-step dispatch and
+HBM-resident plane updates (ROADMAP.md perf log); this kernel runs the whole
+scan in ONE pallas_call with the plane working set in VMEM.
+
+Design (all constructs probed on TPU v5e before writing — the Mosaic build
+here rejects value-level dynamic_slice, unaligned multi-row refs slices and
+<128-lane rolls, which shapes the implementation):
+
+- grid = (ctus_y, ctus_x), raster order == coding order; TPU grids execute
+  sequentially, so scratch carries state across CTUs.
+- Per-CTU recon windows in VMEM scratch: winY (128,128) holds picture rows
+  [y0, y0+128) x cols [x0, x0+128) with everything not yet coded = 128 —
+  exactly the availability rule of engine.recon (128-filled planes written
+  in coding order).  Rows/cols beyond the CTU stay 128 by memset.
+- Inter-CTU state: double-buffered row buffers (the CTU row above's last
+  pixel row; read buf (cy+1)%2, write buf cy%2) and a column buffer (the
+  left CTU's right edge, reset at cx==0).  No HBM plane, no in-kernel DMA
+  for pixels: recon/coef leave through regular blocked outputs.
+- Dynamic addressing: sublane offsets are 8-aligned by construction for
+  luma (TU y is a multiple of 8); chroma 4x4 TUs realign with an 8-aligned
+  over-read plus a 2-way select.  Lane offsets use dynamic pltpu.roll plus
+  iota masks (read-modify-write of full 128-lane rows).
+- Intra prediction = exact-integer f32 matmuls on the MXU against the
+  specmodel.intra weight matrices: refs<=255 (8-bit) x weights<=127 give
+  products whose partial sums stay < 2^24, so f32 accumulation is exact
+  (asserted at table-build time).  The left-reference column enters as a
+  (2s,1) operand through dot_general contracting dim 0 — no transposes.
+- Transforms = exact-integer f32 matmuls with 11-bit limb splitting of the
+  >8-bit operand: x = (x>>11)*2048 + (x & 2047); each limb matmul is exact
+  in f32 (max |partial sum| = 32*2047*255 < 2^24) and the recombination is
+  int32.  Matrix entries are asserted <= 255 so they are bf16-exact and any
+  >=3-pass f32 MXU decomposition preserves exactness.
+- Mode weights for sizes 4/8/16 are VMEM-resident (int8, gathered with an
+  aligned dynamic ref slice); the 32x32 stack (~20 MB) stays in HBM and the
+  selected mode's matrix is DMA'd per TU.
+
+Reference parity: the per-TU math mirrors engine.recon._tu and the
+kernels/{intra,transforms,quant} modules line for line (same rounding, same
+clips); the z-order unit walk and origin rule mirror engine.recon.ctu_body.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from x266_tpu.config import CodecConfig
+from x266_tpu.kernels.transforms import MTS_COMBOS
+from x266_tpu.specmodel import intra as ispec
+from x266_tpu.specmodel import quant as qspec
+from x266_tpu.specmodel import transforms as tspec
+
+F32 = jnp.float32
+I32 = jnp.int32
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+# ---- numpy table builders --------------------------------------------------
+
+def _wgeom(s: int):
+    """Row layout of the per-mode transposed weight matrix."""
+    topr = _pad8(2 * s + 1)
+    leftr = 2 * s
+    smr = 0 if s == 4 else _pad8(ispec.ref_len(s))
+    slot = _pad_to(topr + leftr + smr, 32)
+    return topr, leftr, smr, slot
+
+
+@functools.cache
+def _weight_table(s: int, n_modes: int) -> np.ndarray:
+    """(n_modes, SLOT, L) int8: rows = [top | left | smoothed] blocks of the
+    transposed weight matrix; L = max(s*s, 128) lanes."""
+    topr, leftr, smr, slot = _wgeom(s)
+    r = ispec.ref_len(s)
+    w, _ = ispec.stacked_weights(s, n_modes)          # (nm, s*s, 2R) int8
+    lanes = max(s * s, 128)
+    out = np.zeros((n_modes, slot, lanes), dtype=np.int8)
+    for m in range(n_modes):
+        wt = w[m].T.astype(np.int8)                   # (2R, s*s)
+        out[m, 0:2 * s + 1, :s * s] = wt[0:2 * s + 1]
+        out[m, topr:topr + leftr, :s * s] = wt[2 * s + 1:r]
+        if smr:
+            out[m, topr + leftr:topr + leftr + r, :s * s] = wt[r:2 * r]
+    # Exactness bound: |ref|<=255, one ref half active per mode, row sums of
+    # W are 2^shift <= 2^6 -> |true pred| <= 2^6*255 << 2^24.  Guard the
+    # per-term bound too (f32 partial sums exact below 2^24).
+    assert np.abs(w).max() <= 127
+    return out
+
+
+@functools.cache
+def _smooth_tables(s: int) -> tuple[np.ndarray, np.ndarray]:
+    """(topr, SMR) and (leftr, SMR) f32 blocks of S.T (smoothing matrix)."""
+    topr, leftr, smr, _ = _wgeom(s)
+    r = ispec.ref_len(s)
+    st = ispec.smoothing_matrix(s).T.astype(np.float32)   # (R, R)
+    a = np.zeros((topr, smr), np.float32)
+    a[0:2 * s + 1, 0:r] = st[0:2 * s + 1]
+    b = np.zeros((leftr, smr), np.float32)
+    b[0:2 * s - 0, 0:r] = st[2 * s + 1:r]
+    return a, b
+
+
+@functools.cache
+def _tx_table(s: int, with_mts: bool) -> np.ndarray:
+    """((4 roles * NC combos) * SLOT, 128) f32 transform matrices.
+
+    roles: 0 fwd-vertical (tv), 1 fwd-horizontal (th.T),
+           2 inv-vertical (tv.T), 3 inv-horizontal (th).
+    """
+    combos = MTS_COMBOS if with_mts else MTS_COMBOS[:1]
+    slot = max(s, 8)
+    out = np.zeros((4 * len(combos) * slot, 128), np.float32)
+    for ci, (tv_t, th_t) in enumerate(combos):
+        tv = tspec.matrix_for(tv_t, s).astype(np.int64)
+        th = tspec.matrix_for(th_t, s).astype(np.int64)
+        assert max(np.abs(tv).max(), np.abs(th).max()) <= 255
+        for role, mat in enumerate((tv, th.T, tv.T, th)):
+            base = (role * len(combos) + ci) * slot
+            out[base:base + s, 0:s] = mat.astype(np.float32)
+    return out
+
+
+# ---- in-kernel helpers ------------------------------------------------------
+
+def _lane_iota(rows: int, lanes: int):
+    return jax.lax.broadcasted_iota(I32, (rows, lanes), 1)
+
+
+def _row_iota(rows: int, lanes: int):
+    return jax.lax.broadcasted_iota(I32, (rows, lanes), 0)
+
+
+def _pad_lanes(v, lanes: int):
+    r, w = v.shape
+    if w == lanes:
+        return v
+    return jnp.concatenate([v, jnp.zeros((r, lanes - w), v.dtype)], axis=1)
+
+
+def _read_rows(ref, y, n, realign):
+    """(n, 128) rows at dynamic offset y (8-aligned unless realign)."""
+    if not realign:
+        blk = ref[pl.ds(pl.multiple_of(y, 8), _pad8(n)), :]
+        return blk[0:n]
+    ybase = (y // 8) * 8
+    rem = y - ybase
+    nn = _pad8(n + 4)
+    blk = ref[pl.ds(pl.multiple_of(ybase, 8), nn), :]
+    return jnp.where(rem == 4, blk[4:4 + n], blk[0:n])
+
+
+def _rmw_write(ref, y, s, vals, x, realign):
+    """Place the (s,s) int32 block `vals` at (y, x) of a 128-lane ref."""
+    lanes = 128
+    vp = _pad_lanes(vals, lanes)
+    if not realign:
+        rows = ref[pl.ds(pl.multiple_of(y, 8), s), :]
+        placed = pltpu.roll(vp, x, 1)
+        lane = _lane_iota(s, lanes)
+        m = (lane >= x) & (lane < x + s)
+        ref[pl.ds(pl.multiple_of(y, 8), s), :] = jnp.where(m, placed, rows)
+        return
+    ybase = (y // 8) * 8
+    rem = y - ybase
+    n = _pad8(s + 4)
+    rows = ref[pl.ds(pl.multiple_of(ybase, 8), n), :]
+
+    def _cat(pieces):
+        return jnp.concatenate([p for p in pieces if p.shape[0]], axis=0)
+
+    a = _cat([vp, jnp.zeros((n - s, lanes), vp.dtype)])
+    b = _cat([jnp.zeros((4, lanes), vp.dtype), vp,
+              jnp.zeros((n - s - 4, lanes), vp.dtype)])
+    placed = pltpu.roll(jnp.where(rem == 4, b, a), x, 1)
+    lane = _lane_iota(n, lanes)
+    row = _row_iota(n, lanes)
+    m = ((lane >= x) & (lane < x + s)
+         & (row >= rem) & (row < rem + s))
+    ref[pl.ds(pl.multiple_of(ybase, 8), n), :] = jnp.where(m, placed, rows)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=F32, precision=HIGHEST)
+
+
+def _dotg0(a, b):
+    """Contract dim 0 of both: (k,1) x (k,n) -> (1,n)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=F32,
+                               precision=HIGHEST)
+
+
+def _rshift_round(x, sh: int):
+    return (x + (1 << (sh - 1))) >> sh
+
+
+def _limb_mm_lhs(data_i32, mat_f32):
+    """Exact int32 (A @ M) with A = data (|A| < 2^27), M 8-bit entries."""
+    lo = (data_i32 & 2047).astype(F32)
+    hi = (data_i32 >> 11).astype(F32)
+    return (_mm(lo, mat_f32).astype(I32)
+            + (_mm(hi, mat_f32).astype(I32) << 11))
+
+
+def _limb_mm_rhs(mat_f32, data_i32):
+    lo = (data_i32 & 2047).astype(F32)
+    hi = (data_i32 >> 11).astype(F32)
+    return (_mm(mat_f32, lo).astype(I32)
+            + (_mm(mat_f32, hi).astype(I32) << 11))
+
+
+def _to2d(vec_i32, s: int):
+    """(1, L>=128) int32 row vector -> (s, s) via static rolls + concat."""
+    lanes = vec_i32.shape[1]
+    parts = [pltpu.roll(vec_i32, (lanes - r * s) % lanes, 1)[:, :s]
+             for r in range(s)]
+    return jnp.concatenate(parts, axis=0)
+
+
+# ---- kernel factory ---------------------------------------------------------
+
+def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
+    cy_n, cx_n = cfg.ctus_y, cfg.ctus_x
+    qp = cfg.qp
+    lossless = cfg.lossless
+    n_modes = cfg.n_intra_modes
+    sizes = tuple(s for s in (8, 16, 32) if s <= cfg.max_cu_size)
+    has32 = 32 in sizes
+    ncombo = len(MTS_COMBOS) if cfg.mts else 1
+
+    rwy = _pad_to(cx_n * 64 + 192, 128)
+    rwc = _pad_to(cx_n * 32 + 192, 128)
+
+    # --- static tables (numpy) ---
+    wtabs = {s: _weight_table(s, n_modes) for s in (4, 8, 16)}
+    w32 = _weight_table(32, n_modes) if has32 else None
+    smtabs = {s: _smooth_tables(s) for s in (8, 16, 32) if s <= 32}
+    txtabs = {4: _tx_table(4, False)}
+    for s in sizes:
+        txtabs[s] = _tx_table(s, cfg.mts)
+
+    # quant constants (static per cfg)
+    def qconsts(s):
+        tsh = qspec.transform_shift(s)
+        qbits = 14 + qp // 6 + tsh
+        qadd = 171 << (qbits - 9)
+        qscale = int(qspec.QUANT_SCALES[qp % 6])
+        ishift = 6 - tsh
+        dscale = int(qspec.DEQUANT_SCALES[qp % 6]) << (qp // 6)
+        return qbits, qadd, qscale, ishift, dscale
+
+    def kernel(*refs):
+        it = iter(refs)
+        attr_ref = next(it)
+        dY_ref = next(it)        # src (encode) or coef (decode) blocks
+        dCb_ref = next(it)
+        dCr_ref = next(it)
+        w4_ref = next(it)
+        w8_ref = next(it)
+        w16_ref = next(it)
+        w32_ref = next(it) if has32 else None
+        smrefs = {s: (next(it), next(it)) for s in smtabs}
+        txrefs = {s: next(it) for s in sorted(txtabs)}
+        recY_ref = next(it)
+        recCb_ref = next(it)
+        recCr_ref = next(it)
+        if encode:
+            cfY_ref = next(it)
+            cfCb_ref = next(it)
+            cfCr_ref = next(it)
+        winY = next(it)
+        winCb = next(it)
+        winCr = next(it)
+        topY = next(it)
+        topCb = next(it)
+        topCr = next(it)
+        rowY0 = next(it)
+        rowY1 = next(it)
+        rowCb0 = next(it)
+        rowCb1 = next(it)
+        rowCr0 = next(it)
+        rowCr1 = next(it)
+        colY = next(it)
+        colCb = next(it)
+        colCr = next(it)
+        if has32:
+            w32s = next(it)
+            dmasem = next(it)
+
+        cy = pl.program_id(0)
+        cx = pl.program_id(1)
+
+        # ---- per-frame / per-row / per-CTU state resets ----
+        @pl.when((cy == 0) & (cx == 0))
+        def _():
+            for r in (rowY0, rowY1, rowCb0, rowCb1, rowCr0, rowCr1):
+                r[:] = jnp.full_like(r[:], 128)
+
+        @pl.when(cx == 0)
+        def _():
+            for r in (colY, colCb, colCr):
+                r[:] = jnp.full_like(r[:], 128)
+
+        winY[:] = jnp.full_like(winY[:], 128)
+        winCb[:] = jnp.full_like(winCb[:], 128)
+        winCr[:] = jnp.full_like(winCr[:], 128)
+        if encode:
+            cfY_ref[:] = jnp.zeros_like(cfY_ref[:])
+            cfCb_ref[:] = jnp.zeros_like(cfCb_ref[:])
+            cfCr_ref[:] = jnp.zeros_like(cfCr_ref[:])
+
+        # toprow: last pixel row of the CTU row above (128 at picture top).
+        even = (cy % 2) == 0
+        shy = (rwy - cx * 64) % rwy
+        topY[:] = jnp.where(even, pltpu.roll(rowY1[:], shy, 1)[:, :128],
+                            pltpu.roll(rowY0[:], shy, 1)[:, :128])
+        shc = (rwc - cx * 32) % rwc
+        topCb[:] = jnp.where(even, pltpu.roll(rowCb1[:], shc, 1)[:, :128],
+                             pltpu.roll(rowCb0[:], shc, 1)[:, :128])
+        topCr[:] = jnp.where(even, pltpu.roll(rowCr1[:], shc, 1)[:, :128],
+                             pltpu.roll(rowCr0[:], shc, 1)[:, :128])
+
+        # ---- one TU ----
+        def tu(s, win, col, top, data_ref, cf_ref, x, y, mode, mts):
+            realign = (s == 4)
+            topr, leftr, smr, slot = _wgeom(s)
+            log2s = s.bit_length() - 1
+            lanes_w = max(s * s, 128)
+
+            # reference vector pieces
+            row_int = win[pl.ds(jnp.maximum(y - 1, 0), 1), :]
+            cand_int = pltpu.roll(row_int, (129 - x) % 128, 1)
+            cand_top = pltpu.roll(top[0:1, :], (128 - x) % 128, 1)
+            top_vec = jnp.where(y == 0, cand_top, cand_int)     # (1,128)
+
+            # colbuf row r = plane(x0-1, y0+r): corner at y-1, left at
+            # [y, y+2s).  Single-row reads take any offset; the block
+            # read is 8-aligned (realigned for 4x4 chroma TUs).
+            corner_c = col[pl.ds(jnp.maximum(y - 1, 0), 1), 0:1]
+            left_c0 = _read_rows(col, y, 2 * s, realign)[:, 0:1]
+            lane0 = _lane_iota(1, 128) == 0
+            cornerfix = (x == 0) & (y > 0)
+            top_vec = jnp.where(lane0 & cornerfix, corner_c, top_vec)
+
+            lblk = _read_rows(win, y, 2 * s, realign)           # (2s,128)
+            lv_int = pltpu.roll(lblk, (129 - x) % 128, 1)[:, 0:1]
+            left_vec = jnp.where(x == 0, left_c0, lv_int)       # (2s,1)
+
+            topf = top_vec[:, 0:topr].astype(F32)
+            leftf = left_vec.astype(F32)
+
+            # mode weights
+            if s == 32:
+                cp = pltpu.make_async_copy(w32_ref.at[mode], w32s, dmasem)
+                cp.start()
+                cp.wait()
+                wm = w32s[:]
+            else:
+                wref = {4: w4_ref, 8: w8_ref, 16: w16_ref}[s]
+                off = pl.multiple_of(mode * slot, 32)
+                wm = wref[pl.ds(off, slot), :]
+            wt = wm[0:topr].astype(F32)
+            wl = wm[topr:topr + leftr].astype(F32)
+            pred = _mm(topf, wt) + _dotg0(leftf, wl)            # (1,L) f32
+            if smr:
+                smt_ref, sml_ref = smrefs[s]
+                smv = _mm(topf, smt_ref[:]) + _dotg0(leftf, sml_ref[:])
+                smi = ((smv.astype(I32) + 2) >> 2).astype(F32)
+                ws = wm[topr + leftr:topr + leftr + smr].astype(F32)
+                pred = pred + _mm(smi, ws)
+            pred_i = pred.astype(I32)
+            sh = jnp.where(mode <= 1, log2s + 1, 5)
+            pred_i = (pred_i + (1 << (sh - 1))) >> sh
+            pred2d = _to2d(pred_i, s)                           # (s,s)
+
+            # transform matrices for this TU's combo
+            nct = ncombo if (s in sizes and cfg.mts) else 1
+            tslot = max(s, 8)
+            txr = txrefs[s]
+
+            def txmat(role):
+                off = role * nct * tslot + mts * tslot
+                m = txr[pl.ds(pl.multiple_of(off, 8), tslot), :]
+                return m[0:s, 0:s]
+
+            qbits, qadd, qscale, ishift, dscale = qconsts(s)
+
+            def inverse(lev):
+                d = (lev * dscale + (1 << (ishift - 1))) >> ishift
+                d = jnp.clip(d, -32768, 32767)
+                t = _limb_mm_rhs(txmat(2), d)
+                t = jnp.clip(_rshift_round(t, 7), -32768, 32767)
+                r = _limb_mm_lhs(t, txmat(3))
+                return jnp.clip(_rshift_round(r, 12), -32768, 32767)
+
+            if encode:
+                dblk = _read_rows(data_ref, y, s, realign)
+                orig = pltpu.roll(dblk, (128 - x) % 128, 1)[:, 0:s]
+                if lossless:
+                    rec = orig
+                    lev = orig - pred2d
+                else:
+                    res = (orig - pred2d).astype(F32)
+                    t = _mm(txmat(0), res).astype(I32)
+                    t = _rshift_round(t, log2s - 1)
+                    co = _limb_mm_lhs(t, txmat(1))
+                    co = jnp.clip(_rshift_round(co, log2s + 6),
+                                  -32768, 32767)
+                    alev = jnp.clip((jnp.abs(co) * qscale + qadd) >> qbits,
+                                    0, 32767)
+                    lev = jnp.where(co > 0, alev,
+                                    jnp.where(co < 0, -alev, 0))
+                    rec = jnp.clip(pred2d + inverse(lev), 0, 255)
+                _rmw_write(cf_ref, y, s, lev, x, realign)
+            else:
+                dblk = _read_rows(data_ref, y, s, realign)
+                lev = pltpu.roll(dblk, (128 - x) % 128, 1)[:, 0:s]
+                if lossless:
+                    rec = jnp.clip(pred2d + lev, 0, 255)
+                else:
+                    rec = jnp.clip(pred2d + inverse(lev), 0, 255)
+            _rmw_write(win, y, s, rec, x, realign)
+
+        # ---- z-order walk over the CTU's 8x8 units ----
+        def z_body(z, carry):
+            a = attr_ref[0, cx, z]
+            active = (a & 1) == 1
+            code = (a >> 1) & 3
+            mts = (a >> 3) & 7
+            mode = (a >> 6) & 127
+            zx = (z & 1) | (((z >> 2) & 1) << 1) | (((z >> 4) & 1) << 2)
+            zy = (((z >> 1) & 1) | (((z >> 3) & 1) << 1)
+                  | (((z >> 5) & 1) << 2))
+            for si, s in enumerate(sizes):
+                @pl.when(active & (code == si))
+                def _(s=s):
+                    tu(s, winY, colY, topY, dY_ref,
+                       cfY_ref if encode else None,
+                       zx * 8, zy * 8, mode, mts)
+                    cmts = jnp.zeros((), I32)
+                    tu(s // 2, winCb, colCb, topCb, dCb_ref,
+                       cfCb_ref if encode else None,
+                       zx * 4, zy * 4, mode, cmts)
+                    tu(s // 2, winCr, colCr, topCr, dCr_ref,
+                       cfCr_ref if encode else None,
+                       zx * 4, zy * 4, mode, cmts)
+            return carry
+
+        jax.lax.fori_loop(0, 64, z_body, 0)
+
+        # ---- emit recon blocks, update row/col buffers ----
+        recY_ref[:] = winY[0:64, :]
+        recCb_ref[:] = winCb[0:32, :]
+        recCr_ref[:] = winCr[0:32, :]
+
+        def rowbuf_update(win_, row0, row1, bs, rw):
+            bottom = win_[bs - 1:bs, :]
+            placed = pltpu.roll(
+                jnp.concatenate(
+                    [bottom, jnp.zeros((1, rw - 128), I32)], axis=1),
+                cx * bs + 1, 1)
+            lane = _lane_iota(1, rw)
+            m = (lane >= cx * bs + 1) & (lane < cx * bs + 1 + bs)
+
+            @pl.when(even)
+            def _():
+                row0[:] = jnp.where(m, placed, row0[:])
+
+            @pl.when(jnp.logical_not(even))
+            def _():
+                row1[:] = jnp.where(m, placed, row1[:])
+
+        rowbuf_update(winY, rowY0, rowY1, 64, rwy)
+        rowbuf_update(winCb, rowCb0, rowCb1, 32, rwc)
+        rowbuf_update(winCr, rowCr0, rowCr1, 32, rwc)
+
+        def colbuf_update(win_, col, bs):
+            # col[r] = plane(x0_next - 1, y0 + r): the window's right-edge
+            # column of the CTU slot, incl. the 128s below the CTU.
+            col[:, 0:1] = win_[0:col.shape[0], bs - 1:bs]
+
+        colbuf_update(winY, colY, 64)
+        colbuf_update(winCb, colCb, 32)
+        colbuf_update(winCr, colCr, 32)
+
+    # ---- pallas_call assembly ----
+    smem = pltpu.SMEM
+    vmem = pltpu.VMEM
+
+    in_specs = [pl.BlockSpec((1, cx_n, 64), lambda i, j: (i, 0, 0),
+                             memory_space=smem),
+                pl.BlockSpec((64, 128), lambda i, j: (i, j),
+                             memory_space=vmem),
+                pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                             memory_space=vmem),
+                pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                             memory_space=vmem)]
+
+    def const_spec():
+        return pl.BlockSpec(memory_space=vmem)
+
+    tables = [jnp.asarray(wtabs[4].reshape(-1, 128)),
+              jnp.asarray(wtabs[8].reshape(-1, 128)),
+              jnp.asarray(wtabs[16].reshape(-1, 256))]
+    in_specs += [const_spec(), const_spec(), const_spec()]
+    if has32:
+        tables.append(jnp.asarray(w32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    for s in sorted(smtabs):
+        a, b = smtabs[s]
+        tables.append(jnp.asarray(a))
+        tables.append(jnp.asarray(b))
+        in_specs += [const_spec(), const_spec()]
+    for s in sorted(txtabs):
+        tables.append(jnp.asarray(txtabs[s]))
+        in_specs.append(const_spec())
+
+    outs = [jax.ShapeDtypeStruct((cy_n * 64, cx_n * 128), jnp.int32),
+            jax.ShapeDtypeStruct((cy_n * 32, cx_n * 128), jnp.int32),
+            jax.ShapeDtypeStruct((cy_n * 32, cx_n * 128), jnp.int32)]
+    out_specs = [pl.BlockSpec((64, 128), lambda i, j: (i, j),
+                              memory_space=vmem),
+                 pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                              memory_space=vmem),
+                 pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                              memory_space=vmem)]
+    if encode:
+        outs = outs + list(outs)
+        out_specs = out_specs + [
+            pl.BlockSpec((64, 128), lambda i, j: (i, j),
+                         memory_space=vmem),
+            pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                         memory_space=vmem),
+            pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                         memory_space=vmem)]
+
+    scratch = [pltpu.VMEM((128, 128), jnp.int32),   # winY
+               pltpu.VMEM((64, 128), jnp.int32),    # winCb
+               pltpu.VMEM((64, 128), jnp.int32),    # winCr
+               pltpu.VMEM((1, 128), jnp.int32),     # topY
+               pltpu.VMEM((1, 128), jnp.int32),     # topCb
+               pltpu.VMEM((1, 128), jnp.int32),     # topCr
+               pltpu.VMEM((1, rwy), jnp.int32),     # rowY0
+               pltpu.VMEM((1, rwy), jnp.int32),     # rowY1
+               pltpu.VMEM((1, rwc), jnp.int32),
+               pltpu.VMEM((1, rwc), jnp.int32),
+               pltpu.VMEM((1, rwc), jnp.int32),
+               pltpu.VMEM((1, rwc), jnp.int32),
+               pltpu.VMEM((112, 128), jnp.int32),   # colY
+               pltpu.VMEM((64, 128), jnp.int32),    # colCb
+               pltpu.VMEM((64, 128), jnp.int32)]    # colCr
+    if has32:
+        slot32 = _wgeom(32)[3]
+        scratch += [pltpu.VMEM((slot32, 1024), jnp.int8),
+                    pltpu.SemaphoreType.DMA]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(cy_n, cx_n),
+        out_shape=tuple(outs),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )
+    return call, tables
+
+
+# ---- XLA-side packing -------------------------------------------------------
+
+def _slot_pack(img, cyn: int, cxn: int, bs: int, fill: int):
+    h, w = img.shape
+    p = jnp.full((cyn * bs, cxn * 128), fill, jnp.int32)
+    blocks = jnp.pad(img.astype(jnp.int32),
+                     ((0, cyn * bs - h), (0, cxn * bs - w)),
+                     constant_values=fill)
+    blocks = blocks.reshape(cyn * bs, cxn, bs)
+    p = p.reshape(cyn * bs, cxn, 128).at[:, :, :bs].set(blocks)
+    return p.reshape(cyn * bs, cxn * 128)
+
+
+def _slot_unpack(arr, cyn: int, cxn: int, bs: int, h: int, w: int):
+    a = arr.reshape(cyn * bs, cxn, 128)[:, :, :bs]
+    return a.reshape(cyn * bs, cxn * bs)[:h, :w]
+
+
+@functools.cache
+def _attr_geom(cfg: CodecConfig):
+    z = np.arange(64)
+    zx = (z & 1) | (((z >> 2) & 1) << 1) | (((z >> 4) & 1) << 2)
+    zy = ((z >> 1) & 1) | (((z >> 3) & 1) << 1) | (((z >> 5) & 1) << 2)
+    cyy, cxx = np.mgrid[0:cfg.ctus_y, 0:cfg.ctus_x]
+    ux = cxx[:, :, None] * 8 + zx[None, None, :]
+    uy = cyy[:, :, None] * 8 + zy[None, None, :]
+    inb = (ux < cfg.units_x) & (uy < cfg.units_y)
+    uxc = np.minimum(ux, cfg.units_x - 1).astype(np.int32)
+    uyc = np.minimum(uy, cfg.units_y - 1).astype(np.int32)
+    return (ux.astype(np.int32), uy.astype(np.int32), inb, uxc, uyc)
+
+
+def _pack_attrs(cfg: CodecConfig, size_map, mode_map, mts_map):
+    ux, uy, inb, uxc, uyc = _attr_geom(cfg)
+    sz = size_map[uyc, uxc]
+    units = sz >> 3
+    origin = (((ux & (units - 1)) == 0) & ((uy & (units - 1)) == 0))
+    active = (jnp.asarray(inb) & origin).astype(jnp.int32)
+    code = ((sz == 16).astype(jnp.int32)
+            + 2 * (sz == 32).astype(jnp.int32))
+    mode = mode_map[uyc, uxc]
+    mts = mts_map[uyc, uxc] if cfg.mts else jnp.zeros_like(mode)
+    return active | (code << 1) | (mts << 3) | (mode << 6)
+
+
+# ---- public API -------------------------------------------------------------
+
+@functools.cache
+def make_recon_pallas_raw(cfg: CodecConfig, encode: bool,
+                          interpret: bool | None = None):
+    """Pallas implementation of engine.recon.make_recon_pass_raw —
+    same signature, bit-exact (tests/test_recon_pallas.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call, tables = _build_pallas(cfg, encode, interpret)
+    h, w = cfg.height, cfg.width
+    ch, cw = h // 2, w // 2
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+
+    def run(a, b, c, size_map, mode_map, mts_map):
+        attr = _pack_attrs(cfg, size_map.astype(jnp.int32),
+                           mode_map.astype(jnp.int32),
+                           mts_map.astype(jnp.int32))
+        if encode:
+            # a/b/c are padded planes; image at (+1, +1).
+            dy = _slot_pack(a[1:1 + h, 1:1 + w], cyn, cxn, 64, 128)
+            db = _slot_pack(b[1:1 + ch, 1:1 + cw], cyn, cxn, 32, 128)
+            dc = _slot_pack(c[1:1 + ch, 1:1 + cw], cyn, cxn, 32, 128)
+        else:
+            dy = _slot_pack(a, cyn, cxn, 64, 0)
+            db = _slot_pack(b, cyn, cxn, 32, 0)
+            dc = _slot_pack(c, cyn, cxn, 32, 0)
+        res = call(attr, dy, db, dc, *tables)
+        y8 = _slot_unpack(res[0], cyn, cxn, 64, h, w).astype(jnp.uint8)
+        cb8 = _slot_unpack(res[1], cyn, cxn, 32, ch, cw).astype(jnp.uint8)
+        cr8 = _slot_unpack(res[2], cyn, cxn, 32, ch, cw).astype(jnp.uint8)
+        if encode:
+            cY = _slot_unpack(res[3], cyn, cxn, 64, h, w).astype(jnp.int16)
+            cCb = _slot_unpack(res[4], cyn, cxn, 32, ch, cw
+                               ).astype(jnp.int16)
+            cCr = _slot_unpack(res[5], cyn, cxn, 32, ch, cw
+                               ).astype(jnp.int16)
+        else:
+            cY = a.astype(jnp.int16)
+            cCb = b.astype(jnp.int16)
+            cCr = c.astype(jnp.int16)
+        return (y8, cb8, cr8, cY, cCb, cCr)
+
+    return run
