@@ -9,8 +9,8 @@ from x266_tpu.api import Decoder, Encoder
 from x266_tpu.config import CodecConfig, Profile
 from x266_tpu.core.hashing import frame_md5
 from x266_tpu.core.yuv import synthetic_frame
-from x266_tpu.engine.fused import pack_input
-from x266_tpu.engine.mode_decision import make_mode_decision
+from x266_tpu.engine.mode_decision import (make_mode_decision,
+                                           pad_plane)
 from x266_tpu.engine.recon import make_recon_pass_raw
 from x266_tpu.engine.recon_wave import make_recon_wave_raw
 
@@ -25,13 +25,9 @@ def test_wave_equals_serial_encode(kw):
 
     cfg = CodecConfig(width=128, height=96, qp=33, **kw)
     fr = synthetic_frame(128, 96, kind="mixed", seed=13)
-    packed = pack_input(cfg, fr)
-    hp_y = 1 + cfg.height + 72
-    hp_c = 1 + cfg.height // 2 + 72
-    wp_c = 1 + cfg.width // 2 + 72
-    yP = packed[:hp_y]
-    cbP = packed[hp_y:hp_y + hp_c, :wp_c]
-    crP = packed[hp_y + hp_c:, :wp_c]
+    yP = pad_plane(fr.y)
+    cbP = pad_plane(fr.cb)
+    crP = pad_plane(fr.cr)
     sm, mm = make_mode_decision(cfg)(yP)
     mts = np.zeros((cfg.units_y, cfg.units_x), np.int32)
 

@@ -22,10 +22,10 @@ from x266_tpu.engine.recon import select_recon_impl
 cfg = CodecConfig(width=1920, height=1080, qp=32, rows_per_segment=1)
 f = synthetic_clip(1920, 1080, 1, kind="mixed")[0]
 packed = jax.device_put(fused.pack_input(cfg, f))
-h, w, hp_y, wp_y, hp_c, wp_c = fused._geom(cfg)
-yP = packed[:hp_y].astype(jnp.int32)
-cbP = packed[hp_y:hp_y + hp_c, :wp_c].astype(jnp.int32)
-crP = packed[hp_y + hp_c:, :wp_c].astype(jnp.int32)
+yP, cbP, crP = jax.jit(lambda p: fused._unpack_padded(cfg, p))(packed)
+yP = yP.astype(jnp.int32)
+cbP = cbP.astype(jnp.int32)
+crP = crP.astype(jnp.int32)
 
 md = make_mode_decision(cfg)
 size_map, mode_map = md(yP)

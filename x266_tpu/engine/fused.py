@@ -41,14 +41,34 @@ def _geom(cfg: CodecConfig):
 
 
 def pack_input(cfg: CodecConfig, frame: Frame) -> np.ndarray:
-    """Frame -> one (hp_y + 2*hp_c, wp_y) uint8 buffer, 128-filled."""
-    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
-    buf = np.full((hp_y + 2 * hp_c, wp_y), 128, dtype=np.uint8)
-    buf[1:1 + h, 1:1 + w] = frame.y
-    buf[hp_y + 1:hp_y + 1 + h // 2, 1:1 + w // 2] = frame.cb
-    buf[hp_y + hp_c + 1:hp_y + hp_c + 1 + h // 2,
-        1:1 + w // 2] = frame.cr
+    """Frame -> tight (h + h/2, w) uint8 buffer (Y on top, Cb|Cr below).
+
+    Exactly the picture's 1.5 bytes/pixel go over the wire (the remote
+    tunnel's ~30-60 MB/s makes upload bytes a first-order cost); the
+    128-filled reference padding is reconstructed on device by
+    _unpack_padded under the same jit as the encode step.
+    """
+    h, w = cfg.height, cfg.width
+    buf = np.empty((h + h // 2, w), dtype=np.uint8)
+    buf[:h] = frame.y
+    buf[h:, :w // 2] = frame.cb
+    buf[h:, w // 2:] = frame.cr
     return buf
+
+
+def _unpack_padded(cfg: CodecConfig, packed):
+    """Tight uint8 input -> 128-padded (yP, cbP, crP) planes (on device)."""
+    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
+    y = packed[:h]
+    cb = packed[h:, :w // 2]
+    cr = packed[h:, w // 2:]
+
+    def pad(img, hp, wp):
+        p = jnp.full((hp, wp), 128, packed.dtype)
+        return jax.lax.dynamic_update_slice(p, img, (1, 1))
+
+    return (pad(y, hp_y, wp_y), pad(cb, hp_c, wp_c),
+            pad(cr, hp_c, wp_c))
 
 
 def _maps_layout(cfg: CodecConfig):
@@ -239,9 +259,7 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
     uy, ux = cfg.units_y, cfg.units_x
 
     def step(packed):
-        yP = packed[:hp_y]
-        cbP = packed[hp_y:hp_y + hp_c, :wp_c]
-        crP = packed[hp_y + hp_c:, :wp_c]
+        yP, cbP, crP = _unpack_padded(cfg, packed)
         size_map, mode_map = md(yP)
         if mts_sel is not None:
             mts_map = mts_sel(yP, size_map, mode_map)
@@ -295,9 +313,7 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
     rp = make_recon_inter_raw(cfg, encode=True)
 
     def step(packed, pyr_y, pyr_cb, pyr_cr):
-        yP = packed[:hp_y]
-        cbP = packed[hp_y:hp_y + hp_c, :wp_c]
-        crP = packed[hp_y + hp_c:, :wp_c]
+        yP, cbP, crP = _unpack_padded(cfg, packed)
         size_map, mode_map, pred_map, mvx_map, mvy_map = mdp(yP, pyr_y)
         mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
         (y8, cb8, cr8, cY, cCb, cCr,
