@@ -72,6 +72,72 @@ def test_encode_matches_scan(cfg):
             f"ref={r[tuple(bad[0])]}, got={g[tuple(bad[0])]}")
 
 
+PCFGS = [
+    CodecConfig(width=112, height=80, qp=30, intra_period=8),
+    CodecConfig(width=128, height=64, qp=35, intra_period=8,
+                lossless=False, max_cu_size=16),
+]
+
+
+@pytest.mark.parametrize("cfg", PCFGS, ids=lambda c: (
+    f"{c.width}x{c.height}-qp{c.qp}-cu{c.max_cu_size}"))
+def test_inter_matches_scan(cfg):
+    """P-picture recon: Pallas kernel == XLA scan (incl. derived skip
+    MVs, MC, and the final MV map outputs)."""
+    from x266_tpu.engine import fused
+    from x266_tpu.engine.inter import (make_mode_decision_p_raw,
+                                       make_recon_inter_raw)
+    from x266_tpu.engine.recon_pallas import make_recon_inter_pallas_raw
+
+    w, h = cfg.width, cfg.height
+    y0, cb0, cr0 = _frame(w, h, seed=3)
+    # reference pyramids from a shifted variant of the frame (gives ME
+    # real motion to find -> a mix of intra/inter/skip CUs)
+    yr = np.roll(y0, (2, -3), axis=(0, 1))
+    cbr = np.roll(cb0, (1, -1), axis=(0, 1))
+    crr = np.roll(cr0, (1, -1), axis=(0, 1))
+    import jax.numpy as jnp
+    pyr_y, pyr_cb, pyr_cr = jax.jit(
+        lambda a, b, c: fused._build_pyramids_device(
+            a.astype(jnp.int32), b.astype(jnp.int32),
+            c.astype(jnp.int32)))(yr, cbr, crr)
+
+    yP = pad_plane(y0).astype(np.int32)
+    cbP = pad_plane(cb0).astype(np.int32)
+    crP = pad_plane(cr0).astype(np.int32)
+    maps = jax.jit(make_mode_decision_p_raw(cfg))(yP, pyr_y)
+    size_map, mode_map, pred_map, mvx_map, mvy_map = [
+        np.asarray(m) for m in maps]
+    assert (pred_map > 0).any(), "test setup: no inter CUs chosen"
+    mts_map = np.zeros_like(size_map)
+
+    args = (yP, cbP, crP, size_map, mode_map, mts_map, pred_map,
+            mvx_map, mvy_map, pyr_y, pyr_cb, pyr_cr)
+    ref = jax.jit(make_recon_inter_raw(cfg, True))(*args)
+    got = jax.jit(make_recon_inter_pallas_raw(cfg, True))(*args)
+    names = ["reconY", "reconCb", "reconCr", "coefY", "coefCb",
+             "coefCr", "mvx_fin", "mvy_fin"]
+    for n, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        bad = np.argwhere(r != g)
+        assert bad.size == 0, (
+            f"{n}: {bad.shape[0]} diffs, first {bad[:4].tolist()} "
+            f"ref={r[tuple(bad[0])]} got={g[tuple(bad[0])]}")
+
+    # decode side: feed the encoder's coefficients back
+    dargs = (np.asarray(ref[3]).astype(np.int32),
+             np.asarray(ref[4]).astype(np.int32),
+             np.asarray(ref[5]).astype(np.int32),
+             size_map, mode_map, mts_map, pred_map,
+             np.asarray(ref[6]).astype(np.int32),
+             np.asarray(ref[7]).astype(np.int32),
+             pyr_y, pyr_cb, pyr_cr)
+    dref = jax.jit(make_recon_inter_raw(cfg, False))(*dargs)
+    dgot = jax.jit(make_recon_inter_pallas_raw(cfg, False))(*dargs)
+    for n, r, g in zip(names[:3], dref[:3], dgot[:3]):
+        assert (np.asarray(r) == np.asarray(g)).all(), f"decode {n}"
+
+
 @pytest.mark.parametrize("cfg", CFGS[:3], ids=lambda c: (
     f"{c.width}x{c.height}{'-mts' if c.mts else ''}"
     f"{'-ll' if c.lossless else ''}"))

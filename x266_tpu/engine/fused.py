@@ -306,11 +306,11 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
     next-reference pyramids, ONE call.  Takes the previous picture's
     pyramids (device arrays) alongside the packed input."""
     from x266_tpu.engine.inter import (make_mode_decision_p_raw,
-                                       make_recon_inter_raw)
+                                       select_recon_inter_impl)
 
     h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
     mdp = make_mode_decision_p_raw(cfg)
-    rp = make_recon_inter_raw(cfg, encode=True)
+    rp = select_recon_inter_impl(cfg, encode=True)
 
     def step(packed, pyr_y, pyr_cb, pyr_cr):
         yP, cbP, crP = _unpack_padded(cfg, packed)
@@ -335,10 +335,10 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
 def make_decode_step_p(cfg: CodecConfig, with_pyramids: bool = True):
     """P decode: (packed coef i16, flat maps i16, pyramids) ->
     (packed recon u8 [, new pyramids])."""
-    from x266_tpu.engine.inter import make_recon_inter_raw
+    from x266_tpu.engine.inter import select_recon_inter_impl
 
     h, w = cfg.height, cfg.width
-    rp = make_recon_inter_raw(cfg, encode=False)
+    rp = select_recon_inter_impl(cfg, encode=False)
     uy, ux = cfg.units_y, cfg.units_x
     cyn, cxn = cfg.ctus_y, cfg.ctus_x
     offs, _ = _maps_layout(cfg)

@@ -51,10 +51,24 @@ def mv_predictor_np(pred_map, mvx_map, mvy_map, ux, uy):
     return 0, 0
 
 
-def _inter_cost(cfg, plane, pyr_y, mv_grid, size):
+def _blockify(frame, gy: int, gx: int, s: int):
+    """(>=gy*s, >=gx*s) frame -> (gy*gx, s, s) via reshape (no gather)."""
+    f = frame
+    ph, pw = gy * s - f.shape[0], gx * s - f.shape[1]
+    if ph > 0 or pw > 0:
+        f = jnp.pad(f, ((0, max(ph, 0)), (0, max(pw, 0))))
+    blk = f[:gy * s, :gx * s].reshape(gy, s, gx, s).transpose(0, 2, 1, 3)
+    return blk.reshape(gy * gx, s, s)
+
+
+def _inter_cost(cfg, plane, pyr_y, mv_grid, size, warped=None):
     """Explicit-inter and skip candidate costs for all size-s blocks.
 
     Returns (cost_inter, mvx, mvy, cost_skip) as (gy, gx) grids.
+    warped: optional (explicit_frame, skip_frame) MC frames from
+    kernels.me_pallas.warp_frames — per-block predictions become pure
+    reshapes (identical values; the vmapped mc_block gathers they
+    replace are the XLA-gather cliff, ~150 ms/size at 1080p).
     """
     w, h, s = cfg.width, cfg.height, size
     lam = np.float32(cfg.lambda_mode)
@@ -71,11 +85,15 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size):
 
     orig = _block_gather(plane, gy, gx, s)        # (B, s, s)
 
-    def mc(x, y, m):
-        return interp.mc_block(pyr_y, x, y, m[0], m[1], s)
+    if warped is not None:
+        pred = _blockify(warped[0], gy, gx, s)
+        pred_skip = _blockify(warped[1], gy, gx, s)
+    else:
+        def mc(x, y, m):
+            return interp.mc_block(pyr_y, x, y, m[0], m[1], s)
 
-    pred = jax.vmap(mc)(xs, ys, mv)
-    pred_skip = jax.vmap(mc)(xs, ys, mvl)
+        pred = jax.vmap(mc)(xs, ys, mv)
+        pred_skip = jax.vmap(mc)(xs, ys, mvl)
 
     res = orig - pred
     mv_bits = jnp.sum(2.0 + 2.0 * jnp.log2(
@@ -104,17 +122,43 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size):
 
 
 @functools.cache
-def make_mode_decision_p_raw(cfg: CodecConfig):
+def make_mode_decision_p_raw(cfg: CodecConfig,
+                             use_pallas: bool | None = None):
     """Pass A for P pictures: padded luma plane + luma pyramid ->
-    (size_map, mode_map, pred_map, mvx_map, mvy_map)."""
+    (size_map, mode_map, pred_map, mvx_map, mvy_map).
+
+    use_pallas: None = auto (TPU backend / X266T_PALLAS); the Pallas
+    path warps full MC frames once per MV field and turns all per-block
+    prediction gathers into reshapes — bit-identical decisions.
+    """
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
+    pallas = kme.use_pallas_me(use_pallas)
+
+    def _rep2(g, by, bx):
+        """2x2-replicate the even-index subgrid back to (by, bx)."""
+        r = jnp.repeat(jnp.repeat(g[0::2, 0::2], 2, axis=0), 2, axis=1)
+        return r[:by, :bx]
 
     def run(plane, pyr_y):
         plane = plane.astype(jnp.int32)
         mv_grid = kme.me_search(
             plane[1:1 + cfg.height, 1:1 + cfg.width], pyr_y, cfg,
-            float(cfg.lambda_mode))
+            float(cfg.lambda_mode), use_pallas=use_pallas)
+
+        warp = {}
+        if pallas:
+            from x266_tpu.kernels import me_pallas
+            by, bx = mv_grid.shape[:2]
+            left = mv_grid[:, np.maximum(np.arange(bx) - 1, 0)]
+            fields = [mv_grid, left]
+            if cfg.max_cu_size >= 32:
+                fields += [_rep2(mv_grid, by, bx), _rep2(left, by, bx)]
+            frames = me_pallas.warp_frames(
+                pyr_y, jnp.stack(fields), cfg.height, cfg.width)
+            warp[8] = warp[16] = (frames[0], frames[1])
+            if cfg.max_cu_size >= 32:
+                warp[32] = (frames[2], frames[3])
 
         per_size = {}
         for s in (8, 16, 32):
@@ -122,7 +166,8 @@ def make_mode_decision_p_raw(cfg: CodecConfig):
                 continue
             cost_intra, mode_intra = _eval_size(plane, s, cfg)
             c_int, mvx, mvy, c_skip = _inter_cost(cfg, plane, pyr_y,
-                                                  mv_grid, s)
+                                                  mv_grid, s,
+                                                  warp.get(s))
             valid = jnp.isfinite(cost_intra)
             c_int = jnp.where(valid, c_int, jnp.inf)
             c_skip = jnp.where(valid, c_skip, jnp.inf)
@@ -161,6 +206,23 @@ def make_mode_decision_p_raw(cfg: CodecConfig):
         return size_map, mode_map, pred_map, mvx_map, mvy_map
 
     return run
+
+
+def select_recon_inter_impl(cfg: CodecConfig, encode: bool):
+    """P-picture recon implementation selector (mirrors
+    engine.recon.select_recon_impl): the Pallas kernel on the TPU
+    backend (X266T_PALLAS=0 disables / =1 forces), the XLA scan
+    otherwise.  Both are bit-exact (tests/test_recon_pallas.py)."""
+    import os
+
+    flag = os.environ.get("X266T_PALLAS")
+    use_pallas = (jax.default_backend() == "tpu" if flag is None
+                  else flag != "0")
+    if use_pallas:
+        from x266_tpu.engine.recon_pallas import (
+            make_recon_inter_pallas_raw)
+        return make_recon_inter_pallas_raw(cfg, encode)
+    return make_recon_inter_raw(cfg, encode)
 
 
 @functools.cache

@@ -54,10 +54,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from x266_tpu.config import CodecConfig
+from x266_tpu.kernels.interp import REF_PAD
 from x266_tpu.kernels.transforms import MTS_COMBOS
 from x266_tpu.specmodel import intra as ispec
 from x266_tpu.specmodel import quant as qspec
 from x266_tpu.specmodel import transforms as tspec
+
+PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2   # mirrors engine.inter
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -237,7 +240,8 @@ def _to2d(vec_i32, s: int):
 
 # ---- kernel factory ---------------------------------------------------------
 
-def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
+def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
+                  inter: bool = False):
     cy_n, cx_n = cfg.ctus_y, cfg.ctus_x
     qp = cfg.qp
     lossless = cfg.lossless
@@ -270,9 +274,14 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
     def kernel(*refs):
         it = iter(refs)
         attr_ref = next(it)
+        attr2_ref = next(it) if inter else None
         dY_ref = next(it)        # src (encode) or coef (decode) blocks
         dCb_ref = next(it)
         dCr_ref = next(it)
+        if inter:
+            pyrY_ref = next(it)
+            pyrCb_ref = next(it)
+            pyrCr_ref = next(it)
         w4_ref = next(it)
         w8_ref = next(it)
         w16_ref = next(it)
@@ -286,6 +295,9 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
             cfY_ref = next(it)
             cfCb_ref = next(it)
             cfCr_ref = next(it)
+        if inter:
+            mvxO_ref = next(it)
+            mvyO_ref = next(it)
         winY = next(it)
         winCb = next(it)
         winCr = next(it)
@@ -301,6 +313,15 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
         colY = next(it)
         colCb = next(it)
         colCr = next(it)
+        if inter:
+            predbuf = next(it)
+            mcwin = next(it)
+            mcsem = next(it)
+            mvx_s = next(it)
+            mvy_s = next(it)
+            int_s = next(it)
+            mvxV = next(it)
+            mvyV = next(it)
         if has32:
             w32s = next(it)
             dmasem = next(it)
@@ -326,6 +347,25 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
             cfY_ref[:] = jnp.zeros_like(cfY_ref[:])
             cfCb_ref[:] = jnp.zeros_like(cfCb_ref[:])
             cfCr_ref[:] = jnp.zeros_like(cfCr_ref[:])
+        if inter:
+            # MV-state edge: col 8 = the left CTU's rightmost unit column
+            # (its values are final — raster order), "not inter" at cx==0.
+            # Cols 0..7 need no reset: a CU origin only reads left/above
+            # units, which are always already written (z-order).
+            @pl.when(cx == 0)
+            def _():
+                for i in range(8):
+                    int_s[i, 8] = 0
+
+            @pl.when(cx > 0)
+            def _():
+                for i in range(8):
+                    int_s[i, 8] = int_s[i, 7]
+                    mvx_s[i, 8] = mvx_s[i, 7]
+                    mvy_s[i, 8] = mvy_s[i, 7]
+
+            mvxV[:] = jnp.zeros_like(mvxV[:])
+            mvyV[:] = jnp.zeros_like(mvyV[:])
 
         # toprow: last pixel row of the CTU row above (128 at picture top).
         even = (cy % 2) == 0
@@ -339,11 +379,11 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
                              pltpu.roll(rowCr0[:], shc, 1)[:, :128])
 
         # ---- one TU ----
-        def tu(s, win, col, top, data_ref, cf_ref, x, y, mode, mts):
+        def intra_pred(s, win, col, top, x, y, mode):
+            """Normative intra prediction -> (s, s) int32."""
             realign = (s == 4)
             topr, leftr, smr, slot = _wgeom(s)
             log2s = s.bit_length() - 1
-            lanes_w = max(s * s, 128)
 
             # reference vector pieces
             row_int = win[pl.ds(jnp.maximum(y - 1, 0), 1), :]
@@ -389,7 +429,55 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
             pred_i = pred.astype(I32)
             sh = jnp.where(mode <= 1, log2s + 1, 5)
             pred_i = (pred_i + (1 << (sh - 1))) >> sh
-            pred2d = _to2d(pred_i, s)                           # (s,s)
+            return _to2d(pred_i, s)                             # (s,s)
+
+        def mc_pred(s, pyr_ref, xpix, ypix, mvx, mvy):
+            """Motion-compensated (s, s) int32 prediction: DMA an
+            8/128-aligned window around the integer-pel gather position,
+            then shift with rolls / static row selects (mirrors
+            kernels.interp.mc_block: plane (mvy&3)*4+(mvx&3), offset
+            pos + REF_PAD + (mv >> 2))."""
+            f = (mvy & 3) * 4 + (mvx & 3)
+            ix = xpix + REF_PAD + (mvx >> 2)
+            iy = ypix + REF_PAD + (mvy >> 2)
+            iyb = (iy // 8) * 8
+            ixb = (ix // 128) * 128
+            cp = pltpu.make_async_copy(
+                pyr_ref.at[f, pl.ds(pl.multiple_of(iyb, 8), 40),
+                           pl.ds(pl.multiple_of(ixb, 128), 256)],
+                mcwin, mcsem)
+            cp.start()
+            cp.wait()
+            v = mcwin[:].astype(I32)
+            v = pltpu.roll(v, (256 - (ix - ixb)) % 256, 1)[:, 0:s]
+            rem = iy - iyb                                      # 0..7
+            out = v[0:s]
+            for k in range(1, 8):
+                out = jnp.where(rem == k, v[k:k + s], out)
+            return out
+
+        def tu(s, win, col, top, data_ref, cf_ref, x, y, mode, mts,
+               iargs=None):
+            realign = (s == 4)
+            log2s = s.bit_length() - 1
+
+            if iargs is None:
+                pred2d = intra_pred(s, win, col, top, x, y, mode)
+                skip = None
+            else:
+                is_inter, skip, mvx, mvy, pyr_ref, x0pix, y0pix = iargs
+
+                @pl.when(jnp.logical_not(is_inter))
+                def _():
+                    predbuf[0:s, 0:s] = intra_pred(s, win, col, top,
+                                                   x, y, mode)
+
+                @pl.when(is_inter)
+                def _():
+                    predbuf[0:s, 0:s] = mc_pred(s, pyr_ref, x0pix + x,
+                                                y0pix + y, mvx, mvy)
+
+                pred2d = predbuf[0:s, 0:s]
 
             # transform matrices for this TU's combo
             nct = ncombo if (s in sizes and cfg.mts) else 1
@@ -415,8 +503,13 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
                 dblk = _read_rows(data_ref, y, s, realign)
                 orig = pltpu.roll(dblk, (128 - x) % 128, 1)[:, 0:s]
                 if lossless:
-                    rec = orig
-                    lev = orig - pred2d
+                    if skip is None:
+                        rec = orig
+                        lev = orig - pred2d
+                    else:
+                        lev = jnp.where(skip, 0, orig - pred2d)
+                        rec = jnp.clip(jnp.where(skip, pred2d, orig),
+                                       0, 255)
                 else:
                     res = (orig - pred2d).astype(F32)
                     t = _mm(txmat(0), res).astype(I32)
@@ -428,6 +521,8 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
                                     0, 32767)
                     lev = jnp.where(co > 0, alev,
                                     jnp.where(co < 0, -alev, 0))
+                    if skip is not None:
+                        lev = jnp.where(skip, 0, lev)
                     rec = jnp.clip(pred2d + inverse(lev), 0, 255)
                 _rmw_write(cf_ref, y, s, lev, x, realign)
             else:
@@ -440,6 +535,21 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
             _rmw_write(win, y, s, rec, x, realign)
 
         # ---- z-order walk over the CTU's 8x8 units ----
+        def derive_mv(zx, zy):
+            """Skip-MV predictor (mirrors engine.inter.mv_predictor_np):
+            left unit's MV if its CU is inter, else the above unit
+            (same CTU row, i.e. zy > 0), else (0, 0)."""
+            lidx = jnp.where(zx > 0, zx - 1, 8)
+            left_ok = (((cx > 0) | (zx > 0))
+                       & (int_s[zy, lidx] == 1))
+            arow = jnp.maximum(zy - 1, 0)
+            above_ok = (zy > 0) & (int_s[arow, zx] == 1)
+            dmx = jnp.where(left_ok, mvx_s[zy, lidx],
+                            jnp.where(above_ok, mvx_s[arow, zx], 0))
+            dmy = jnp.where(left_ok, mvy_s[zy, lidx],
+                            jnp.where(above_ok, mvy_s[arow, zx], 0))
+            return dmx, dmy
+
         def z_body(z, carry):
             a = attr_ref[0, cx, z]
             active = (a & 1) == 1
@@ -452,16 +562,60 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
             for si, s in enumerate(sizes):
                 @pl.when(active & (code == si))
                 def _(s=s):
+                    cmts = jnp.zeros((), I32)
+                    if not inter:
+                        tu(s, winY, colY, topY, dY_ref,
+                           cfY_ref if encode else None,
+                           zx * 8, zy * 8, mode, mts)
+                        tu(s // 2, winCb, colCb, topCb, dCb_ref,
+                           cfCb_ref if encode else None,
+                           zx * 4, zy * 4, mode, cmts)
+                        tu(s // 2, winCr, colCr, topCr, dCr_ref,
+                           cfCr_ref if encode else None,
+                           zx * 4, zy * 4, mode, cmts)
+                        return
+                    a2 = attr2_ref[0, cx, z]
+                    kind = a2 & 3
+                    amvx = ((a2 >> 2) & 1023) - 512
+                    amvy = ((a2 >> 12) & 1023) - 512
+                    skip = kind == PRED_SKIP
+                    is_inter = kind != PRED_INTRA
+                    dmx, dmy = derive_mv(zx, zy)
+                    mvx = jnp.where(skip, dmx, amvx)
+                    mvy = jnp.where(skip, dmy, amvy)
                     tu(s, winY, colY, topY, dY_ref,
                        cfY_ref if encode else None,
-                       zx * 8, zy * 8, mode, mts)
-                    cmts = jnp.zeros((), I32)
+                       zx * 8, zy * 8, mode, mts,
+                       iargs=(is_inter, skip, mvx, mvy, pyrY_ref,
+                              cx * 64, cy * 64))
+                    cmx = mvx >> 1
+                    cmy = mvy >> 1
                     tu(s // 2, winCb, colCb, topCb, dCb_ref,
                        cfCb_ref if encode else None,
-                       zx * 4, zy * 4, mode, cmts)
+                       zx * 4, zy * 4, mode, cmts,
+                       iargs=(is_inter, skip, cmx, cmy, pyrCb_ref,
+                              cx * 32, cy * 32))
                     tu(s // 2, winCr, colCr, topCr, dCr_ref,
                        cfCr_ref if encode else None,
-                       zx * 4, zy * 4, mode, cmts)
+                       zx * 4, zy * 4, mode, cmts,
+                       iargs=(is_inter, skip, cmx, cmy, pyrCr_ref,
+                              cx * 32, cy * 32))
+                    # record the CU's final MV + inter flag over its units
+                    u = s // 8
+                    flag = is_inter.astype(I32)
+                    for i in range(u):
+                        for j in range(u):
+                            mvx_s[zy + i, zx + j] = mvx
+                            mvy_s[zy + i, zx + j] = mvy
+                            int_s[zy + i, zx + j] = flag
+                    row = _row_iota(8, 128)
+                    lane = _lane_iota(8, 128)
+                    m = ((row >= zy) & (row < zy + u)
+                         & (lane >= zx) & (lane < zx + u))
+                    mvxV[:] = jnp.where(m, jnp.full((8, 128), mvx, I32),
+                                        mvxV[:])
+                    mvyV[:] = jnp.where(m, jnp.full((8, 128), mvy, I32),
+                                        mvyV[:])
             return carry
 
         jax.lax.fori_loop(0, 64, z_body, 0)
@@ -470,6 +624,9 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
         recY_ref[:] = winY[0:64, :]
         recCb_ref[:] = winCb[0:32, :]
         recCr_ref[:] = winCr[0:32, :]
+        if inter:
+            mvxO_ref[:] = mvxV[:]
+            mvyO_ref[:] = mvyV[:]
 
         def rowbuf_update(win_, row0, row1, bs, rw):
             bottom = win_[bs - 1:bs, :]
@@ -505,14 +662,19 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
     smem = pltpu.SMEM
     vmem = pltpu.VMEM
 
-    in_specs = [pl.BlockSpec((1, cx_n, 64), lambda i, j: (i, 0, 0),
-                             memory_space=smem),
-                pl.BlockSpec((64, 128), lambda i, j: (i, j),
-                             memory_space=vmem),
-                pl.BlockSpec((32, 128), lambda i, j: (i, j),
-                             memory_space=vmem),
-                pl.BlockSpec((32, 128), lambda i, j: (i, j),
-                             memory_space=vmem)]
+    attr_spec = pl.BlockSpec((1, cx_n, 64), lambda i, j: (i, 0, 0),
+                             memory_space=smem)
+    in_specs = [attr_spec]
+    if inter:
+        in_specs.append(attr_spec)
+    in_specs += [pl.BlockSpec((64, 128), lambda i, j: (i, j),
+                              memory_space=vmem),
+                 pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                              memory_space=vmem),
+                 pl.BlockSpec((32, 128), lambda i, j: (i, j),
+                              memory_space=vmem)]
+    if inter:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3  # pyramids
 
     def const_spec():
         return pl.BlockSpec(memory_space=vmem)
@@ -551,6 +713,11 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
                          memory_space=vmem),
             pl.BlockSpec((32, 128), lambda i, j: (i, j),
                          memory_space=vmem)]
+    if inter:
+        outs += [jax.ShapeDtypeStruct((cy_n * 8, cx_n * 128), jnp.int32),
+                 jax.ShapeDtypeStruct((cy_n * 8, cx_n * 128), jnp.int32)]
+        out_specs += [pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                   memory_space=vmem)] * 2
 
     scratch = [pltpu.VMEM((128, 128), jnp.int32),   # winY
                pltpu.VMEM((64, 128), jnp.int32),    # winCb
@@ -567,6 +734,15 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool):
                pltpu.VMEM((112, 128), jnp.int32),   # colY
                pltpu.VMEM((64, 128), jnp.int32),    # colCb
                pltpu.VMEM((64, 128), jnp.int32)]    # colCr
+    if inter:
+        scratch += [pltpu.VMEM((32, 128), jnp.int32),    # predbuf
+                    pltpu.VMEM((40, 256), jnp.uint8),    # mcwin
+                    pltpu.SemaphoreType.DMA,             # mcsem
+                    pltpu.SMEM((8, 16), jnp.int32),      # mvx_s
+                    pltpu.SMEM((8, 16), jnp.int32),      # mvy_s
+                    pltpu.SMEM((8, 16), jnp.int32),      # int_s
+                    pltpu.VMEM((8, 128), jnp.int32),     # mvxV
+                    pltpu.VMEM((8, 128), jnp.int32)]     # mvyV
     if has32:
         slot32 = _wgeom(32)[3]
         scratch += [pltpu.VMEM((slot32, 1024), jnp.int8),
@@ -673,5 +849,91 @@ def make_recon_pallas_raw(cfg: CodecConfig, encode: bool,
             cCb = b.astype(jnp.int16)
             cCr = c.astype(jnp.int16)
         return (y8, cb8, cr8, cY, cCb, cCr)
+
+    return run
+
+
+def _pack_attrs2(cfg: CodecConfig, pred_map, mvx_map, mvy_map):
+    """Second attr word: CU kind + explicit MV (|mv| <= 288 < 512)."""
+    _, _, _, uxc, uyc = _attr_geom(cfg)
+    kind = pred_map[uyc, uxc]
+    mvx = mvx_map[uyc, uxc] + 512
+    mvy = mvy_map[uyc, uxc] + 512
+    return kind | (mvx << 2) | (mvy << 12)
+
+
+def _pad_pyr(pyr, rpad: int, wneed: int):
+    """Zero-pad a (16, Hp, Wp) pyramid on the far sides so every MC
+    window DMA (8-aligned rows x 40, 128-aligned lanes x 256) stays in
+    bounds; the padding is never consumed (rolls discard it)."""
+    wpad = max(0, wneed - pyr.shape[2])
+    return jnp.pad(pyr, ((0, 0), (0, rpad), (0, wpad)))
+
+
+@functools.cache
+def make_recon_inter_pallas_raw(cfg: CodecConfig, encode: bool,
+                                interpret: bool | None = None):
+    """Pallas implementation of engine.inter.make_recon_inter_raw —
+    same signature and bit-exact results (tests/test_recon_pallas.py).
+
+    Adds to the intra kernel: per-CU kind/MV attributes, skip-MV
+    derivation through an SMEM unit-MV state (left column of the
+    previous CTU carried in column 8), motion compensation as an
+    aligned-window DMA from the uint8 quarter-pel pyramids, and final
+    per-unit MV map outputs for the entropy walker.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call, tables = _build_pallas(cfg, encode, interpret, inter=True)
+    h, w = cfg.height, cfg.width
+    ch, cw = h // 2, w // 2
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+    uyn, uxn = cfg.units_y, cfg.units_x
+    # luma gather offset bound: pos + REF_PAD + 72; window reads 40 rows
+    # from an 8-aligned base and 256 lanes from a 128-aligned base.
+    wneed_y = _pad_to(w + REF_PAD + 72, 128) + 256
+    wneed_c = _pad_to(cw + REF_PAD + 40, 128) + 256
+    rpad = 40
+
+    def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
+            mvy_map, pyr_y, pyr_cb, pyr_cr):
+        attr = _pack_attrs(cfg, size_map.astype(jnp.int32),
+                           mode_map.astype(jnp.int32),
+                           mts_map.astype(jnp.int32))
+        attr2 = _pack_attrs2(cfg, pred_map.astype(jnp.int32),
+                             mvx_map.astype(jnp.int32),
+                             mvy_map.astype(jnp.int32))
+        if encode:
+            dy = _slot_pack(a[1:1 + h, 1:1 + w], cyn, cxn, 64, 128)
+            db = _slot_pack(b[1:1 + ch, 1:1 + cw], cyn, cxn, 32, 128)
+            dc = _slot_pack(c[1:1 + ch, 1:1 + cw], cyn, cxn, 32, 128)
+        else:
+            dy = _slot_pack(a, cyn, cxn, 64, 0)
+            db = _slot_pack(b, cyn, cxn, 32, 0)
+            dc = _slot_pack(c, cyn, cxn, 32, 0)
+        py = _pad_pyr(pyr_y, rpad, wneed_y)
+        pcb = _pad_pyr(pyr_cb, rpad, wneed_c)
+        pcr = _pad_pyr(pyr_cr, rpad, wneed_c)
+        res = call(attr, attr2, dy, db, dc, py, pcb, pcr, *tables)
+        y8 = _slot_unpack(res[0], cyn, cxn, 64, h, w).astype(jnp.uint8)
+        cb8 = _slot_unpack(res[1], cyn, cxn, 32, ch, cw).astype(jnp.uint8)
+        cr8 = _slot_unpack(res[2], cyn, cxn, 32, ch, cw).astype(jnp.uint8)
+        if encode:
+            cY = _slot_unpack(res[3], cyn, cxn, 64, h, w).astype(jnp.int16)
+            cCb = _slot_unpack(res[4], cyn, cxn, 32, ch, cw
+                               ).astype(jnp.int16)
+            cCr = _slot_unpack(res[5], cyn, cxn, 32, ch, cw
+                               ).astype(jnp.int16)
+            mvx_o, mvy_o = res[6], res[7]
+        else:
+            cY = a.astype(jnp.int16)
+            cCb = b.astype(jnp.int16)
+            cCr = c.astype(jnp.int16)
+            mvx_o, mvy_o = res[3], res[4]
+        mvx_f = _slot_unpack(mvx_o, cyn, cxn, 8, uyn, uxn
+                             ).astype(jnp.int16)
+        mvy_f = _slot_unpack(mvy_o, cyn, cxn, 8, uyn, uxn
+                             ).astype(jnp.int16)
+        return (y8, cb8, cr8, cY, cCb, cCr, mvx_f, mvy_f)
 
     return run

@@ -30,9 +30,21 @@ def _block_sums(diff: jnp.ndarray, by: int, bx: int) -> jnp.ndarray:
         axis=(1, 3), dtype=jnp.int32)
 
 
+def _ceil_pad(img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-pad a picture to ME_BLOCK multiples (1080p is 67.5 blocks
+    tall; boundary blocks search with replicated edge content)."""
+    h, w = img.shape
+    ph = -(-h // ME_BLOCK) * ME_BLOCK - h
+    pw = -(-w // ME_BLOCK) * ME_BLOCK - w
+    if ph == 0 and pw == 0:
+        return img
+    return jnp.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+
 def integer_search(cur: jnp.ndarray, ref_pad: jnp.ndarray,
                    lam: float) -> jnp.ndarray:
-    """cur: (H, W) int32 picture; ref_pad: REF_PAD-padded reference.
+    """cur: (H, W) int32 picture (ME_BLOCK multiples); ref_pad:
+    REF_PAD-padded reference.
 
     Returns (By, Bx, 2) int32 full-pel MVs.
     """
@@ -40,28 +52,38 @@ def integer_search(cur: jnp.ndarray, ref_pad: jnp.ndarray,
     by, bx = h // ME_BLOCK, w // ME_BLOCK
     r = SEARCH_R
     n = 2 * r + 1
-    offsets = jnp.asarray(
-        [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
-        dtype=jnp.int32)
 
-    def body(carry, off):
+    # One scan step per dy; all 2r+1 dx shifts come from STATIC slices
+    # of one (h, w+2r) row window.  The previous per-(dy,dx) scan was
+    # 1089 sequential steps of tiny kernels — per-step dispatch
+    # dominated (~300 ms at 1080p); this shape is 33 steps of dense
+    # VPU work.
+    dys = jnp.arange(-r, r + 1, dtype=jnp.int32)
+
+    def body(carry, dy):
         best_cost, best_mv = carry
-        dy, dx = off[0], off[1]
-        win = jax.lax.dynamic_slice(
-            ref_pad, (interp.REF_PAD + dy, interp.REF_PAD + dx), (h, w))
-        sad = _block_sums(jnp.abs(cur - win), by, bx)
-        mv_pen = (jnp.abs(dy) + jnp.abs(dx)).astype(jnp.float32)
-        cost = sad.astype(jnp.float32) + lam * 2.0 * mv_pen
-        better = cost < best_cost
-        best_cost = jnp.where(better, cost, best_cost)
-        mv = jnp.stack([jnp.broadcast_to(dx, (by, bx)),
+        row = jax.lax.dynamic_slice(
+            ref_pad, (interp.REF_PAD + dy, interp.REF_PAD - r),
+            (h, w + 2 * r))
+        sads = jnp.stack(
+            [_block_sums(jnp.abs(cur - row[:, k:k + w]), by, bx)
+             for k in range(n)])                       # (n, By, Bx)
+        dxs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        pen = (jnp.abs(dxs) + jnp.abs(dy).astype(jnp.float32)
+               )[:, None, None]
+        cost = sads.astype(jnp.float32) + lam * 2.0 * pen
+        k = jnp.argmin(cost, axis=0)                   # (By, Bx)
+        c = jnp.min(cost, axis=0)
+        better = c < best_cost
+        best_cost = jnp.where(better, c, best_cost)
+        mv = jnp.stack([k.astype(jnp.int32) - r,
                         jnp.broadcast_to(dy, (by, bx))], axis=-1)
         best_mv = jnp.where(better[..., None], mv, best_mv)
         return (best_cost, best_mv), None
 
     init = (jnp.full((by, bx), jnp.inf, jnp.float32),
             jnp.zeros((by, bx, 2), jnp.int32))
-    (cost, mv), _ = jax.lax.scan(body, init, offsets)
+    (cost, mv), _ = jax.lax.scan(body, init, dys)
     return mv                                  # (..., [x, y]) full-pel
 
 
@@ -103,14 +125,31 @@ def fractional_refine(cur: jnp.ndarray, pyramid: jnp.ndarray,
     return mv.reshape(by, bx, 2)
 
 
-def me_search(cur, pyramid, cfg, lam: float):
-    """(H, W) current + (16, Hp, Wp) pyramid -> (By, Bx, 2) quarter MVs.
-    pyramid[0] is exactly the padded integer reference plane."""
-    cur = cur.astype(jnp.int32)
+def use_pallas_me(flag: bool | None = None) -> bool:
+    """Pallas ME kernels on TPU unless X266T_PALLAS=0 (or flag given)."""
+    import os
+
+    if flag is not None:
+        return flag
+    env = os.environ.get("X266T_PALLAS")
+    return jax.default_backend() == "tpu" if env is None else env != "0"
+
+
+def me_search(cur, pyramid, cfg, lam: float,
+              use_pallas: bool | None = None):
+    """(H, W) current + (16, Hp, Wp) pyramid -> (By, Bx, 2) quarter MVs
+    with By/Bx = ceil(H/16)/ceil(W/16).  pyramid[0] is exactly the
+    padded integer reference plane."""
+    cur = _ceil_pad(cur.astype(jnp.int32))
     ref_pad = pyramid[0].astype(jnp.int32)
     imv = integer_search(cur, ref_pad, lam)
     bound = interp.mv_bounds(cfg, ME_BLOCK) - 8
-    return jnp.clip(fractional_refine(cur, pyramid, imv), -bound, bound)
+    if use_pallas_me(use_pallas):
+        from x266_tpu.kernels.me_pallas import frac_refine
+        mv = frac_refine(cur, pyramid, imv)
+    else:
+        mv = fractional_refine(cur, pyramid, imv)
+    return jnp.clip(mv, -bound, bound)
 
 
 @functools.cache
