@@ -138,6 +138,68 @@ def test_inter_matches_scan(cfg):
         assert (np.asarray(r) == np.asarray(g)).all(), f"decode {n}"
 
 
+def test_inter_b_matches_scan():
+    """B-picture recon (L0/L1/bi/skip): Pallas kernel == XLA scan."""
+    from x266_tpu.engine import fused
+    from x266_tpu.engine.inter import (make_mode_decision_b_raw,
+                                       make_recon_inter_raw)
+    from x266_tpu.engine.recon_pallas import make_recon_inter_pallas_raw
+    import jax.numpy as jnp
+
+    cfg = CodecConfig(width=112, height=80, qp=30, intra_period=8,
+                      gop_size=4)
+    w, h = cfg.width, cfg.height
+    y0, cb0, cr0 = _frame(w, h, seed=21)
+
+    def pyrs(y, cb, cr):
+        return jax.jit(lambda a, b, c: fused._build_pyramids_device(
+            a.astype(jnp.int32), b.astype(jnp.int32),
+            c.astype(jnp.int32)))(y, cb, cr)
+
+    p0 = pyrs(np.roll(y0, (2, -3), (0, 1)), np.roll(cb0, 1, 0),
+              np.roll(cr0, 1, 0))
+    p1 = pyrs(np.roll(y0, (-1, 2), (0, 1)), np.roll(cb0, -1, 1),
+              np.roll(cr0, -1, 1))
+
+    yP = pad_plane(y0).astype(np.int32)
+    cbP = pad_plane(cb0).astype(np.int32)
+    crP = pad_plane(cr0).astype(np.int32)
+    maps = jax.jit(make_mode_decision_b_raw(cfg))(yP, p0[0], p1[0])
+    maps = [np.asarray(m) for m in maps]
+    kinds = maps[2]
+    assert (kinds == 3).any() or (kinds == 4).any(), \
+        "test setup: no L1/bi CUs chosen"
+    mts_map = np.zeros_like(maps[0])
+
+    args = (yP, cbP, crP, maps[0], maps[1], mts_map, maps[2], maps[3],
+            maps[4], *p0, *p1, maps[5], maps[6])
+    ref = jax.jit(make_recon_inter_raw(cfg, True, b_mode=True))(*args)
+    got = jax.jit(make_recon_inter_pallas_raw(cfg, True, b_mode=True)
+                  )(*args)
+    names = ["reconY", "reconCb", "reconCr", "coefY", "coefCb",
+             "coefCr", "mvx_fin", "mvy_fin"]
+    for n, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        bad = np.argwhere(r != g)
+        assert bad.size == 0, (
+            f"{n}: {bad.shape[0]} diffs, first {bad[:4].tolist()} "
+            f"ref={r[tuple(bad[0])]} got={g[tuple(bad[0])]}")
+
+    # decode side
+    dargs = (np.asarray(ref[3]).astype(np.int32),
+             np.asarray(ref[4]).astype(np.int32),
+             np.asarray(ref[5]).astype(np.int32),
+             maps[0], maps[1], mts_map, maps[2],
+             np.asarray(ref[6]).astype(np.int32),
+             np.asarray(ref[7]).astype(np.int32),
+             *p0, *p1, maps[5], maps[6])
+    dref = jax.jit(make_recon_inter_raw(cfg, False, b_mode=True))(*dargs)
+    dgot = jax.jit(make_recon_inter_pallas_raw(cfg, False, b_mode=True)
+                   )(*dargs)
+    for n, r, g in zip(names[:3], dref[:3], dgot[:3]):
+        assert (np.asarray(r) == np.asarray(g)).all(), f"decode {n}"
+
+
 @pytest.mark.parametrize("cfg", CFGS[:3], ids=lambda c: (
     f"{c.width}x{c.height}{'-mts' if c.mts else ''}"
     f"{'-ll' if c.lossless else ''}"))

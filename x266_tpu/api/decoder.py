@@ -1,4 +1,11 @@
-"""Decoder front-end (C18): bytestream -> pictures (normative path)."""
+"""Decoder front-end (C18): bytestream -> pictures (normative path).
+
+DPB rule for B slices (C16, mirrors the encoder's gop_coding_order):
+L0 = the nearest decoded POC below the slice's POC, L1 = the nearest
+above — derived from decode history, so no reference signalling is
+needed beyond the POC already in the slice header.  Output frames are
+reordered to display (POC) order.
+"""
 
 from __future__ import annotations
 
@@ -12,12 +19,14 @@ from x266_tpu.engine.picture import decode_picture
 class Decoder:
     def decode(self, stream: bytes) -> tuple[CodecConfig, list[Frame]]:
         from x266_tpu.config import SliceType
-        from x266_tpu.engine.picture import decode_picture_gop
+        from x266_tpu.engine.picture import (decode_picture_b,
+                                             decode_picture_gop)
 
         cfg: CodecConfig | None = None
         qp: int | None = None
-        frames: list[Frame] = []
-        pyramids = None          # device-resident DPB entry (C16)
+        frames: dict[int, Frame] = {}
+        dpb: dict[int, tuple] = {}    # poc -> device pyramids (C16)
+        last_ref = None               # low-delay chain reference
         for nal_type, rbsp in split_nals(stream):
             if nal_type == NalType.SPS:
                 cfg = headers.parse_sps(rbsp)
@@ -29,21 +38,42 @@ class Decoder:
                 sh, off = headers.parse_slice_header(
                     rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x)
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
-                if (sh.slice_type == SliceType.P
-                        or nal_type == NalType.TRAIL):
-                    frame, pyramids = decode_picture_gop(
-                        use, sh, rbsp[off:], pyramids)
-                    frames.append(frame)
-                elif use.intra_period != 1:
+                poc = sh.poc
+                if sh.slice_type == SliceType.B:
+                    l0 = max(p for p in dpb if p < poc)
+                    l1 = min(p for p in dpb if p > poc)
+                    frame, pyr = decode_picture_b(
+                        use, sh, rbsp[off:], dpb[l0], dpb[l1])
+                    dpb[poc] = pyr
+                elif (sh.slice_type == SliceType.P
+                      or nal_type == NalType.TRAIL):
+                    ref = (dpb[max(p for p in dpb if p < poc)]
+                           if dpb else last_ref)
+                    frame, pyr = decode_picture_gop(
+                        use, sh, rbsp[off:], ref)
+                    dpb[poc] = pyr
+                    last_ref = pyr
+                elif use.intra_period != 1 or use.gop_size > 1:
                     # I picture that will be referenced: keep the DPB
-                    frame, pyramids = decode_picture_gop(
+                    frame, pyr = decode_picture_gop(
                         use, sh, rbsp[off:], None)
-                    frames.append(frame)
+                    dpb[poc] = pyr
+                    last_ref = pyr
                 else:
-                    frames.append(decode_picture(use, sh, rbsp[off:]))
+                    frame = decode_picture(use, sh, rbsp[off:])
+                frames[poc] = frame
+                if cfg.gop_size > 1:
+                    if sh.slice_type != SliceType.B and poc > 0:
+                        # new span: evict pyramids older than the
+                        # previous anchor (no longer referenced)
+                        for p in [p for p in dpb
+                                  if p < poc - cfg.gop_size]:
+                            del dpb[p]
+                elif poc in dpb:
+                    # low-delay chain: only the latest picture is a ref
+                    dpb = {poc: dpb[poc]}
             elif nal_type == NalType.EOS:
                 break
         if cfg is None:
             raise ValueError("no SPS in stream")
-        return cfg, frames
-
+        return cfg, [frames[p] for p in sorted(frames)]

@@ -135,12 +135,15 @@ class Encoder:
                     out: list[bytes]) -> EncodeResult:
         """Low-delay GOP stream: IDR every intra_period, P otherwise;
         the reference pyramids stay device-resident between frames
-        (C16 DPB)."""
+        (C16 DPB).  gop_size > 1 selects the random-access hierarchy
+        (_encode_ra)."""
         from x266_tpu.core.nal import NalType as NT
         from x266_tpu.engine.picture import encode_picture_gop
 
         if cfg.tile_rows:
             raise ValueError("P pictures support single tile in v1")
+        if cfg.gop_size > 1:
+            return self._encode_ra(cfg, frames, out)
         recons: list[Frame] = []
         frame_bits: list[int] = []
         sses: list = []
@@ -159,5 +162,53 @@ class Encoder:
             sses.append(sse)
             if rc is not None:
                 rc.update(8 * len(nal))
+        return EncodeResult(b"".join(out), recons, frame_bits,
+                            sse=sses)
+
+    def _encode_ra(self, cfg: CodecConfig, frames: list[Frame],
+                   out: list[bytes]) -> EncodeResult:
+        """Random-access hierarchy (C16): anchors every gop_size (IDR
+        at intra_period multiples, else P), hierarchical B midpoints
+        between them.  NALs leave in CODING order (the decoder reorders
+        by POC); recon/bits/sse come back in DISPLAY order.  The DPB
+        keeps pyramids for the active span only (pocs >= the previous
+        anchor)."""
+        from x266_tpu.core.nal import NalType as NT
+        from x266_tpu.engine.picture import (encode_picture_b,
+                                             encode_picture_gop,
+                                             gop_coding_order)
+
+        if self.rate_control is not None:
+            raise ValueError("rate control supports low-delay in v1")
+        order = gop_coding_order(len(frames), cfg.intra_period,
+                                 cfg.gop_size)
+        dpb: dict[int, tuple] = {}
+        per_poc: dict[int, tuple] = {}
+        for poc, kind in order:
+            if kind == "B":
+                l0 = max(p for p in dpb if p < poc)
+                l1 = min(p for p in dpb if p > poc)
+                rbsp, recon, sse, pyr = encode_picture_b(
+                    cfg, frames[poc], poc, dpb[l0], dpb[l1],
+                    self.with_recon)
+                nal = write_nal(NalType.TRAIL, rbsp)
+            else:
+                ref = (None if kind == "I"
+                       else dpb[max(p for p in dpb if p < poc)])
+                rbsp, recon, sse, pyr, st = encode_picture_gop(
+                    cfg, frames[poc], poc, ref, self.with_recon)
+                nal = write_nal(NT.IDR if st.name == "I" else NT.TRAIL,
+                                rbsp)
+            dpb[poc] = pyr
+            per_poc[poc] = (nal, recon, sse)
+            out.append(nal)
+            if kind != "B" and poc > 0:
+                # span (prev_anchor, poc] starts: evict older pyramids
+                for p in [p for p in dpb if p < poc - cfg.gop_size]:
+                    del dpb[p]
+        recons = [per_poc[p][1] for p in sorted(per_poc)
+                  if per_poc[p][1] is not None]
+        frame_bits = [8 * len(per_poc[p][0]) for p in sorted(per_poc)]
+        sses = [per_poc[p][2] for p in sorted(per_poc)]
         return EncodeResult(b"".join(out), recons, frame_bits,
                             sse=sses)

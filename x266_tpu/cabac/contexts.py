@@ -22,10 +22,11 @@ GT2 = 73           # 2: luma / chroma
 SAO_ON = 75        # 1: sao type != off
 SAO_KIND = 76      # 1: band (1) vs edge (0)
 MTS = 77           # 1: mts_idx != 0 (VVC MTS, C10)
-SKIP = 78          # 1: cu_skip_flag (P slices)
-PRED_MODE = 79     # 1: intra (1) vs inter (0), P slices
+SKIP = 78          # 1: cu_skip_flag (P/B slices)
+PRED_MODE = 79     # 1: intra (1) vs inter (0), P/B slices
 MVD_GT0 = 80       # 2: mvd component != 0 (x, y)
-NUM_CONTEXTS = 82
+BLIST = 82         # 2: [bi-pred flag, L1 flag] (B slices)
+NUM_CONTEXTS = 84
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

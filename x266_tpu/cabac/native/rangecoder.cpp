@@ -38,7 +38,8 @@ constexpr int CTX_MTS = 77;
 constexpr int CTX_SKIP = 78;
 constexpr int CTX_PRED_MODE = 79;
 constexpr int CTX_MVD_GT0 = 80;
-constexpr int NUM_CONTEXTS = 82;
+constexpr int CTX_BLIST = 82;
+constexpr int NUM_CONTEXTS = 84;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -232,6 +233,7 @@ const Scan& scan_for(int size) {
 // ---- shared syntax helpers ------------------------------------------------
 constexpr int PLANAR = 0, DC_MODE = 1;
 constexpr int PRED_INTRA = 0, PRED_INTER = 1, PRED_SKIP = 2;
+constexpr int PRED_L1 = 3, PRED_BI = 4;
 
 int sig_ctx(int px, int py, int cg, bool chroma) {
   int d = px + py;
@@ -271,10 +273,13 @@ struct Picture {
   int32_t* coef_cr;
   int has_mts = 0;                 // cfg.mts flag
   int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
-  int is_p = 0;                    // P slice
-  int32_t* pred_map = nullptr;     // (Uy, Ux) 0 intra / 1 inter / 2 skip
-  int32_t* mvx_map = nullptr;      // (Uy, Ux) quarter-pel
+  int is_p = 0;                    // P or B slice
+  int is_b = 0;                    // B slice (L1/bi kinds allowed)
+  int32_t* pred_map = nullptr;     // (Uy, Ux) engine.inter.PRED_*
+  int32_t* mvx_map = nullptr;      // (Uy, Ux) quarter-pel, primary
   int32_t* mvy_map = nullptr;
+  int32_t* mvx1_map = nullptr;     // bi-prediction's L1 MV
+  int32_t* mvy1_map = nullptr;
   int has_sao = 0;                 // cfg.sao flag
   int32_t* sao_type = nullptr;     // (Cy, Cx)
   int32_t* sao_band = nullptr;     // (Cy, Cx)
@@ -445,11 +450,20 @@ struct SegEncoder {
       enc.encode_bin(ctxs, CTX_SKIP, kind == PRED_SKIP);
       if (kind == PRED_SKIP) return;
       enc.encode_bin(ctxs, CTX_PRED_MODE, kind == PRED_INTRA);
-      if (kind == PRED_INTER) {
+      if (kind != PRED_INTRA) {
+        if (pic.is_b) {
+          enc.encode_bin(ctxs, CTX_BLIST, kind == PRED_BI);
+          if (kind != PRED_BI)
+            enc.encode_bin(ctxs, CTX_BLIST + 1, kind == PRED_L1);
+        }
         int px, py;
         pic.mv_predictor(ux, uy, &px, &py);
         code_mvd(pic.mvx_map[uy * pic.ux_n + ux] - px, 0);
         code_mvd(pic.mvy_map[uy * pic.ux_n + ux] - py, 1);
+        if (kind == PRED_BI) {
+          code_mvd(pic.mvx1_map[uy * pic.ux_n + ux] - px, 0);
+          code_mvd(pic.mvy1_map[uy * pic.ux_n + ux] - py, 1);
+        }
         leaf_residuals(x, y, s);
         return;
       }
@@ -688,11 +702,27 @@ struct SegDecoder {
         return;
       }
       if (!dec.decode_bin(ctxs, CTX_PRED_MODE)) {
+        int kind = PRED_INTER;
+        if (pic.is_b) {
+          if (dec.decode_bin(ctxs, CTX_BLIST))
+            kind = PRED_BI;
+          else if (dec.decode_bin(ctxs, CTX_BLIST + 1))
+            kind = PRED_L1;
+        }
         int px, py;
         pic.mv_predictor(ux, uy, &px, &py);
         int mvx = px + decode_mvd(0);
         int mvy = py + decode_mvd(1);
-        fill_pred(ux, uy, u, PRED_INTER, mvx, mvy);
+        fill_pred(ux, uy, u, kind, mvx, mvy);
+        if (kind == PRED_BI) {
+          int m1x = px + decode_mvd(0);
+          int m1y = py + decode_mvd(1);
+          for (int j = 0; j < u; j++)
+            for (int i = 0; i < u; i++) {
+              pic.mvx1_map[(uy + j) * pic.ux_n + ux + i] = m1x;
+              pic.mvy1_map[(uy + j) * pic.ux_n + ux + i] = m1y;
+            }
+        }
         leaf_residuals(x, y, s);
         return;
       }
@@ -809,7 +839,9 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
                              const int32_t* mts_map, int32_t is_p,
                              const int32_t* pred_map,
                              const int32_t* mvx_map,
-                             const int32_t* mvy_map, int32_t has_sao,
+                             const int32_t* mvy_map,
+                             const int32_t* mvx1_map,
+                             const int32_t* mvy1_map, int32_t has_sao,
                              const int32_t* sao_type,
                              const int32_t* sao_band,
                              const int32_t* sao_off, int32_t ctu_row0,
@@ -831,10 +863,13 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_cr = const_cast<int32_t*>(coef_cr);
   pic.has_mts = has_mts;
   pic.mts_map = const_cast<int32_t*>(mts_map);
-  pic.is_p = is_p;
+  pic.is_p = is_p != 0;
+  pic.is_b = is_p == 2;
   pic.pred_map = const_cast<int32_t*>(pred_map);
   pic.mvx_map = const_cast<int32_t*>(mvx_map);
   pic.mvy_map = const_cast<int32_t*>(mvy_map);
+  pic.mvx1_map = const_cast<int32_t*>(mvx1_map);
+  pic.mvy1_map = const_cast<int32_t*>(mvy1_map);
   pic.has_sao = has_sao;
   pic.sao_type = const_cast<int32_t*>(sao_type);
   pic.sao_band = const_cast<int32_t*>(sao_band);
@@ -862,7 +897,8 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
                              int32_t* coef_cr, int32_t has_mts,
                              int32_t* mts_map, int32_t is_p,
                              int32_t* pred_map, int32_t* mvx_map,
-                             int32_t* mvy_map, int32_t has_sao,
+                             int32_t* mvy_map, int32_t* mvx1_map,
+                             int32_t* mvy1_map, int32_t has_sao,
                              int32_t* sao_type, int32_t* sao_band,
                              int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, const uint8_t* data,
@@ -883,10 +919,13 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.coef_cr = coef_cr;
   pic.has_mts = has_mts;
   pic.mts_map = mts_map;
-  pic.is_p = is_p;
+  pic.is_p = is_p != 0;
+  pic.is_b = is_p == 2;
   pic.pred_map = pred_map;
   pic.mvx_map = mvx_map;
   pic.mvy_map = mvy_map;
+  pic.mvx1_map = mvx1_map;
+  pic.mvy1_map = mvy1_map;
   pic.has_sao = has_sao;
   pic.sao_type = sao_type;
   pic.sao_band = sao_band;

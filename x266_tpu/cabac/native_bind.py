@@ -64,7 +64,7 @@ def _load():
             ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p,
-            ctypes.c_int32, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         lib.x266t_decode_segment.restype = ctypes.c_int64
@@ -73,7 +73,7 @@ def _load():
             ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p,
-            ctypes.c_int32, i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
         _lib = lib
@@ -101,13 +101,17 @@ def _sao_args(cfg, sao_params):
 
 
 def _inter_args(cfg, inter_maps):
+    """inter_maps: None (intra), (pred, mvx, mvy) for P, or
+    (pred, mvx, mvy, mvx1, mvy1) for B.  Returns (is_p, 5 arrays)
+    where is_p is 0/1/2 (intra/P/B)."""
+    z = np.zeros((cfg.units_y, cfg.units_x), np.int32)
     if inter_maps is None:
-        z = np.zeros((cfg.units_y, cfg.units_x), np.int32)
-        return 0, (z, z, z)
-    pm, mx, my = inter_maps
-    return 1, (np.ascontiguousarray(pm, np.int32),
-               np.ascontiguousarray(mx, np.int32),
-               np.ascontiguousarray(my, np.int32))
+        return 0, (z, z, z, z, z)
+    maps = [np.ascontiguousarray(m, np.int32) for m in inter_maps]
+    if len(maps) == 3:
+        return 1, (*maps, z, z)
+    assert len(maps) == 5
+    return 2, tuple(maps)
 
 
 def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
@@ -124,10 +128,12 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     cy, cyp = _i32(coef_y)
     cb, cbp = _i32(coef_cb)
     cr, crp = _i32(coef_cr)
-    is_p, (pm, mx, my) = _inter_args(cfg, inter_maps)
+    is_p, (pm, mx, my, mx1, my1) = _inter_args(cfg, inter_maps)
     pm, pmp = _i32(pm)
     mx, mxp = _i32(mx)
     my, myp = _i32(my)
+    mx1, mx1p = _i32(mx1)
+    my1, my1p = _i32(my1)
     has_sao, (st, sb, so) = _sao_args(cfg, sao_params)
     st, stp = _i32(st)
     sb, sbp = _i32(sb)
@@ -138,7 +144,7 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         smp, mmp, cyp, cbp, crp,
         int(cfg.mts), mtp,
-        is_p, pmp, mxp, myp,
+        is_p, pmp, mxp, myp, mx1p, my1p,
         has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
@@ -158,10 +164,13 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     if mts_map is None:
         mts_map = np.zeros_like(size_map)
     arrays = [size_map, mode_map, coef_y, coef_cb, coef_cr]
-    is_p = 1
     if inter_maps is None:
-        _, inter_maps = _inter_args(cfg, None)
-        is_p = 0
+        is_p, inter_maps = _inter_args(cfg, None)
+    else:
+        is_p = 1 if len(inter_maps) == 3 else 2
+        if len(inter_maps) == 3:
+            z = np.zeros((cfg.units_y, cfg.units_x), np.int32)
+            inter_maps = tuple(inter_maps) + (z, z)
     has_sao = int(cfg.sao)
     if sao_params is None:
         _, sao_params = _sao_args(cfg, None)
@@ -180,8 +189,8 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
         int(cfg.mts), ptrs[5],
-        is_p, ptrs[6], ptrs[7], ptrs[8],
-        has_sao, ptrs[9], ptrs[10], ptrs[11],
+        is_p, ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10],
+        has_sao, ptrs[11], ptrs[12], ptrs[13],
         ctu_row0, ctu_row1, p, len(data))
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")

@@ -27,6 +27,7 @@ from x266_tpu.config import CodecConfig
 from x266_tpu.specmodel.intra import DC, PLANAR
 
 PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2
+PRED_L1, PRED_BI = 3, 4
 
 
 @functools.cache
@@ -110,13 +111,15 @@ class SyntaxEncoder(_Walker):
     def __init__(self, cfg: CodecConfig, size_map, mode_map,
                  coef_y, coef_cb, coef_cr, sao_params=None,
                  mts_map=None, is_p=False, pred_map=None,
-                 mvx_map=None, mvy_map=None):
+                 mvx_map=None, mvy_map=None, is_b=False,
+                 mvx1_map=None, mvy1_map=None):
         super().__init__(cfg)
         self.size_map = np.asarray(size_map)
         self.mode_map = np.asarray(mode_map)
         self.mts_map = (np.asarray(mts_map) if mts_map is not None
                         else np.zeros_like(self.size_map))
-        self.is_p = is_p
+        self.is_p = is_p or is_b
+        self.is_b = is_b
         z = np.zeros_like(self.size_map)
         self.pred_map = (np.asarray(pred_map) if pred_map is not None
                          else z)
@@ -124,6 +127,10 @@ class SyntaxEncoder(_Walker):
                         else z)
         self.mvy_map = (np.asarray(mvy_map) if mvy_map is not None
                         else z)
+        self.mvx1_map = (np.asarray(mvx1_map) if mvx1_map is not None
+                         else z)
+        self.mvy1_map = (np.asarray(mvy1_map) if mvy1_map is not None
+                         else z)
         self.coef = {"y": np.asarray(coef_y), "cb": np.asarray(coef_cb),
                      "cr": np.asarray(coef_cr)}
         self.sao = (tuple(np.asarray(a) for a in sao_params)
@@ -209,10 +216,19 @@ class SyntaxEncoder(_Walker):
                 return   # derived MV, no residual, nothing else coded
             self.enc.encode_bin(self.ctxs, cx.PRED_MODE,
                                 int(kind == PRED_INTRA))
-            if kind == PRED_INTER:
+            if kind != PRED_INTRA:
+                if self.is_b:
+                    self.enc.encode_bin(self.ctxs, cx.BLIST,
+                                        int(kind == PRED_BI))
+                    if kind != PRED_BI:
+                        self.enc.encode_bin(self.ctxs, cx.BLIST + 1,
+                                            int(kind == PRED_L1))
                 px, py = self._mv_predictor(ux, uy)
                 self._code_mvd(int(self.mvx_map[uy, ux]) - px, 0)
                 self._code_mvd(int(self.mvy_map[uy, ux]) - py, 1)
+                if kind == PRED_BI:
+                    self._code_mvd(int(self.mvx1_map[uy, ux]) - px, 0)
+                    self._code_mvd(int(self.mvy1_map[uy, ux]) - py, 1)
                 self._leaf_residuals(x, y, s)
                 return
         mode = int(self.mode_map[uy, ux])
@@ -333,9 +349,12 @@ class SyntaxDecoder(_Walker):
                     np.zeros(c + (4,), np.int32))
         self.mts_map = np.zeros(u, dtype=np.int32)
         self.is_p = False
+        self.is_b = False
         self.pred_map = np.zeros(u, dtype=np.int32)
         self.mvx_map = np.zeros(u, dtype=np.int32)
         self.mvy_map = np.zeros(u, dtype=np.int32)
+        self.mvx1_map = np.zeros(u, dtype=np.int32)
+        self.mvy1_map = np.zeros(u, dtype=np.int32)
 
     def decode_segment(self, data: bytes, ctu_row0: int,
                        ctu_row1: int) -> None:
@@ -413,12 +432,23 @@ class SyntaxDecoder(_Walker):
                 self.mvy_map[uy:uy + u, ux:ux + u] = py
                 return
             if not self.dec.decode_bin(self.ctxs, cx.PRED_MODE):
+                kind = PRED_INTER
+                if self.is_b:
+                    if self.dec.decode_bin(self.ctxs, cx.BLIST):
+                        kind = PRED_BI
+                    elif self.dec.decode_bin(self.ctxs, cx.BLIST + 1):
+                        kind = PRED_L1
                 px, py = self._mv_predictor(ux, uy)
                 mvx = px + self._decode_mvd(0)
                 mvy = py + self._decode_mvd(1)
-                self.pred_map[uy:uy + u, ux:ux + u] = PRED_INTER
+                self.pred_map[uy:uy + u, ux:ux + u] = kind
                 self.mvx_map[uy:uy + u, ux:ux + u] = mvx
                 self.mvy_map[uy:uy + u, ux:ux + u] = mvy
+                if kind == PRED_BI:
+                    m1x = px + self._decode_mvd(0)
+                    m1y = py + self._decode_mvd(1)
+                    self.mvx1_map[uy:uy + u, ux:ux + u] = m1x
+                    self.mvy1_map[uy:uy + u, ux:ux + u] = m1y
                 self._leaf_residuals(x, y, s, u, ux, uy)
                 return
             # else fall through to intra coding below

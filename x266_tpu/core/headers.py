@@ -32,6 +32,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.intra_period - 1)
+    w.ue(cfg.gop_size - 1)
     w.align()
     return w.bytes_value()
 
@@ -52,13 +53,15 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     intra_period = r.ue() + 1
+    gop_size = r.ue() + 1
     r.align()
     return CodecConfig(width=width, height=height, bit_depth=bit_depth,
                        profile=profile, ctu_size=ctu_size,
                        max_cu_size=max_cu, lossless=lossless,
                        deblock=deblock, sao=sao, alf=alf, mts=mts,
                        rows_per_segment=rows_per_segment,
-                       tile_rows=tile_rows, intra_period=intra_period)
+                       tile_rows=tile_rows, intra_period=intra_period,
+                       gop_size=gop_size)
 
 
 def write_pps(cfg: CodecConfig) -> bytes:

@@ -77,6 +77,7 @@ def _maps_layout(cfg: CodecConfig):
     sizes = [("size", u), ("mode", u), ("mts", u),
              ("sao_type", c), ("sao_band", c), ("sao_off", 4 * c),
              ("pred", u), ("mvx", u), ("mvy", u),
+             ("mvx1", u), ("mvy1", u),
              ("alf_flag", c), ("alf_coef", 25 * 12)]
     offs, pos = {}, 0
     for name, n in sizes:
@@ -103,6 +104,8 @@ def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
             "sao_off": get("sao_off", (cy, cx, 4)),
             "pred": get("pred", (uy, ux)), "mvx": get("mvx", (uy, ux)),
             "mvy": get("mvy", (uy, ux)),
+            "mvx1": get("mvx1", (uy, ux)),
+            "mvy1": get("mvy1", (uy, ux)),
             "alf_flag": get("alf_flag", (cy, cx)),
             "alf_coef": get("alf_coef", (25, 12))}
 
@@ -112,8 +115,8 @@ def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
     offs, total = _maps_layout(cfg)
     flat = np.zeros(total, dtype=np.int16)
     for name in ("size", "mode", "mts", "sao_type", "sao_band",
-                 "sao_off", "pred", "mvx", "mvy", "alf_flag",
-                 "alf_coef"):
+                 "sao_off", "pred", "mvx", "mvy", "mvx1", "mvy1",
+                 "alf_flag", "alf_coef"):
         a, b = offs[name]
         flat[a:b] = maps[name].astype(np.int16).ravel()
     return flat
@@ -271,7 +274,7 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
         zero_u = jnp.zeros((uy, ux), jnp.int32)
         maps = [size_map, mode_map, mts_map, st, sb, so,
-                zero_u, zero_u, zero_u, af, ac]
+                zero_u, zero_u, zero_u, zero_u, zero_u, af, ac]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, with_pyramids)
 
@@ -322,11 +325,98 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
                                 pyr_y, pyr_cb, pyr_cr)
         y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+        zero_u = jnp.zeros_like(size_map)
         maps = [size_map, mode_map, mts_map, st, sb, so,
                 pred_map, mvx_fin.astype(jnp.int32),
-                mvy_fin.astype(jnp.int32), af, ac]
+                mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, True)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_encode_step_b(cfg: CodecConfig, with_recon: bool):
+    """B-picture step: bidirectional ME + B mode decision (intra / L0 /
+    L1 / bi / skip) + inter recon + filters + next-reference pyramids,
+    ONE call.  Takes the L0 and L1 reference pyramids (device arrays)."""
+    from x266_tpu.engine.inter import (make_mode_decision_b_raw,
+                                       select_recon_inter_impl)
+
+    mdb = make_mode_decision_b_raw(cfg)
+    rp = select_recon_inter_impl(cfg, encode=True, b_mode=True)
+
+    def step(packed, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
+        yP, cbP, crP = _unpack_padded(cfg, packed)
+        (size_map, mode_map, pred_map, mvx_map, mvy_map,
+         mvx1_map, mvy1_map) = mdb(yP, p0y, p1y)
+        mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
+        (y8, cb8, cr8, cY, cCb, cCr,
+         mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
+                                mts_map, pred_map, mvx_map, mvy_map,
+                                p0y, p0cb, p0cr, p1y, p1cb, p1cr,
+                                mvx1_map, mvy1_map)
+        y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
+            cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+        maps = [size_map, mode_map, mts_map, st, sb, so,
+                pred_map, mvx_fin.astype(jnp.int32),
+                mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac]
+        return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
+                             with_recon, True)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_b(cfg: CodecConfig, with_pyramids: bool = True):
+    """B decode: (packed coef i16, flat maps i16, L0+L1 pyramids) ->
+    (packed recon u8 [, new pyramids])."""
+    from x266_tpu.engine.inter import select_recon_inter_impl
+
+    h, w = cfg.height, cfg.width
+    rp = select_recon_inter_impl(cfg, encode=False, b_mode=True)
+    uy, ux = cfg.units_y, cfg.units_x
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+    offs, _ = _maps_layout(cfg)
+
+    def get(flat, name, shape):
+        a, b = offs[name]
+        return flat[a:b].astype(jnp.int32).reshape(shape)
+
+    def step(coef, flat, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
+        cY = coef[:h]
+        cCb = coef[h:, :w // 2]
+        cCr = coef[h:, w // 2:]
+        size_map = get(flat, "size", (uy, ux))
+        y8, cb8, cr8, *_ = rp(
+            cY, cCb, cCr, size_map, get(flat, "mode", (uy, ux)),
+            get(flat, "mts", (uy, ux)), get(flat, "pred", (uy, ux)),
+            get(flat, "mvx", (uy, ux)), get(flat, "mvy", (uy, ux)),
+            p0y, p0cb, p0cr, p1y, p1cb, p1cr,
+            get(flat, "mvx1", (uy, ux)), get(flat, "mvy1", (uy, ux)))
+        y = y8.astype(jnp.int32)
+        cb = cb8.astype(jnp.int32)
+        cr = cr8.astype(jnp.int32)
+        if cfg.deblock:
+            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+                                        xp=jnp)
+        if cfg.sao:
+            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
+                          get(flat, "sao_band", (cyn, cxn)),
+                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        if cfg.alf:
+            from x266_tpu.kernels import alf as kalf
+            y = kalf.apply_alf(y, kalf.classify(y),
+                               get(flat, "alf_coef", (25, 12)),
+                               get(flat, "alf_flag", (cyn, cxn)))
+        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+        rec = rec.at[:h].set(y.astype(jnp.uint8))
+        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+        out = (rec,)
+        if with_pyramids:
+            out = out + (_build_pyramids_device(y, cb, cr),)
+        return out
 
     return jax.jit(step)
 

@@ -40,6 +40,7 @@ from x266_tpu.kernels import quant as kquant
 from x266_tpu.kernels import transforms as ktx
 
 PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2
+PRED_L1, PRED_BI = 3, 4          # B slices: L1-only and bi-prediction
 
 
 def mv_predictor_np(pred_map, mvx_map, mvy_map, ux, uy):
@@ -208,8 +209,183 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
     return run
 
 
-def select_recon_inter_impl(cfg: CodecConfig, encode: bool):
-    """P-picture recon implementation selector (mirrors
+def _bi_cost(cfg, plane, pyr0, pyr1, g0, g1, size, warped=None):
+    """Bi-prediction candidate cost: pred = (mc_L0 + mc_L1 + 1) >> 1.
+
+    Returns (cost_bi, mv0x, mv0y, mv1x, mv1y) as (gy, gx) grids.
+    """
+    w, h, s = cfg.width, cfg.height, size
+    lam = np.float32(cfg.lambda_mode)
+    xs_np, ys_np, gy, gx = _block_positions(w, h, s)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    nb = xs_np.shape[0]
+    m_y = (ys_np // kme.ME_BLOCK).astype(np.int32)
+    m_x = (xs_np // kme.ME_BLOCK).astype(np.int32)
+    mv0 = g0[m_y, m_x]
+    mv1 = g1[m_y, m_x]
+    l0 = g0[m_y, np.maximum(m_x - 1, 0)]
+    l1 = g1[m_y, np.maximum(m_x - 1, 0)]
+
+    orig = _block_gather(plane, gy, gx, s)
+
+    if warped is not None:
+        p0 = _blockify(warped[0], gy, gx, s)
+        p1 = _blockify(warped[1], gy, gx, s)
+    else:
+        def mc(pyr):
+            return jax.vmap(lambda x, y, m: interp.mc_block(
+                pyr, x, y, m[0], m[1], s))
+
+        p0 = mc(pyr0)(xs, ys, mv0)
+        p1 = mc(pyr1)(xs, ys, mv1)
+    pred = (p0 + p1 + 1) >> 1
+
+    res = orig - pred
+    bits = (jnp.sum(2.0 + 2.0 * jnp.log2(
+        jnp.abs(mv0 - l0).astype(jnp.float32) + 1.0), axis=1)
+        + jnp.sum(2.0 + 2.0 * jnp.log2(
+            jnp.abs(mv1 - l1).astype(jnp.float32) + 1.0), axis=1))
+    if cfg.lossless:
+        rate = kcost.rate_estimate_levels(res)
+        cost = lam * (rate + bits + 6.0)
+    else:
+        coefs = ktx.forward_transform(res.reshape(nb, s, s), s)
+        levels = kquant.quantize(coefs, cfg.qp, s)
+        rate = kcost.rate_estimate_levels(levels)
+        deq = kquant.dequantize(levels, cfg.qp, s)
+        rres = ktx.inverse_transform(deq, s)
+        recon = jnp.clip(pred + rres, 0, 255)
+        cost = kcost.sse(recon, orig) + lam * (rate + bits + 6.0)
+
+    return (cost.reshape(gy, gx),
+            mv0[:, 0].reshape(gy, gx), mv0[:, 1].reshape(gy, gx),
+            mv1[:, 0].reshape(gy, gx), mv1[:, 1].reshape(gy, gx))
+
+
+@functools.cache
+def make_mode_decision_b_raw(cfg: CodecConfig,
+                             use_pallas: bool | None = None):
+    """Pass A for B pictures: padded luma plane + L0/L1 luma pyramids ->
+    (size_map, mode_map, pred_map, mvx_map, mvy_map, mvx1_map,
+    mvy1_map).
+
+    Per CU the candidates are intra, inter-L0, inter-L1, bi-prediction
+    and skip (L0 + derived MV, as in P).  The primary MV maps carry the
+    L0 MV for kinds {INTER, SKIP, BI} and the L1 MV for PRED_L1; the
+    mv1 maps carry BI's L1 MV.
+    """
+    uy, ux = cfg.units_y, cfg.units_x
+    lam = np.float32(cfg.lambda_mode)
+    pallas = kme.use_pallas_me(use_pallas)
+
+    def _rep2(g, by, bx):
+        r = jnp.repeat(jnp.repeat(g[0::2, 0::2], 2, axis=0), 2, axis=1)
+        return r[:by, :bx]
+
+    def run(plane, pyr0_y, pyr1_y):
+        plane = plane.astype(jnp.int32)
+        cur = plane[1:1 + cfg.height, 1:1 + cfg.width]
+        g0 = kme.me_search(cur, pyr0_y, cfg, float(cfg.lambda_mode),
+                           use_pallas=use_pallas)
+        g1 = kme.me_search(cur, pyr1_y, cfg, float(cfg.lambda_mode),
+                           use_pallas=use_pallas)
+
+        warp0, warp1 = {}, {}
+        if pallas:
+            from x266_tpu.kernels import me_pallas
+            by, bx = g0.shape[:2]
+            left0 = g0[:, np.maximum(np.arange(bx) - 1, 0)]
+            f0 = [g0, left0]
+            f1 = [g1]
+            if cfg.max_cu_size >= 32:
+                f0 += [_rep2(g0, by, bx), _rep2(left0, by, bx)]
+                f1 += [_rep2(g1, by, bx)]
+            fr0 = me_pallas.warp_frames(pyr0_y, jnp.stack(f0),
+                                        cfg.height, cfg.width)
+            fr1 = me_pallas.warp_frames(pyr1_y, jnp.stack(f1),
+                                        cfg.height, cfg.width)
+            warp0[8] = warp0[16] = (fr0[0], fr0[1])
+            warp1[8] = warp1[16] = fr1[0]
+            if cfg.max_cu_size >= 32:
+                warp0[32] = (fr0[2], fr0[3])
+                warp1[32] = fr1[1]
+
+        per_size = {}
+        for s in (8, 16, 32):
+            if s > cfg.max_cu_size:
+                continue
+            cost_intra, mode_intra = _eval_size(plane, s, cfg)
+            w0 = warp0.get(s)
+            c0, x0, y0, c_skip = _inter_cost(cfg, plane, pyr0_y, g0, s,
+                                             w0)
+            w1 = ((warp1[s], warp1[s]) if s in warp1 else None)
+            c1, x1, y1, _ = _inter_cost(cfg, plane, pyr1_y, g1, s, w1)
+            wb = ((w0[0], warp1[s]) if (w0 and s in warp1) else None)
+            cb_, bx0, by0, bx1, by1 = _bi_cost(cfg, plane, pyr0_y,
+                                               pyr1_y, g0, g1, s, wb)
+            valid = jnp.isfinite(cost_intra)
+            inf = jnp.inf
+            c0 = jnp.where(valid, c0, inf)
+            c1 = jnp.where(valid, c1, inf)
+            cb_ = jnp.where(valid, cb_, inf)
+            c_skip = jnp.where(valid, c_skip, inf)
+            c_expl = jnp.minimum(jnp.minimum(c0, c1), cb_)
+            kind_expl = jnp.where(
+                c0 <= jnp.minimum(c1, cb_), PRED_INTER,
+                jnp.where(c1 <= cb_, PRED_L1, PRED_BI)
+            ).astype(jnp.int32)
+            kind = jnp.where(
+                c_skip <= jnp.minimum(cost_intra, c_expl), PRED_SKIP,
+                jnp.where(c_expl < cost_intra, kind_expl, PRED_INTRA)
+            ).astype(jnp.int32)
+            best = jnp.minimum(jnp.minimum(cost_intra, c_expl), c_skip)
+            # primary MV: L0 for INTER/SKIP/BI, L1's for PRED_L1
+            pmx = jnp.where(kind == PRED_L1, x1,
+                            jnp.where(kind == PRED_BI, bx0, x0))
+            pmy = jnp.where(kind == PRED_L1, y1,
+                            jnp.where(kind == PRED_BI, by0, y0))
+            smx = jnp.where(kind == PRED_BI, bx1, 0)
+            smy = jnp.where(kind == PRED_BI, by1, 0)
+            per_size[s] = (best, mode_intra, kind, pmx, pmy, smx, smy)
+
+        size_map = jnp.full((uy, ux), 8, jnp.int32)
+        b8, m8, k8, x8, y8, sx8, sy8 = per_size[8]
+        mode_map = m8.astype(jnp.int32)
+        pred_map = k8
+        mvx_map, mvy_map = x8, y8
+        mvx1_map, mvy1_map = sx8, sy8
+        best = b8
+        for s in (16, 32):
+            if s not in per_size:
+                continue
+            bs, ms, ks, xs_, ys_, sxs, sys_ = per_size[s]
+            child = _sum_children(best, *bs.shape) + lam * SPLIT_BITS
+            use = bs <= child
+            sel = _upsample(use, s // 8, uy, ux)
+            size_map = jnp.where(sel, s, size_map)
+            mode_map = jnp.where(sel, _upsample(ms, s // 8, uy, ux),
+                                 mode_map)
+            pred_map = jnp.where(sel, _upsample(ks, s // 8, uy, ux),
+                                 pred_map)
+            mvx_map = jnp.where(sel, _upsample(xs_, s // 8, uy, ux),
+                                mvx_map)
+            mvy_map = jnp.where(sel, _upsample(ys_, s // 8, uy, ux),
+                                mvy_map)
+            mvx1_map = jnp.where(sel, _upsample(sxs, s // 8, uy, ux),
+                                 mvx1_map)
+            mvy1_map = jnp.where(sel, _upsample(sys_, s // 8, uy, ux),
+                                 mvy1_map)
+            best = jnp.where(use, bs, child)
+
+        return (size_map, mode_map, pred_map, mvx_map, mvy_map,
+                mvx1_map, mvy1_map)
+
+    return run
+
+
+def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
+                            b_mode: bool = False):
+    """P/B-picture recon implementation selector (mirrors
     engine.recon.select_recon_impl): the Pallas kernel on the TPU
     backend (X266T_PALLAS=0 disables / =1 forces), the XLA scan
     otherwise.  Both are bit-exact (tests/test_recon_pallas.py)."""
@@ -221,20 +397,28 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool):
     if use_pallas:
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
-        return make_recon_inter_pallas_raw(cfg, encode)
-    return make_recon_inter_raw(cfg, encode)
+        return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)
+    return make_recon_inter_raw(cfg, encode, b_mode=b_mode)
 
 
 @functools.cache
-def make_recon_inter_raw(cfg: CodecConfig, encode: bool):
-    """P-picture reconstruction scan.
+def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
+                         b_mode: bool = False):
+    """P/B-picture reconstruction scan.
 
     encode: f(srcY_pad, srcCb_pad, srcCr_pad, size_map, mode_map,
-             mts_map, pred_map, mvx_map, mvy_map, pyr_y, pyr_cb, pyr_cr)
+             mts_map, pred_map, mvx_map, mvy_map, pyr_y, pyr_cb, pyr_cr
+             [, pyr1_y, pyr1_cb, pyr1_cr, mvx1_map, mvy1_map])
     decode: f(coefY, coefCb, coefCr, ...same maps/pyramids...)
     returns (y u8, cb u8, cr u8, coefY i16, coefCb i16, coefCr i16,
              mvx_final i16, mvy_final i16)   [final MVs incl. derived
              skip MVs, needed by the encoder's entropy walker]
+
+    b_mode adds the L1 reference: pred_map kinds gain PRED_L1 (MC from
+    the L1 pyramid with the primary MV) and PRED_BI (average of L0 at
+    the primary MV and L1 at (mvx1, mvy1): (p0 + p1 + 1) >> 1).  The
+    primary MV maps/state rules are unchanged, so P behavior and skip
+    derivation are identical.
     """
     w, h = cfg.width, cfg.height
     cw, ch = w // 2, h // 2
@@ -247,7 +431,8 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool):
     use_mts = cfg.mts
 
     def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
-            mvy_map, pyr_y, pyr_cb, pyr_cr):
+            mvy_map, pyr_y, pyr_cb, pyr_cr, pyr1_y=None, pyr1_cb=None,
+            pyr1_cr=None, mvx1_map=None, mvy1_map=None):
         a = a.astype(jnp.int32)
         b = b.astype(jnp.int32)
         c = c.astype(jnp.int32)
@@ -321,11 +506,27 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool):
                 mvx = jnp.where(skip, dx, mvx_map[uy, ux])
                 mvy = jnp.where(skip, dy, mvy_map[uy, ux])
                 is_inter = kind != PRED_INTRA
+                if b_mode:
+                    is_l1 = kind == PRED_L1
+                    is_bi = kind == PRED_BI
+                    m1x = jnp.where(is_bi, mvx1_map[uy, ux], mvx)
+                    m1y = jnp.where(is_bi, mvy1_map[uy, ux], mvy)
+
+                def mc2(pyr0, pyr1, px, py, pmx, pmy, cmx, cmy, ss):
+                    p0 = interp.mc_block(pyr0, px, py, pmx, pmy, ss)
+                    if not b_mode:
+                        return p0
+                    p1 = interp.mc_block(pyr1, px, py, cmx, cmy, ss)
+                    return jnp.where(
+                        is_bi, (p0 + p1 + 1) >> 1,
+                        jnp.where(is_l1, p1, p0))
 
                 # luma prediction: intra refs or MC gather
                 ref = _gather_ref(yP, x, y, s)
                 pred_i = kintra.predict_mode(ref, mode, s, n_modes)
-                pred_m = interp.mc_block(pyr_y, x, y, mvx, mvy, s)
+                pred_m = mc2(pyr_y, pyr1_y, x, y, mvx, mvy,
+                             m1x if b_mode else mvx,
+                             m1y if b_mode else mvy, s)
                 pred = jnp.where(is_inter, pred_m, pred_i)
                 # inter CUs never use MTS (mts_map is 0 there)
                 rec, lev = residual_path(pred, srcY, cY, x, y, s,
@@ -338,7 +539,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool):
                 cmx, cmy = mvx >> 1, mvy >> 1
                 refb = _gather_ref(cbP, xc, yc, cs)
                 pb_i = kintra.predict_mode(refb, mode, cs, n_modes)
-                pb_m = interp.mc_block(pyr_cb, xc, yc, cmx, cmy, cs)
+                pb_m = mc2(pyr_cb, pyr1_cb, xc, yc, cmx, cmy,
+                           (m1x >> 1) if b_mode else cmx,
+                           (m1y >> 1) if b_mode else cmy, cs)
                 pb = jnp.where(is_inter, pb_m, pb_i)
                 recb, levb = residual_path(pb, srcCb, cCb, xc, yc, cs,
                                            None if not use_mts else
@@ -349,7 +552,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool):
 
                 refr = _gather_ref(crP, xc, yc, cs)
                 pr_i = kintra.predict_mode(refr, mode, cs, n_modes)
-                pr_m = interp.mc_block(pyr_cr, xc, yc, cmx, cmy, cs)
+                pr_m = mc2(pyr_cr, pyr1_cr, xc, yc, cmx, cmy,
+                           (m1x >> 1) if b_mode else cmx,
+                           (m1y >> 1) if b_mode else cmy, cs)
                 pr = jnp.where(is_inter, pr_m, pr_i)
                 recr, levr = residual_path(pr, srcCr, cCr, xc, yc, cs,
                                            None if not use_mts else

@@ -214,19 +214,26 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
 
 
 def _parse_segments(cfg: CodecConfig, segments: list[bytes],
-                    is_p: bool) -> SyntaxDecoder:
+                    is_p: bool, is_b: bool = False) -> SyntaxDecoder:
     dec = SyntaxDecoder(cfg)
-    dec.is_p = is_p
+    dec.is_p = is_p or is_b
+    dec.is_b = is_b
     rows = cfg.segment_ctu_rows()
     assert len(segments) == len(rows)
     if native_bind.available():
+        if is_b:
+            imaps = (dec.pred_map, dec.mvx_map, dec.mvy_map,
+                     dec.mvx1_map, dec.mvy1_map)
+        elif is_p:
+            imaps = (dec.pred_map, dec.mvx_map, dec.mvy_map)
+        else:
+            imaps = None
         for (r0, r1), data in zip(rows, segments):
             native_bind.decode_segment(
                 cfg, dec.size_map, dec.mode_map, dec.coef["y"],
                 dec.coef["cb"], dec.coef["cr"], r0, r1, data,
                 sao_params=dec.sao, mts_map=dec.mts_map,
-                inter_maps=((dec.pred_map, dec.mvx_map, dec.mvy_map)
-                            if is_p else None))
+                inter_maps=imaps)
     else:
         for (r0, r1), data in zip(rows, segments):
             dec.decode_segment(data, r0, r1)
@@ -267,6 +274,7 @@ def tile_decode(cfg: CodecConfig, segments: list[bytes],
         "sao_type": dec.sao[0], "sao_band": dec.sao[1],
         "sao_off": dec.sao[2], "pred": dec.pred_map,
         "mvx": dec.mvx_map, "mvy": dec.mvy_map,
+        "mvx1": dec.mvx1_map, "mvy1": dec.mvy1_map,
         **_alf_maps_from_header(cfg, sh)})
     rec = np.asarray(fused.make_decode_step(cfg)(coef, flat))
     return fused.unpack_recon(cfg, rec)
@@ -358,6 +366,96 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
     return rbsp, recon, sse, new_pyr, st
 
 
+def gop_coding_order(n: int, intra_period: int, gop: int
+                     ) -> list[tuple[int, str]]:
+    """Random-access coding order (C16): [(poc, kind)] with kind in
+    "I"/"P"/"B".  Anchors sit at gop multiples — IDR when poc is an
+    intra_period multiple, else P referencing the previous anchor —
+    and the pocs between consecutive anchors code as hierarchical-B
+    midpoints (each B references the nearest coded pictures below and
+    above its POC).  A tail after the last anchor codes low-delay P.
+    """
+    order: list[tuple[int, str]] = []
+
+    def mids(lo, hi):
+        if hi - lo <= 1:
+            return
+        m = (lo + hi) // 2
+        order.append((m, "B"))
+        mids(lo, m)
+        mids(m, hi)
+
+    g = max(gop, 1)
+    anchors = list(range(0, n, g))
+    prev = None
+    for a in anchors:
+        kind = "I" if (intra_period <= 0 or a % intra_period == 0) \
+            else "P"
+        order.append((a, kind))
+        if prev is not None:
+            mids(prev, a)
+        prev = a
+    for p in range(anchors[-1] + 1, n):
+        order.append((p, "P"))
+    return order
+
+
+def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
+                     pyr0, pyr1, with_recon: bool = True):
+    """Encode one B picture against the L0/L1 DPB entries.
+
+    Returns (rbsp, recon|None, sse, new_pyramids)."""
+    assert cfg.num_tiles == 1, "B pictures support single tile in v1"
+    packed = fused.pack_input(cfg, frame)
+    out = fused.make_encode_step_b(cfg, with_recon)(packed, *pyr0,
+                                                    *pyr1)
+    new_pyr = out[-1]
+    cy, ccb, ccr, maps, sse, recon = _finalize_common(
+        cfg, out, with_recon)
+    sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
+                  if cfg.sao else None)
+    inter_maps = (maps["pred"], maps["mvx"], maps["mvy"],
+                  maps["mvx1"], maps["mvy1"])
+    if native_bind.available():
+        segments = [native_bind.encode_segment(
+            cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
+            sao_params, maps["mts"], inter_maps)
+            for (r0, r1) in cfg.segment_ctu_rows()]
+    else:
+        enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy, ccb,
+                            ccr, sao_params, maps["mts"], is_b=True,
+                            pred_map=maps["pred"], mvx_map=maps["mvx"],
+                            mvy_map=maps["mvy"], mvx1_map=maps["mvx1"],
+                            mvy1_map=maps["mvy1"])
+        segments = [enc.encode_segment(r0, r1)
+                    for (r0, r1) in cfg.segment_ctu_rows()]
+    alf = ((maps["alf_flag"], maps["alf_coef"]) if cfg.alf else None)
+    rbsp = assemble_slice(cfg, poc, segments, SliceType.B, alf)
+    return rbsp, recon, sse, new_pyr
+
+
+def decode_picture_b(cfg: CodecConfig, sh: SliceHeader, payload: bytes,
+                     pyr0, pyr1):
+    """Decode one B picture; returns (Frame, new_pyramids)."""
+    assert cfg.num_tiles == 1
+    bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
+    segments = [payload[b0:b1]
+                for b0, b1 in zip(bounds[:-1], bounds[1:])]
+    dec = _parse_segments(cfg, segments, is_p=True, is_b=True)
+    coef = fused.pack_coefs_host(cfg, dec.coef["y"], dec.coef["cb"],
+                                 dec.coef["cr"])
+    flat = fused.pack_maps_host(cfg, {
+        "size": dec.size_map, "mode": dec.mode_map, "mts": dec.mts_map,
+        "sao_type": dec.sao[0], "sao_band": dec.sao[1],
+        "sao_off": dec.sao[2], "pred": dec.pred_map,
+        "mvx": dec.mvx_map, "mvy": dec.mvy_map,
+        "mvx1": dec.mvx1_map, "mvy1": dec.mvy1_map,
+        **_alf_maps_from_header(cfg, sh)})
+    rec, new_pyr = fused.make_decode_step_b(cfg, True)(
+        coef, flat, *pyr0, *pyr1)
+    return fused.unpack_recon(cfg, np.asarray(rec)), new_pyr
+
+
 def decode_picture_gop(cfg: CodecConfig, sh: SliceHeader,
                        payload: bytes, pyramids):
     """Decode one GOP picture; returns (Frame, new_pyramids)."""
@@ -374,6 +472,7 @@ def decode_picture_gop(cfg: CodecConfig, sh: SliceHeader,
         "sao_type": dec.sao[0], "sao_band": dec.sao[1],
         "sao_off": dec.sao[2], "pred": dec.pred_map,
         "mvx": dec.mvx_map, "mvy": dec.mvy_map,
+        "mvx1": dec.mvx1_map, "mvy1": dec.mvy1_map,
         **_alf_maps_from_header(cfg, sh)})
     if is_p:
         if pyramids is None:

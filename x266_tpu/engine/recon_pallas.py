@@ -61,6 +61,7 @@ from x266_tpu.specmodel import quant as qspec
 from x266_tpu.specmodel import transforms as tspec
 
 PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2   # mirrors engine.inter
+PRED_L1, PRED_BI = 3, 4
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -241,7 +242,7 @@ def _to2d(vec_i32, s: int):
 # ---- kernel factory ---------------------------------------------------------
 
 def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
-                  inter: bool = False):
+                  inter: bool = False, b_mode: bool = False):
     cy_n, cx_n = cfg.ctus_y, cfg.ctus_x
     qp = cfg.qp
     lossless = cfg.lossless
@@ -275,6 +276,7 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
         it = iter(refs)
         attr_ref = next(it)
         attr2_ref = next(it) if inter else None
+        attr3_ref = next(it) if b_mode else None
         dY_ref = next(it)        # src (encode) or coef (decode) blocks
         dCb_ref = next(it)
         dCr_ref = next(it)
@@ -282,6 +284,10 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
             pyrY_ref = next(it)
             pyrCb_ref = next(it)
             pyrCr_ref = next(it)
+        if b_mode:
+            pyr1Y_ref = next(it)
+            pyr1Cb_ref = next(it)
+            pyr1Cr_ref = next(it)
         w4_ref = next(it)
         w8_ref = next(it)
         w16_ref = next(it)
@@ -465,7 +471,8 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                 pred2d = intra_pred(s, win, col, top, x, y, mode)
                 skip = None
             else:
-                is_inter, skip, mvx, mvy, pyr_ref, x0pix, y0pix = iargs
+                (is_inter, skip, mvx, mvy, pyr_ref, x0pix, y0pix,
+                 bargs) = iargs
 
                 @pl.when(jnp.logical_not(is_inter))
                 def _():
@@ -474,8 +481,17 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
 
                 @pl.when(is_inter)
                 def _():
-                    predbuf[0:s, 0:s] = mc_pred(s, pyr_ref, x0pix + x,
-                                                y0pix + y, mvx, mvy)
+                    p0 = mc_pred(s, pyr_ref, x0pix + x, y0pix + y,
+                                 mvx, mvy)
+                    if bargs is None:
+                        predbuf[0:s, 0:s] = p0
+                    else:
+                        is_l1, is_bi, m1x, m1y, pyr1_ref = bargs
+                        p1 = mc_pred(s, pyr1_ref, x0pix + x, y0pix + y,
+                                     m1x, m1y)
+                        predbuf[0:s, 0:s] = jnp.where(
+                            is_bi, (p0 + p1 + 1) >> 1,
+                            jnp.where(is_l1, p1, p0))
 
                 pred2d = predbuf[0:s, 0:s]
 
@@ -575,31 +591,46 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                            zx * 4, zy * 4, mode, cmts)
                         return
                     a2 = attr2_ref[0, cx, z]
-                    kind = a2 & 3
-                    amvx = ((a2 >> 2) & 1023) - 512
-                    amvy = ((a2 >> 12) & 1023) - 512
+                    kind = a2 & 7
+                    amvx = ((a2 >> 3) & 1023) - 512
+                    amvy = ((a2 >> 13) & 1023) - 512
                     skip = kind == PRED_SKIP
                     is_inter = kind != PRED_INTRA
                     dmx, dmy = derive_mv(zx, zy)
                     mvx = jnp.where(skip, dmx, amvx)
                     mvy = jnp.where(skip, dmy, amvy)
+                    if b_mode:
+                        a3 = attr3_ref[0, cx, z]
+                        is_l1 = kind == PRED_L1
+                        is_bi = kind == PRED_BI
+                        m1x = jnp.where(is_bi,
+                                        ((a3 >> 0) & 1023) - 512, mvx)
+                        m1y = jnp.where(is_bi,
+                                        ((a3 >> 10) & 1023) - 512, mvy)
+                        byl = (is_l1, is_bi, m1x, m1y, pyr1Y_ref)
+                        bcb = (is_l1, is_bi, m1x >> 1, m1y >> 1,
+                               pyr1Cb_ref)
+                        bcr = (is_l1, is_bi, m1x >> 1, m1y >> 1,
+                               pyr1Cr_ref)
+                    else:
+                        byl = bcb = bcr = None
                     tu(s, winY, colY, topY, dY_ref,
                        cfY_ref if encode else None,
                        zx * 8, zy * 8, mode, mts,
                        iargs=(is_inter, skip, mvx, mvy, pyrY_ref,
-                              cx * 64, cy * 64))
+                              cx * 64, cy * 64, byl))
                     cmx = mvx >> 1
                     cmy = mvy >> 1
                     tu(s // 2, winCb, colCb, topCb, dCb_ref,
                        cfCb_ref if encode else None,
                        zx * 4, zy * 4, mode, cmts,
                        iargs=(is_inter, skip, cmx, cmy, pyrCb_ref,
-                              cx * 32, cy * 32))
+                              cx * 32, cy * 32, bcb))
                     tu(s // 2, winCr, colCr, topCr, dCr_ref,
                        cfCr_ref if encode else None,
                        zx * 4, zy * 4, mode, cmts,
                        iargs=(is_inter, skip, cmx, cmy, pyrCr_ref,
-                              cx * 32, cy * 32))
+                              cx * 32, cy * 32, bcr))
                     # record the CU's final MV + inter flag over its units
                     u = s // 8
                     flag = is_inter.astype(I32)
@@ -667,6 +698,8 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
     in_specs = [attr_spec]
     if inter:
         in_specs.append(attr_spec)
+    if b_mode:
+        in_specs.append(attr_spec)
     in_specs += [pl.BlockSpec((64, 128), lambda i, j: (i, j),
                               memory_space=vmem),
                  pl.BlockSpec((32, 128), lambda i, j: (i, j),
@@ -675,6 +708,8 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                               memory_space=vmem)]
     if inter:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3  # pyramids
+    if b_mode:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3  # L1 pyrs
 
     def const_spec():
         return pl.BlockSpec(memory_space=vmem)
@@ -854,12 +889,20 @@ def make_recon_pallas_raw(cfg: CodecConfig, encode: bool,
 
 
 def _pack_attrs2(cfg: CodecConfig, pred_map, mvx_map, mvy_map):
-    """Second attr word: CU kind + explicit MV (|mv| <= 288 < 512)."""
+    """Second attr word: CU kind (3 bits, engine.inter.PRED_*) +
+    explicit primary MV (|mv| <= 288 < 512)."""
     _, _, _, uxc, uyc = _attr_geom(cfg)
     kind = pred_map[uyc, uxc]
     mvx = mvx_map[uyc, uxc] + 512
     mvy = mvy_map[uyc, uxc] + 512
-    return kind | (mvx << 2) | (mvy << 12)
+    return kind | (mvx << 3) | (mvy << 13)
+
+
+def _pack_attrs3(cfg: CodecConfig, mvx1_map, mvy1_map):
+    """Third attr word (B slices): bi-prediction's L1 MV."""
+    _, _, _, uxc, uyc = _attr_geom(cfg)
+    return ((mvx1_map[uyc, uxc] + 512)
+            | ((mvy1_map[uyc, uxc] + 512) << 10))
 
 
 def _pad_pyr(pyr, rpad: int, wneed: int):
@@ -872,6 +915,7 @@ def _pad_pyr(pyr, rpad: int, wneed: int):
 
 @functools.cache
 def make_recon_inter_pallas_raw(cfg: CodecConfig, encode: bool,
+                                b_mode: bool = False,
                                 interpret: bool | None = None):
     """Pallas implementation of engine.inter.make_recon_inter_raw —
     same signature and bit-exact results (tests/test_recon_pallas.py).
@@ -884,7 +928,8 @@ def make_recon_inter_pallas_raw(cfg: CodecConfig, encode: bool,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    call, tables = _build_pallas(cfg, encode, interpret, inter=True)
+    call, tables = _build_pallas(cfg, encode, interpret, inter=True,
+                                 b_mode=b_mode)
     h, w = cfg.height, cfg.width
     ch, cw = h // 2, w // 2
     cyn, cxn = cfg.ctus_y, cfg.ctus_x
@@ -896,7 +941,8 @@ def make_recon_inter_pallas_raw(cfg: CodecConfig, encode: bool,
     rpad = 40
 
     def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
-            mvy_map, pyr_y, pyr_cb, pyr_cr):
+            mvy_map, pyr_y, pyr_cb, pyr_cr, pyr1_y=None, pyr1_cb=None,
+            pyr1_cr=None, mvx1_map=None, mvy1_map=None):
         attr = _pack_attrs(cfg, size_map.astype(jnp.int32),
                            mode_map.astype(jnp.int32),
                            mts_map.astype(jnp.int32))
@@ -914,7 +960,16 @@ def make_recon_inter_pallas_raw(cfg: CodecConfig, encode: bool,
         py = _pad_pyr(pyr_y, rpad, wneed_y)
         pcb = _pad_pyr(pyr_cb, rpad, wneed_c)
         pcr = _pad_pyr(pyr_cr, rpad, wneed_c)
-        res = call(attr, attr2, dy, db, dc, py, pcb, pcr, *tables)
+        args = [attr, attr2]
+        if b_mode:
+            args.append(_pack_attrs3(cfg, mvx1_map.astype(jnp.int32),
+                                     mvy1_map.astype(jnp.int32)))
+        args += [dy, db, dc, py, pcb, pcr]
+        if b_mode:
+            args += [_pad_pyr(pyr1_y, rpad, wneed_y),
+                     _pad_pyr(pyr1_cb, rpad, wneed_c),
+                     _pad_pyr(pyr1_cr, rpad, wneed_c)]
+        res = call(*args, *tables)
         y8 = _slot_unpack(res[0], cyn, cxn, 64, h, w).astype(jnp.uint8)
         cb8 = _slot_unpack(res[1], cyn, cxn, 32, ch, cw).astype(jnp.uint8)
         cr8 = _slot_unpack(res[2], cyn, cxn, 32, ch, cw).astype(jnp.uint8)
