@@ -17,7 +17,7 @@ from x266_tpu.engine import fused
 from x266_tpu.engine.inter import make_mode_decision_p_raw
 from x266_tpu.engine.mode_decision import pad_plane
 from x266_tpu.kernels import interp, me
-from x266_tpu.kernels.me_pallas import frac_refine, warp_frames
+from x266_tpu.kernels.me_pallas import refine_search, warp_frames
 
 
 def _pyr(w, h, seed):
@@ -45,7 +45,9 @@ def test_warp_frames_match_mc_block():
                 assert (got == ref).all(), (t, i, j)
 
 
-def test_frac_refine_matches_reference():
+def test_refine_search_matches_reference():
+    """Combined +-3 full-pel / +-2 qpel refinement: Pallas == XLA
+    (same candidate order and tie-breaks)."""
     w, h = 160, 96
     pyr, ref_y = _pyr(w, h, 3)
     rng = np.random.default_rng(4)
@@ -53,10 +55,11 @@ def test_frac_refine_matches_reference():
         np.roll(ref_y, (1, -2), (0, 1))
         + rng.integers(-9, 10, (h, w)), 0, 255).astype(np.int32))
     by, bx = h // 16, w // 16
-    imv = jnp.asarray(rng.integers(-10, 11, (by, bx, 2)).astype(np.int32))
+    base = jnp.asarray(rng.integers(-10, 11, (by, bx, 2))
+                       .astype(np.int32))
 
-    a = np.asarray(me.fractional_refine(cur, pyr, imv))
-    b = np.asarray(frac_refine(cur, pyr, imv))
+    a = np.asarray(me.refine_search_ref(cur, pyr, base))
+    b = np.asarray(refine_search(cur, pyr, base))
     assert (a == b).all(), np.argwhere(a != b)[:5]
 
 

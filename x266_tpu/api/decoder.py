@@ -42,9 +42,12 @@ class Decoder:
                 if sh.slice_type == SliceType.B:
                     l0 = max(p for p in dpb if p < poc)
                     l1 = min(p for p in dpb if p > poc)
+                    is_ref = poc % 2 == 0   # leaf-B rule (encoder mirror)
                     frame, pyr = decode_picture_b(
-                        use, sh, rbsp[off:], dpb[l0], dpb[l1])
-                    dpb[poc] = pyr
+                        use, sh, rbsp[off:], dpb[l0], dpb[l1],
+                        with_pyramids=is_ref)
+                    if pyr is not None:
+                        dpb[poc] = pyr
                 elif (sh.slice_type == SliceType.P
                       or nal_type == NalType.TRAIL):
                     ref = (dpb[max(p for p in dpb if p < poc)]

@@ -188,9 +188,12 @@ class Encoder:
             if kind == "B":
                 l0 = max(p for p in dpb if p < poc)
                 l1 = min(p for p in dpb if p > poc)
+                # odd-POC Bs are hierarchy leaves (gop_size is a power
+                # of two): never referenced, so no pyramids/DPB entry
+                is_ref = poc % 2 == 0
                 rbsp, recon, sse, pyr = encode_picture_b(
                     cfg, frames[poc], poc, dpb[l0], dpb[l1],
-                    self.with_recon)
+                    self.with_recon, with_pyramids=is_ref)
                 nal = write_nal(NalType.TRAIL, rbsp)
             else:
                 ref = (None if kind == "I"
@@ -199,7 +202,8 @@ class Encoder:
                     cfg, frames[poc], poc, ref, self.with_recon)
                 nal = write_nal(NT.IDR if st.name == "I" else NT.TRAIL,
                                 rbsp)
-            dpb[poc] = pyr
+            if pyr is not None:
+                dpb[poc] = pyr
             per_poc[poc] = (nal, recon, sse)
             out.append(nal)
             if kind != "B" and poc > 0:

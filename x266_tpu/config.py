@@ -91,6 +91,10 @@ class CodecConfig:
             raise ValueError("v1 supports min_cu_size=8 only")
         if self.mts and self.profile != Profile.VVC:
             raise ValueError("MTS requires the VVC profile")
+        if self.gop_size > 1 and (self.gop_size
+                                  & (self.gop_size - 1)) != 0:
+            raise ValueError("gop_size must be a power of two (the "
+                             "leaf-B rule relies on it)")
 
     # ---- derived geometry -------------------------------------------------
 

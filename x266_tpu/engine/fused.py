@@ -215,15 +215,36 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP):
     return y, cb, cr, (st, sb, so), (alf_flag, alf_coef), sse
 
 
+def _pyr_target(h: int, w: int) -> tuple[int, int]:
+    """DMA-safe pyramid shape: covers every aligned-window read of the
+    Pallas MC/ME kernels (recon_pallas._pad_pyr, me_pallas wneed), so
+    per-call padding copies are no-ops."""
+    from x266_tpu.kernels.interp import REF_PAD
+
+    def up(n, m):
+        return -(-n // m) * m
+
+    w16 = up(w, 16)
+    wp = up(w16 + REF_PAD + (REF_PAD - 8), 128) + 256
+    hp = up(h, 16) + 2 * REF_PAD + 48
+    return hp, wp
+
+
 def _build_pyramids_device(y, cb, cr):
     from x266_tpu.kernels import interp as kinterp
 
-    py = kinterp.build_pyramid(kinterp.pad_ref(y.astype(jnp.int32)),
-                               False)
-    pcb = kinterp.build_pyramid(kinterp.pad_ref(cb.astype(jnp.int32)),
-                                True)
-    pcr = kinterp.build_pyramid(kinterp.pad_ref(cr.astype(jnp.int32)),
-                                True)
+    def pad_out(p, h, w):
+        hp, wp = _pyr_target(h, w)
+        return jnp.pad(p, ((0, 0), (0, max(0, hp - p.shape[1])),
+                           (0, max(0, wp - p.shape[2]))))
+
+    h, w = y.shape
+    py = pad_out(kinterp.build_pyramid(
+        kinterp.pad_ref(y.astype(jnp.int32)), False), h, w)
+    pcb = pad_out(kinterp.build_pyramid(
+        kinterp.pad_ref(cb.astype(jnp.int32)), True), h // 2, w // 2)
+    pcr = pad_out(kinterp.build_pyramid(
+        kinterp.pad_ref(cr.astype(jnp.int32)), True), h // 2, w // 2)
     return py, pcb, pcr
 
 
@@ -336,10 +357,14 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
 
 
 @functools.cache
-def make_encode_step_b(cfg: CodecConfig, with_recon: bool):
+def make_encode_step_b(cfg: CodecConfig, with_recon: bool,
+                       with_pyramids: bool = True):
     """B-picture step: bidirectional ME + B mode decision (intra / L0 /
-    L1 / bi / skip) + inter recon + filters + next-reference pyramids,
-    ONE call.  Takes the L0 and L1 reference pyramids (device arrays)."""
+    L1 / bi / skip) + inter recon + filters [+ pyramids], ONE call.
+    Takes the L0 and L1 reference pyramids (device arrays);
+    with_pyramids=False for non-reference (leaf, odd-POC) B pictures —
+    they are never referenced, so skipping their pyramids halves the
+    RA DPB's HBM footprint."""
     from x266_tpu.engine.inter import (make_mode_decision_b_raw,
                                        select_recon_inter_impl)
 
@@ -362,7 +387,7 @@ def make_encode_step_b(cfg: CodecConfig, with_recon: bool):
                 pred_map, mvx_fin.astype(jnp.int32),
                 mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
-                             with_recon, True)
+                             with_recon, with_pyramids)
 
     return jax.jit(step)
 

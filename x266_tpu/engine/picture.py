@@ -401,15 +401,18 @@ def gop_coding_order(n: int, intra_period: int, gop: int
 
 
 def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
-                     pyr0, pyr1, with_recon: bool = True):
+                     pyr0, pyr1, with_recon: bool = True,
+                     with_pyramids: bool = True):
     """Encode one B picture against the L0/L1 DPB entries.
 
-    Returns (rbsp, recon|None, sse, new_pyramids)."""
+    Returns (rbsp, recon|None, sse, new_pyramids|None).  Leaf (odd-POC)
+    B pictures are never referenced: with_pyramids=False skips their
+    pyramid build and DPB entry (halves RA HBM at 4K)."""
     assert cfg.num_tiles == 1, "B pictures support single tile in v1"
     packed = fused.pack_input(cfg, frame)
-    out = fused.make_encode_step_b(cfg, with_recon)(packed, *pyr0,
-                                                    *pyr1)
-    new_pyr = out[-1]
+    out = fused.make_encode_step_b(cfg, with_recon, with_pyramids)(
+        packed, *pyr0, *pyr1)
+    new_pyr = out[-1] if with_pyramids else None
     cy, ccb, ccr, maps, sse, recon = _finalize_common(
         cfg, out, with_recon)
     sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
@@ -435,8 +438,8 @@ def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
 
 
 def decode_picture_b(cfg: CodecConfig, sh: SliceHeader, payload: bytes,
-                     pyr0, pyr1):
-    """Decode one B picture; returns (Frame, new_pyramids)."""
+                     pyr0, pyr1, with_pyramids: bool = True):
+    """Decode one B picture; returns (Frame, new_pyramids|None)."""
     assert cfg.num_tiles == 1
     bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
     segments = [payload[b0:b1]
@@ -451,9 +454,10 @@ def decode_picture_b(cfg: CodecConfig, sh: SliceHeader, payload: bytes,
         "mvx": dec.mvx_map, "mvy": dec.mvy_map,
         "mvx1": dec.mvx1_map, "mvy1": dec.mvy1_map,
         **_alf_maps_from_header(cfg, sh)})
-    rec, new_pyr = fused.make_decode_step_b(cfg, True)(
+    out = fused.make_decode_step_b(cfg, with_pyramids)(
         coef, flat, *pyr0, *pyr1)
-    return fused.unpack_recon(cfg, np.asarray(rec)), new_pyr
+    new_pyr = out[1] if with_pyramids else None
+    return fused.unpack_recon(cfg, np.asarray(out[0])), new_pyr
 
 
 def decode_picture_gop(cfg: CodecConfig, sh: SliceHeader,

@@ -9,10 +9,11 @@ P-picture mode decision (XLA lowers them to serialized gathers; measured
   aligned-window DMA per block, lane-roll + static row-select extraction.
   T independent MV fields produce T full MC frames in one call; Pass A
   then reads per-CU predictions as pure reshapes of these frames.
-- frac_refine: quarter-pel ME refinement. Per block ONE 3D DMA fetches
-  the (16, 24, 256) window spanning all 16 subplanes, and the 25
-  (+-2 qpel)^2 candidates are evaluated in VMEM; bit-identical to
-  kernels.me.fractional_refine (same candidate order and tie-breaks).
+- refine_search: hierarchical ME's combined refinement. Per block ONE
+  3D DMA fetches the (16, 40, 256) window spanning all 16 subplanes;
+  49 (+-3 full-pel)^2 then 25 (+-2 qpel)^2 candidates evaluate in
+  VMEM; bit-identical to kernels.me.refine_search_ref (same candidate
+  order and strict-< tie-breaks).
 
 Both are exact gathers (uint8 pyramid -> int32), so all consumers are
 bit-exact vs the XLA reference paths (tests/test_me_pallas.py).
@@ -29,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from x266_tpu.kernels.interp import REF_PAD
-from x266_tpu.kernels.me import FRAC_D, ME_BLOCK
+from x266_tpu.kernels.me import (FRAC_D, ME_BLOCK, REFINE_R,
+                                 _QP_DELTAS, _REF_DELTAS)
 
 I32 = jnp.int32
 
@@ -127,68 +129,100 @@ def warp_frames(pyramid, mvs, h: int, w: int,
     return out
 
 
-# ---- fractional refinement ---------------------------------------------------
+# ---- combined full-pel + quarter-pel refinement ------------------------------
 
-_DELTAS = [(dx, dy) for dy in range(-FRAC_D, FRAC_D + 1)
-           for dx in range(-FRAC_D, FRAC_D + 1)]
-
-
-def _build_refine(by: int, bxp: int, interpret: bool):
+def _build_refine2(by: int, bxp: int, interpret: bool):
+    """Stage-1 (+-REFINE_R full-pel, integer plane) and stage-2
+    (+-FRAC_D quarter-pel) refinement around a per-block base MV, ONE
+    3D DMA per block; bit-identical to kernels.me.refine_search_ref
+    (same candidate order and strict-< tie-breaks)."""
     gx = bxp // 8
+    B = ME_BLOCK
+    R = REFINE_R
 
     def kernel(mv_ref, cur_ref, pyr_ref, out_ref, win, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         for k in range(8):
             bxi = j * 8 + k
-            imvx = mv_ref[0, bxi, 0]
-            imvy = mv_ref[0, bxi, 1]
-            cur = cur_ref[:, k * ME_BLOCK:(k + 1) * ME_BLOCK].astype(I32)
-            # window starting one integer pel up-left of the base gather
-            ix = bxi * ME_BLOCK + REF_PAD + imvx - 1
-            iy = i * ME_BLOCK + REF_PAD + imvy - 1
-            iyb = (iy // 8) * 8
-            ixb = (ix // 128) * 128
+            basex = mv_ref[0, bxi, 0]
+            basey = mv_ref[0, bxi, 1]
+            cur = cur_ref[:, k * B:(k + 1) * B].astype(I32)
+            # window origin: one pel beyond the widest candidate reach
+            ibx = bxi * B + REF_PAD + basex - (R + 1)
+            iby = i * B + REF_PAD + basey - (R + 1)
+            iyb = (iby // 8) * 8
+            ixb = (ibx // 128) * 128
             cp = pltpu.make_async_copy(
                 pyr_ref.at[pl.ds(0, 16),
-                           pl.ds(pl.multiple_of(iyb, 8), 24),
+                           pl.ds(pl.multiple_of(iyb, 8), 40),
                            pl.ds(pl.multiple_of(ixb, 128), 256)],
                 win, sem)
             cp.start()
             cp.wait()
-            remy = iy - iyb
-            remx = ix - ixb
-            planes = {}
-            for f in range(16):
-                v = win[f].astype(I32)
-                v = pltpu.roll(v, (256 - remx) % 256, 1)
-                planes[f] = _row_select(v, remy, 24, ME_BLOCK + 1)
+            remy = iby - iyb                          # 0..7
+            remx = ibx - ixb
+
+            # ---- stage 1: 49 full-pel SADs on the integer plane ----
+            v0 = win[0].astype(I32)
+            v0 = pltpu.roll(v0, (256 - remx) % 256, 1)
+            u0 = _row_select(v0, remy, 40, 2 * R + 2 + B)   # rows [iby..]
             best_cost = None
             best_idx = None
-            for di, (dx, dy) in enumerate(_DELTAS):
-                f = (dy & 3) * 4 + (dx & 3)
-                oy = 1 + (dy >> 2)                      # 0 or 1
-                ox = 1 + (dx >> 2)
-                pred = planes[f][oy:oy + ME_BLOCK,
-                                 ox:ox + ME_BLOCK]
-                sad = jnp.sum(jnp.abs(cur - pred))
+            for di, (dx, dy) in enumerate(_REF_DELTAS):
+                p = u0[R + 1 + dy:R + 1 + dy + B,
+                       R + 1 + dx:R + 1 + dx + B]
+                sad = jnp.sum(jnp.abs(cur - p))
                 if best_cost is None:
                     best_cost, best_idx = sad, jnp.zeros((), I32)
                 else:
                     better = sad < best_cost
                     best_cost = jnp.where(better, sad, best_cost)
                     best_idx = jnp.where(better, di, best_idx)
-            ddx = jnp.zeros((), I32)
-            ddy = jnp.zeros((), I32)
-            for di, (dx, dy) in enumerate(_DELTAS):
-                ddx = jnp.where(best_idx == di, dx, ddx)
-                ddy = jnp.where(best_idx == di, dy, ddy)
-            mvxr = imvx * 4 + ddx
-            mvyr = imvy * 4 + ddy
+            bix = jnp.zeros((), I32)
+            biy = jnp.zeros((), I32)
+            for di, (dx, dy) in enumerate(_REF_DELTAS):
+                bix = jnp.where(best_idx == di, dx, bix)
+                biy = jnp.where(best_idx == di, dy, biy)
+
+            # ---- stage 2: 25 quarter-pel SADs around the winner ----
+            planes = {}
+            rowsh = remy + R + biy                    # in [remy, remy+2R]
+            for f in range(16):
+                v = win[f].astype(I32)
+                v = pltpu.roll(v, (256 - remx) % 256, 1)
+                v = pltpu.roll(v, (256 - ((R + bix) % 256)) % 256, 1)
+                u = v[0:2 * R + 8 + B + 2]
+                sel = u[0:B + 2]
+                for r in range(1, 2 * R + 8):
+                    sel = jnp.where(rowsh == r, u[r:r + B + 2], sel)
+                planes[f] = sel                       # rows [iby+R+biy..]
+            best2 = None
+            bq = None
+            for di, (dx, dy) in enumerate(_QP_DELTAS):
+                f = (dy & 3) * 4 + (dx & 3)
+                oy = 1 + (dy >> 2)
+                ox = 1 + (dx >> 2)
+                p = planes[f][oy:oy + B, ox:ox + B]
+                sad = jnp.sum(jnp.abs(cur - p))
+                if best2 is None:
+                    best2, bq = sad, jnp.zeros((), I32)
+                else:
+                    better = sad < best2
+                    best2 = jnp.where(better, sad, best2)
+                    bq = jnp.where(better, di, bq)
+            dqx = jnp.zeros((), I32)
+            dqy = jnp.zeros((), I32)
+            for di, (dx, dy) in enumerate(_QP_DELTAS):
+                dqx = jnp.where(bq == di, dx, dqx)
+                dqy = jnp.where(bq == di, dy, dqy)
+            mvx = (basex + bix) * 4 + dqx
+            mvy = (basey + biy) * 4 + dqy
+
             sub = jax.lax.broadcasted_iota(I32, (bxp, 2), 0)
             lane = jax.lax.broadcasted_iota(I32, (bxp, 2), 1)
-            val = jnp.where(lane == 0, jnp.full((bxp, 2), mvxr, I32),
-                            jnp.full((bxp, 2), mvyr, I32))
+            val = jnp.where(lane == 0, jnp.full((bxp, 2), mvx, I32),
+                            jnp.full((bxp, 2), mvy, I32))
             out_ref[0] = jnp.where(sub == bxi, val, out_ref[0])
 
     return pl.pallas_call(
@@ -202,7 +236,7 @@ def _build_refine(by: int, bxp: int, interpret: bool):
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, bxp, 2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, 24, 256), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((16, 40, 256), jnp.uint8),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -211,15 +245,15 @@ def _build_refine(by: int, bxp: int, interpret: bool):
 
 
 @functools.cache
-def _refine_call(by, bxp, hp, wneed, interpret):
-    call = _build_refine(by, bxp, interpret)
+def _refine2_call(by, bxp, hp, wneed, interpret):
+    call = _build_refine2(by, bxp, interpret)
 
-    def run(cur, imv, pyramid):
+    def run(cur, base, pyramid):
         curp = jnp.zeros((by * ME_BLOCK, bxp * ME_BLOCK), jnp.int32)
         curp = curp.at[:cur.shape[0], :cur.shape[1]].set(
             cur.astype(jnp.int32))
         mvp = jnp.zeros((by, bxp, 2), jnp.int32)
-        mvp = mvp.at[:, :imv.shape[1], :].set(imv)
+        mvp = mvp.at[:, :base.shape[1], :].set(base)
         pyr = jnp.pad(pyramid,
                       ((0, 0), (0, max(0, hp - pyramid.shape[1])),
                        (0, max(0, wneed - pyramid.shape[2]))))
@@ -228,11 +262,11 @@ def _refine_call(by, bxp, hp, wneed, interpret):
     return jax.jit(run)
 
 
-def frac_refine(cur, pyramid, imv, interpret: bool | None = None):
-    """Quarter-pel refinement, bit-identical to me.fractional_refine.
+def refine_search(cur, pyramid, base, interpret: bool | None = None):
+    """Pallas implementation of kernels.me.refine_search_ref.
 
     cur: (H, W) int (ME_BLOCK multiples); pyramid (16, Hp, Wp) uint8;
-    imv (By, Bx, 2) full-pel.  Returns (By, Bx, 2) quarter-pel MVs.
+    base (By, Bx, 2) full-pel.  Returns (By, Bx, 2) quarter-pel MVs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -240,6 +274,7 @@ def frac_refine(cur, pyramid, imv, interpret: bool | None = None):
     by, bx = h // ME_BLOCK, w // ME_BLOCK
     bxp = _pad_to(bx, 8)
     wneed = _pad_to(bxp * ME_BLOCK + REF_PAD + (REF_PAD - 8), 128) + 256
-    hp = by * ME_BLOCK + 2 * REF_PAD + 32
-    out = _refine_call(by, bxp, hp, wneed, interpret)(cur, imv, pyramid)
+    hp = by * ME_BLOCK + 2 * REF_PAD + 48
+    out = _refine2_call(by, bxp, hp, wneed, interpret)(cur, base,
+                                                       pyramid)
     return out[:, :bx, :]
