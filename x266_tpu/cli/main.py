@@ -38,7 +38,7 @@ def cmd_encode(args) -> int:
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
         alf=args.alf, mts=args.mts, tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
-        intra_period=args.gop)
+        intra_period=args.gop, gop_size=args.bframes)
     frames = read_yuv420(args.input, w, h, args.frames)
     if not frames:
         print("no frames read", file=sys.stderr)
@@ -120,6 +120,10 @@ def main(argv=None) -> int:
     e.add_argument("--gop", type=int, default=1,
                    help="intra period: 1 = all-intra, N = IDR every N "
                         "(low-delay P between)")
+    e.add_argument("--bframes", type=int, default=1,
+                   help="random-access hierarchy span (power of two): "
+                        "anchors every N pocs with hierarchical B "
+                        "between; 1 = no B pictures")
     e.add_argument("--segment-rows", type=int, default=0,
                    dest="segment_rows")
     e.add_argument("--sharded", action="store_true",
