@@ -1,48 +1,59 @@
 """Driver benchmark: prints ONE JSON line.
 
-Metric (BASELINE.json:2): frames/sec/chip for all-intra 1080p encode,
-end-to-end (device compute + entropy coding + NAL assembly), measured on
-whatever accelerator jax selects (the real TPU chip under the driver).
+Headline metric (BASELINE.json:8, config 2 AS SPECIFIED): frames/sec/chip
+for all-intra 1080p **VVC profile with full MTS** encode, end-to-end
+(device compute + entropy coding + NAL assembly) on whatever accelerator
+jax selects (the real TPU chip under the driver).
+
+detail.fps_4k_ra: config 4's shape (BASELINE.json:10) — 4K random-access
+GOP-16 with deblock/SAO/ALF — measured in a SUBPROCESS so a tunnel-side
+worker crash under sustained 4K load (seen in round 1) cannot take down
+the headline number; null if the subprocess fails.
 
 vs_baseline: the reference has no published numbers (BASELINE.json:13
 "published": {}); we normalize against the project's real-time target of
-60 fps (BASELINE.json:5, stated for 4K on a v5p-16 — used here as the
-fixed yardstick so the number is comparable across rounds).
+60 fps (BASELINE.json:5, stated for 4K on a v5p-16 — used as the fixed
+yardstick so the number is comparable across rounds).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def _jax_setup():
     import jax
 
-    # persistent compile cache: 1080p pipeline compiles take minutes on
-    # the remote compile service; cache them across bench runs
+    # persistent compile cache: 1080p/4K pipeline compiles take minutes
+    # on the remote compile service; cache them across bench runs
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+
+def bench_1080p_vvc() -> dict:
+    """Config 2 exactly as spec'd: all-intra 1080p VVC + MTS + CABAC."""
+    _jax_setup()
     from x266_tpu.api import Decoder, Encoder
-    from x266_tpu.config import CodecConfig
+    from x266_tpu.config import preset_cfg2
     from x266_tpu.core.hashing import frame_md5
     from x266_tpu.core.yuv import synthetic_clip
 
-    width, height, qp = 1920, 1080, 32
-    cfg = CodecConfig(width=width, height=height, qp=qp,
-                      rows_per_segment=1)
+    width, height = 1920, 1080
+    cfg = preset_cfg2(width, height).replace(rows_per_segment=1)
     frames = synthetic_clip(width, height, 8, kind="mixed")
 
     # serving path: bitstream leaves the chip, recon stays on device;
     # frames batch 4-per-device-call (vmapped over the Pallas recon
     # kernel) to amortize the per-call dispatch/transfer latency
     enc = Encoder(cfg, with_recon=False, batch_frames=4)
-    # warm-up: compile + first chunk
-    enc.encode(frames[:4])
+    enc.encode(frames[:4])              # warm-up: compile + first chunk
 
     t0 = time.time()
     res = enc.encode(frames)
@@ -57,20 +68,61 @@ def main() -> None:
     assert frame_md5(dec[0]) == frame_md5(dec2[0]), \
         "non-deterministic decode in bench"
     host_psnr = dec[0].psnr(frames[0])[0]
-
     psnr_y = float(np.mean(res.psnr_y(width, height)))
     assert abs(host_psnr - res.psnr_y(width, height)[0]) < 0.05
-    print(json.dumps({
-        "metric": "1080p_allintra_encode_fps_chip",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 60.0, 4),
-        "detail": {
-            "qp": qp,
+    return {"fps": fps, "qp": cfg.qp,
             "bits_per_frame": int(res.total_bits / len(frames)),
-            "psnr_y_db": round(psnr_y, 2),
-            "frames": len(frames),
-        },
+            "psnr_y_db": round(psnr_y, 2), "frames": len(frames)}
+
+
+def bench_4k_ra() -> dict:
+    """Config 4's shape: 4K RA GOP-16, deblock+SAO+ALF, single chip."""
+    _jax_setup()
+    from x266_tpu.api import Encoder
+    from x266_tpu.config import preset_cfg4
+    from x266_tpu.core.yuv import synthetic_clip
+
+    width, height = 3840, 2160
+    cfg = preset_cfg4(width, height)
+    n = 17                              # one full GOP-16 + its anchor
+    frames = synthetic_clip(width, height, n, kind="mixed")
+    enc = Encoder(cfg, with_recon=False)
+    enc.encode(frames[:3])              # warm-up: I + first B compiles
+
+    t0 = time.time()
+    res = enc.encode(frames)
+    dt = time.time() - t0
+    return {"fps_4k_ra": round(n / dt, 3),
+            "bits_per_frame_4k": int(res.total_bits / n),
+            "psnr_y_4k_db": round(float(np.mean(
+                res.psnr_y(width, height))), 2)}
+
+
+def main() -> None:
+    if "--4k" in sys.argv:              # subprocess entry
+        print(json.dumps(bench_4k_ra()))
+        return
+
+    d = bench_1080p_vvc()
+    detail = {k: v for k, v in d.items() if k != "fps"}
+    detail["fps_4k_ra"] = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--4k"],
+            capture_output=True, text=True, timeout=1800)
+        if proc.returncode == 0:
+            detail.update(json.loads(proc.stdout.strip().split("\n")[-1]))
+        else:
+            detail["fps_4k_ra_error"] = proc.stderr[-300:]
+    except Exception as e:              # noqa: BLE001 — never lose headline
+        detail["fps_4k_ra_error"] = str(e)[:300]
+
+    print(json.dumps({
+        "metric": "1080p_allintra_vvc_mts_encode_fps_chip",
+        "value": round(d["fps"], 3),
+        "unit": "frames/s",
+        "vs_baseline": round(d["fps"] / 60.0, 4),
+        "detail": detail,
     }))
 
 

@@ -16,6 +16,7 @@ def test_presets():
     assert c3.intra_period > 1
     c4 = preset_cfg4()
     assert c4.deblock and c4.sao and c4.alf and c4.width == 3840
+    assert c4.gop_size == 16    # random-access GOP-16 (BASELINE.json:10)
     c5 = preset_cfg5()
     assert c5.rows_per_segment == 1
 

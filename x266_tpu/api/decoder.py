@@ -39,6 +39,36 @@ class Decoder:
                     rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x)
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
                 poc = sh.poc
+                if cfg.tile_rows and (cfg.intra_period != 1
+                                      or cfg.gop_size > 1):
+                    # tiled inter stream: DPB = full filtered planes,
+                    # band decode with halo extension (P4 mirror)
+                    from x266_tpu.engine.picture import (
+                        decode_picture_inter_tiled, refs_from_frame)
+                    if sh.slice_type == SliceType.B:
+                        l0 = max(p for p in dpb if p < poc)
+                        l1 = min(p for p in dpb if p > poc)
+                        frame, refs = decode_picture_inter_tiled(
+                            use, sh, rbsp[off:], dpb[l0], dpb[l1])
+                        if poc % 2 == 0:
+                            dpb[poc] = refs
+                    elif sh.slice_type == SliceType.P:
+                        ref = dpb[max(p for p in dpb if p < poc)]
+                        frame, refs = decode_picture_inter_tiled(
+                            use, sh, rbsp[off:], ref)
+                        dpb[poc] = refs
+                    else:
+                        frame = decode_picture(use, sh, rbsp[off:])
+                        dpb[poc] = refs_from_frame(frame)
+                    frames[poc] = frame
+                    if sh.slice_type != SliceType.B and poc > 0:
+                        if cfg.gop_size > 1:
+                            for p in [p for p in dpb
+                                      if p < poc - cfg.gop_size]:
+                                del dpb[p]
+                        else:
+                            dpb = {poc: dpb[poc]}
+                    continue
                 if sh.slice_type == SliceType.B:
                     l0 = max(p for p in dpb if p < poc)
                     l1 = min(p for p in dpb if p > poc)

@@ -141,7 +141,12 @@ class Encoder:
         from x266_tpu.engine.picture import encode_picture_gop
 
         if cfg.tile_rows:
-            raise ValueError("P pictures support single tile in v1")
+            # tile-band inter path with reference-halo exchange (P4)
+            if self.rate_control is not None:
+                raise ValueError("rate control supports single tile "
+                                 "in v1")
+            from x266_tpu.shard.tiled_gop import encode_inter_tiled
+            return encode_inter_tiled(cfg, frames, self.with_recon)
         if cfg.gop_size > 1:
             return self._encode_ra(cfg, frames, out)
         recons: list[Frame] = []

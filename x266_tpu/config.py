@@ -187,13 +187,13 @@ def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:
 
 
 def preset_cfg4(width: int = 3840, height: int = 2160) -> CodecConfig:
-    """Config 4 (toolset): 4K with deblock/SAO/ALF loop filters.
-
-    v1 carries the full filter chain and GOP-16 low-delay P; the
-    random-access B hierarchy and multi-chip tiles-for-P are round-2
-    items (ROADMAP.md)."""
+    """Config 4: random-access GOP-16 4K with deblock/SAO/ALF
+    (BASELINE.json:10).  Tiles-for-P/B (the v5p-8 shape) layer on top
+    via tile_rows + shard.tiled_gop; ALF is single-tile in v1, so the
+    preset keeps one tile and the tiled variant drops ALF."""
     return CodecConfig(width=width, height=height, qp=32,
-                       intra_period=16, deblock=True, sao=True, alf=True)
+                       intra_period=32, gop_size=16, deblock=True,
+                       sao=True, alf=True)
 
 
 def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:

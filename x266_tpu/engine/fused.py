@@ -324,6 +324,26 @@ def make_encode_step_i_batched(cfg: CodecConfig, with_recon: bool):
                                                     False)))
 
 
+def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
+            with_recon, with_pyramids):
+    """Shared P-picture step body (whole-frame and tile-band callers)."""
+    yP, cbP, crP = _unpack_padded(cfg, packed)
+    size_map, mode_map, pred_map, mvx_map, mvy_map = mdp(yP, pyr_y)
+    mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
+    (y8, cb8, cr8, cY, cCb, cCr,
+     mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
+                            mts_map, pred_map, mvx_map, mvy_map,
+                            pyr_y, pyr_cb, pyr_cr)
+    y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
+        cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+    zero_u = jnp.zeros_like(size_map)
+    maps = [size_map, mode_map, mts_map, st, sb, so,
+            pred_map, mvx_fin.astype(jnp.int32),
+            mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac]
+    return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
+                         with_recon, with_pyramids)
+
+
 @functools.cache
 def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
     """P-picture step: ME + P mode decision + inter recon + filters +
@@ -332,26 +352,95 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
     from x266_tpu.engine.inter import (make_mode_decision_p_raw,
                                        select_recon_inter_impl)
 
-    h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
     mdp = make_mode_decision_p_raw(cfg)
     rp = select_recon_inter_impl(cfg, encode=True)
 
     def step(packed, pyr_y, pyr_cb, pyr_cr):
-        yP, cbP, crP = _unpack_padded(cfg, packed)
-        size_map, mode_map, pred_map, mvx_map, mvy_map = mdp(yP, pyr_y)
-        mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
-        (y8, cb8, cr8, cY, cCb, cCr,
-         mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
-                                mts_map, pred_map, mvx_map, mvy_map,
-                                pyr_y, pyr_cb, pyr_cr)
-        y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
-            cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
-        zero_u = jnp.zeros_like(size_map)
-        maps = [size_map, mode_map, mts_map, st, sb, so,
-                pred_map, mvx_fin.astype(jnp.int32),
-                mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac]
-        return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
-                             with_recon, True)
+        return _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
+                       with_recon, True)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_encode_step_p_band(cfg: CodecConfig):
+    """P TILE-BAND step with reference halo extension (P4).
+
+    step(packed_band, y0, ref_y, ref_cb, ref_cr) ->
+        (coef, flat, sse, rec_packed)
+
+    cfg is the BAND config (height = band rows); ref_* are the FULL
+    previous filtered reconstruction planes (uint8, device-resident);
+    y0 is the band's top luma row (traced, so one compiled step serves
+    every band of the same height).  The reference pyramids are built
+    from the band's rows +- HALO real neighbor pixels (shard.halo), so
+    this step's output is bit-identical to the shard_map/ppermute path
+    (make_encode_step_p_tiled) — this is the serial oracle.
+    rec_packed (always emitted) doubles as the next reference band.
+    """
+    from x266_tpu.engine.inter import (make_mode_decision_p_raw,
+                                       select_recon_inter_impl)
+    from x266_tpu.shard import halo
+
+    mdp = make_mode_decision_p_raw(cfg)
+    rp = select_recon_inter_impl(cfg, encode=True)
+    bh = cfg.height
+
+    def step(packed, y0, ref_y, ref_cb, ref_cr):
+        pyrs = halo.build_ext_pyramids(
+            halo.extend_band(ref_y, y0, bh, halo.HALO_Y),
+            halo.extend_band(ref_cb, y0 // 2, bh // 2, halo.HALO_C),
+            halo.extend_band(ref_cr, y0 // 2, bh // 2, halo.HALO_C))
+        return _p_body(cfg, mdp, rp, packed, *pyrs, True, False)
+
+    return jax.jit(step)
+
+
+def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids):
+    """Shared B-picture step body (whole-frame and tile-band callers)."""
+    p0y, p0cb, p0cr = p0
+    p1y, p1cb, p1cr = p1
+    yP, cbP, crP = _unpack_padded(cfg, packed)
+    (size_map, mode_map, pred_map, mvx_map, mvy_map,
+     mvx1_map, mvy1_map) = mdb(yP, p0y, p1y)
+    mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
+    (y8, cb8, cr8, cY, cCb, cCr,
+     mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
+                            mts_map, pred_map, mvx_map, mvy_map,
+                            p0y, p0cb, p0cr, p1y, p1cb, p1cr,
+                            mvx1_map, mvy1_map)
+    y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
+        cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+    maps = [size_map, mode_map, mts_map, st, sb, so,
+            pred_map, mvx_fin.astype(jnp.int32),
+            mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac]
+    return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
+                         with_recon, with_pyramids)
+
+
+@functools.cache
+def make_encode_step_b_band(cfg: CodecConfig):
+    """B TILE-BAND step with L0+L1 reference halo extension (P4).
+
+    step(packed_band, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr) ->
+        (coef, flat, sse, rec_packed); see make_encode_step_p_band."""
+    from x266_tpu.engine.inter import (make_mode_decision_b_raw,
+                                       select_recon_inter_impl)
+    from x266_tpu.shard import halo
+
+    mdb = make_mode_decision_b_raw(cfg)
+    rp = select_recon_inter_impl(cfg, encode=True, b_mode=True)
+    bh = cfg.height
+
+    def ext(ry, rcb, rcr, y0):
+        return halo.build_ext_pyramids(
+            halo.extend_band(ry, y0, bh, halo.HALO_Y),
+            halo.extend_band(rcb, y0 // 2, bh // 2, halo.HALO_C),
+            halo.extend_band(rcr, y0 // 2, bh // 2, halo.HALO_C))
+
+    def step(packed, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+        return _b_body(cfg, mdb, rp, packed, ext(r0y, r0cb, r0cr, y0),
+                       ext(r1y, r1cb, r1cr, y0), True, False)
 
     return jax.jit(step)
 
@@ -372,24 +461,62 @@ def make_encode_step_b(cfg: CodecConfig, with_recon: bool,
     rp = select_recon_inter_impl(cfg, encode=True, b_mode=True)
 
     def step(packed, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
-        yP, cbP, crP = _unpack_padded(cfg, packed)
-        (size_map, mode_map, pred_map, mvx_map, mvy_map,
-         mvx1_map, mvy1_map) = mdb(yP, p0y, p1y)
-        mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
-        (y8, cb8, cr8, cY, cCb, cCr,
-         mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
-                                mts_map, pred_map, mvx_map, mvy_map,
-                                p0y, p0cb, p0cr, p1y, p1cb, p1cr,
-                                mvx1_map, mvy1_map)
-        y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
-            cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
-        maps = [size_map, mode_map, mts_map, st, sb, so,
-                pred_map, mvx_fin.astype(jnp.int32),
-                mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac]
-        return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
-                             with_recon, with_pyramids)
+        return _b_body(cfg, mdb, rp, packed, (p0y, p0cb, p0cr),
+                       (p1y, p1cb, p1cr), with_recon, with_pyramids)
 
     return jax.jit(step)
+
+
+def _flat_get(cfg):
+    offs, _ = _maps_layout(cfg)
+
+    def get(flat, name, shape):
+        a, b = offs[name]
+        return flat[a:b].astype(jnp.int32).reshape(shape)
+
+    return get
+
+
+def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
+    """Shared P/B decode body: recon scan + loop filters + packed rec."""
+    h, w = cfg.height, cfg.width
+    uy, ux = cfg.units_y, cfg.units_x
+    cyn, cxn = cfg.ctus_y, cfg.ctus_x
+    get = _flat_get(cfg)
+    cY = coef[:h]
+    cCb = coef[h:, :w // 2]
+    cCr = coef[h:, w // 2:]
+    size_map = get(flat, "size", (uy, ux))
+    args = (cY, cCb, cCr, size_map, get(flat, "mode", (uy, ux)),
+            get(flat, "mts", (uy, ux)), get(flat, "pred", (uy, ux)),
+            get(flat, "mvx", (uy, ux)), get(flat, "mvy", (uy, ux)),
+            *pyrs)
+    if b_mode:
+        args = args + (get(flat, "mvx1", (uy, ux)),
+                       get(flat, "mvy1", (uy, ux)))
+    y8, cb8, cr8, *_ = rp(*args)
+    y = y8.astype(jnp.int32)
+    cb = cb8.astype(jnp.int32)
+    cr = cr8.astype(jnp.int32)
+    if cfg.deblock:
+        y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp, xp=jnp)
+    if cfg.sao:
+        y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
+                      get(flat, "sao_band", (cyn, cxn)),
+                      get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+    if cfg.alf:
+        from x266_tpu.kernels import alf as kalf
+        y = kalf.apply_alf(y, kalf.classify(y),
+                           get(flat, "alf_coef", (25, 12)),
+                           get(flat, "alf_flag", (cyn, cxn)))
+    rec = jnp.zeros((h + h // 2, w), jnp.uint8)
+    rec = rec.at[:h].set(y.astype(jnp.uint8))
+    rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
+    rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+    out = (rec,)
+    if with_pyramids:
+        out = out + (_build_pyramids_device(y, cb, cr),)
+    return out
 
 
 @functools.cache
@@ -398,50 +525,12 @@ def make_decode_step_b(cfg: CodecConfig, with_pyramids: bool = True):
     (packed recon u8 [, new pyramids])."""
     from x266_tpu.engine.inter import select_recon_inter_impl
 
-    h, w = cfg.height, cfg.width
     rp = select_recon_inter_impl(cfg, encode=False, b_mode=True)
-    uy, ux = cfg.units_y, cfg.units_x
-    cyn, cxn = cfg.ctus_y, cfg.ctus_x
-    offs, _ = _maps_layout(cfg)
-
-    def get(flat, name, shape):
-        a, b = offs[name]
-        return flat[a:b].astype(jnp.int32).reshape(shape)
 
     def step(coef, flat, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
-        cY = coef[:h]
-        cCb = coef[h:, :w // 2]
-        cCr = coef[h:, w // 2:]
-        size_map = get(flat, "size", (uy, ux))
-        y8, cb8, cr8, *_ = rp(
-            cY, cCb, cCr, size_map, get(flat, "mode", (uy, ux)),
-            get(flat, "mts", (uy, ux)), get(flat, "pred", (uy, ux)),
-            get(flat, "mvx", (uy, ux)), get(flat, "mvy", (uy, ux)),
-            p0y, p0cb, p0cr, p1y, p1cb, p1cr,
-            get(flat, "mvx1", (uy, ux)), get(flat, "mvy1", (uy, ux)))
-        y = y8.astype(jnp.int32)
-        cb = cb8.astype(jnp.int32)
-        cr = cr8.astype(jnp.int32)
-        if cfg.deblock:
-            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
-                                        xp=jnp)
-        if cfg.sao:
-            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
-                          get(flat, "sao_band", (cyn, cxn)),
-                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
-        if cfg.alf:
-            from x266_tpu.kernels import alf as kalf
-            y = kalf.apply_alf(y, kalf.classify(y),
-                               get(flat, "alf_coef", (25, 12)),
-                               get(flat, "alf_flag", (cyn, cxn)))
-        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-        rec = rec.at[:h].set(y.astype(jnp.uint8))
-        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
-        out = (rec,)
-        if with_pyramids:
-            out = out + (_build_pyramids_device(y, cb, cr),)
-        return out
+        return _decode_inter_body(
+            cfg, rp, coef, flat,
+            (p0y, p0cb, p0cr, p1y, p1cb, p1cr), True, with_pyramids)
 
     return jax.jit(step)
 
@@ -452,49 +541,56 @@ def make_decode_step_p(cfg: CodecConfig, with_pyramids: bool = True):
     (packed recon u8 [, new pyramids])."""
     from x266_tpu.engine.inter import select_recon_inter_impl
 
-    h, w = cfg.height, cfg.width
     rp = select_recon_inter_impl(cfg, encode=False)
-    uy, ux = cfg.units_y, cfg.units_x
-    cyn, cxn = cfg.ctus_y, cfg.ctus_x
-    offs, _ = _maps_layout(cfg)
-
-    def get(flat, name, shape):
-        a, b = offs[name]
-        return flat[a:b].astype(jnp.int32).reshape(shape)
 
     def step(coef, flat, pyr_y, pyr_cb, pyr_cr):
-        cY = coef[:h]
-        cCb = coef[h:, :w // 2]
-        cCr = coef[h:, w // 2:]
-        size_map = get(flat, "size", (uy, ux))
-        y8, cb8, cr8, *_ = rp(
-            cY, cCb, cCr, size_map, get(flat, "mode", (uy, ux)),
-            get(flat, "mts", (uy, ux)), get(flat, "pred", (uy, ux)),
-            get(flat, "mvx", (uy, ux)), get(flat, "mvy", (uy, ux)),
-            pyr_y, pyr_cb, pyr_cr)
-        y = y8.astype(jnp.int32)
-        cb = cb8.astype(jnp.int32)
-        cr = cr8.astype(jnp.int32)
-        if cfg.deblock:
-            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
-                                        xp=jnp)
-        if cfg.sao:
-            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
-                          get(flat, "sao_band", (cyn, cxn)),
-                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
-        if cfg.alf:
-            from x266_tpu.kernels import alf as kalf
-            y = kalf.apply_alf(y, kalf.classify(y),
-                               get(flat, "alf_coef", (25, 12)),
-                               get(flat, "alf_flag", (cyn, cxn)))
-        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-        rec = rec.at[:h].set(y.astype(jnp.uint8))
-        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
-        out = (rec,)
-        if with_pyramids:
-            out = out + (_build_pyramids_device(y, cb, cr),)
-        return out
+        return _decode_inter_body(cfg, rp, coef, flat,
+                                  (pyr_y, pyr_cb, pyr_cr), False,
+                                  with_pyramids)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_p_band(cfg: CodecConfig):
+    """P TILE-BAND decode with reference halo extension (P4 mirror):
+    (coef band, flat band, y0, full ref planes) -> packed band recon."""
+    from x266_tpu.engine.inter import select_recon_inter_impl
+    from x266_tpu.shard import halo
+
+    rp = select_recon_inter_impl(cfg, encode=False)
+    bh = cfg.height
+
+    def step(coef, flat, y0, ref_y, ref_cb, ref_cr):
+        pyrs = halo.build_ext_pyramids(
+            halo.extend_band(ref_y, y0, bh, halo.HALO_Y),
+            halo.extend_band(ref_cb, y0 // 2, bh // 2, halo.HALO_C),
+            halo.extend_band(ref_cr, y0 // 2, bh // 2, halo.HALO_C))
+        return _decode_inter_body(cfg, rp, coef, flat, pyrs, False,
+                                  False)[0]
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_b_band(cfg: CodecConfig):
+    """B TILE-BAND decode with L0+L1 halo extension (P4 mirror)."""
+    from x266_tpu.engine.inter import select_recon_inter_impl
+    from x266_tpu.shard import halo
+
+    rp = select_recon_inter_impl(cfg, encode=False, b_mode=True)
+    bh = cfg.height
+
+    def ext(ry, rcb, rcr, y0):
+        return halo.build_ext_pyramids(
+            halo.extend_band(ry, y0, bh, halo.HALO_Y),
+            halo.extend_band(rcb, y0 // 2, bh // 2, halo.HALO_C),
+            halo.extend_band(rcr, y0 // 2, bh // 2, halo.HALO_C))
+
+    def step(coef, flat, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+        pyrs = (ext(r0y, r0cb, r0cr, y0) + ext(r1y, r1cb, r1cr, y0))
+        return _decode_inter_body(cfg, rp, coef, flat, pyrs, True,
+                                  False)[0]
 
     return jax.jit(step)
 

@@ -302,6 +302,74 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
                  np.concatenate([t.cr for t in tiles]))
 
 
+# ---- tiled inter decode (P2 + P4 mirror) -----------------------------------
+
+def refs_from_frame(frame: Frame):
+    """Host Frame -> device (Y, Cb, Cr) reference planes (tiled DPB)."""
+    import jax.numpy as jnp
+
+    return (jnp.asarray(frame.y), jnp.asarray(frame.cb),
+            jnp.asarray(frame.cr))
+
+
+def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
+                               payload: bytes, refs0, refs1=None):
+    """Tile-band P/B decode with halo-extended references (the decoder
+    mirror of shard/tiled_gop).  refs = full (Y, Cb, Cr) device planes.
+    Returns (Frame, new_refs)."""
+    import jax.numpy as jnp
+
+    from x266_tpu.engine.fused import (make_decode_step_b_band,
+                                       make_decode_step_p_band)
+
+    bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
+    segments = [payload[b0:b1]
+                for b0, b1 in zip(bounds[:-1], bounds[1:])]
+    idx = 0
+    rec_bands = []
+    bcfgs = []
+    for band in cfg.tile_bands():
+        bcfg = cfg.tile_cfg(band)
+        bcfgs.append(bcfg)
+        n = bcfg.num_segments
+        dec = _parse_segments(bcfg, segments[idx:idx + n], is_p=True,
+                              is_b=refs1 is not None)
+        idx += n
+        coef = fused.pack_coefs_host(bcfg, dec.coef["y"],
+                                     dec.coef["cb"], dec.coef["cr"])
+        flat = fused.pack_maps_host(bcfg, {
+            "size": dec.size_map, "mode": dec.mode_map,
+            "mts": dec.mts_map, "sao_type": dec.sao[0],
+            "sao_band": dec.sao[1], "sao_off": dec.sao[2],
+            "pred": dec.pred_map, "mvx": dec.mvx_map,
+            "mvy": dec.mvy_map, "mvx1": dec.mvx1_map,
+            "mvy1": dec.mvy1_map,
+            **_alf_maps_from_header(bcfg, sh)})
+        y0 = np.int32(band[0])
+        if refs1 is None:
+            rec = make_decode_step_p_band(bcfg)(coef, flat, y0, *refs0)
+        else:
+            rec = make_decode_step_b_band(bcfg)(coef, flat, y0,
+                                                *refs0, *refs1)
+        rec_bands.append(rec)
+    if idx != len(segments):
+        raise ValueError("segment count mismatch")
+    w = cfg.width
+    new_refs = (
+        jnp.concatenate([r[:b.height]
+                         for b, r in zip(bcfgs, rec_bands)]),
+        jnp.concatenate([r[b.height:, :w // 2]
+                         for b, r in zip(bcfgs, rec_bands)]),
+        jnp.concatenate([r[b.height:, w // 2:]
+                         for b, r in zip(bcfgs, rec_bands)]))
+    frames = [fused.unpack_recon(b, np.asarray(r))
+              for b, r in zip(bcfgs, rec_bands)]
+    frame = Frame(np.concatenate([f.y for f in frames]),
+                  np.concatenate([f.cb for f in frames]),
+                  np.concatenate([f.cr for f in frames]))
+    return frame, new_refs
+
+
 # ---- GOP / P-picture pipeline (M3, low-delay P, single tile v1) -----------
 
 def _finalize_common(cfg, out, with_recon, n_fixed=3):

@@ -16,3 +16,4 @@ __graft_entry__.dryrun_multichip and, later, ME halo exchange P4).
 """
 
 from x266_tpu.shard.parallel_encode import ShardedEncoder  # noqa: F401
+from x266_tpu.shard.tiled_gop import encode_inter_tiled   # noqa: F401

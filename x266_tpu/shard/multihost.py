@@ -68,7 +68,8 @@ def encode_multihost(cfg: CodecConfig, frames: list[Frame]):
         return GopScheduler(cfg).encode(frames)
 
     mine = partition_gops(len(frames), cfg.intra_period, pc)[pi]
-    sched = GopScheduler(cfg)
+    # each process drives only the chips under it (addressable devices)
+    sched = GopScheduler(cfg, devices=jax.local_devices())
     local_nals: dict[int, bytes] = {}
     for poc0, length in mine:
         res = sched.encode(frames[poc0:poc0 + length])
@@ -81,26 +82,30 @@ def encode_multihost(cfg: CodecConfig, frames: list[Frame]):
 
     from jax.experimental import multihost_utils
 
-    # exchange (poc, payload) pairs; payloads are padded u8 tensors
-    max_len = max(len(v) for v in local_nals.values())
-    max_len = int(multihost_utils.process_allgather(
-        np.array(max_len)).max())
-    pocs = sorted(local_nals)
-    packed = np.zeros((len(pocs), max_len + 8), np.uint8)
-    for i, poc in enumerate(pocs):
+    # exchange (poc, payload) pairs; payloads are padded u8 tensors.
+    # every process contributes the same ROW COUNT (allgather needs
+    # uniform shapes): pad with empty rows up to the max share.
+    max_len = max((len(v) for v in local_nals.values()), default=0)
+    limits = multihost_utils.process_allgather(
+        np.array([max_len, len(local_nals)]))
+    max_len = int(np.max(limits[..., 0]))
+    rows = int(np.max(limits[..., 1]))
+    packed = np.zeros((rows, max_len + 8), np.uint8)
+    for i, poc in enumerate(sorted(local_nals)):
         b = local_nals[poc]
-        packed[i, 0] = poc
-        packed[i, 1] = len(b) & 0xFF
-        packed[i, 2] = (len(b) >> 8) & 0xFF
-        packed[i, 3] = (len(b) >> 16) & 0xFF
+        packed[i, 0:4] = np.frombuffer(
+            np.uint32(poc).tobytes(), np.uint8)
+        packed[i, 4:8] = np.frombuffer(
+            np.uint32(len(b)).tobytes(), np.uint8)
         packed[i, 8:8 + len(b)] = np.frombuffer(b, np.uint8)
     gathered = multihost_utils.process_allgather(packed, tiled=True)
 
     by_poc: dict[int, bytes] = {}
     for row in np.asarray(gathered):
-        ln = int(row[1]) | (int(row[2]) << 8) | (int(row[3]) << 16)
+        ln = int(np.frombuffer(row[4:8].tobytes(), np.uint32)[0])
         if ln:
-            by_poc[int(row[0])] = row[8:8 + ln].tobytes()
+            poc = int(np.frombuffer(row[0:4].tobytes(), np.uint32)[0])
+            by_poc[poc] = row[8:8 + ln].tobytes()
     out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
            write_nal(NalType.PPS, headers.write_pps(cfg))]
     out += [by_poc[p] for p in sorted(by_poc)]

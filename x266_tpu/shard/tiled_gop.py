@@ -1,0 +1,391 @@
+"""Tile-band INTER encoding with reference-halo exchange (P2 + P4).
+
+BASELINE.json:5 requires "reference-frame regions and tile-boundary
+halos exchanged via ICI collectives (ppermute / all-gather)".  This
+module provides the two implementations, guaranteed bit-identical:
+
+  * _SerialBands — every band stepped on one device; each band's
+    reference pyramids come from ``halo.extend_band`` slices of the
+    full previous reconstruction (the oracle, and the single-chip
+    multi-tile path);
+  * _ShardedBands — uniform bands laid out over a 1-D ``tile`` mesh
+    axis with ``shard_map``; each device keeps only its band of the
+    reference picture and receives the +-HALO neighbor strips via
+    ``jax.lax.ppermute`` (ICI on real hardware, shard.halo).
+
+Both feed the same GOP loop (low-delay P chain and the random-access
+hierarchical-B order, mirroring api.Encoder), and both produce the
+same bitstream as each other (tests/test_halo.py pins this).  Tiles
+are independent sub-pictures for intra/entropy/filters; only INTER
+prediction reads across the band boundary, which is exactly what the
+halo carries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x266_tpu.api.encoder import EncodeResult
+from x266_tpu.cabac import native_bind
+from x266_tpu.cabac.syntax import SyntaxEncoder
+from x266_tpu.config import CodecConfig, SliceType
+from x266_tpu.core import headers
+from x266_tpu.core.nal import NalType, write_nal
+from x266_tpu.core.yuv import Frame
+from x266_tpu.engine import fused
+from x266_tpu.engine.picture import (assemble_slice, gop_coding_order,
+                                     split_bands)
+from x266_tpu.shard import halo
+
+
+# ---- per-band host finalize + entropy --------------------------------------
+
+class BandOut:
+    """Host-side band outputs (post device step, pre entropy)."""
+
+    __slots__ = ("bcfg", "cy", "ccb", "ccr", "maps", "sse", "recon")
+
+    def __init__(self, bcfg, cy, ccb, ccr, maps, sse, recon):
+        self.bcfg = bcfg
+        self.cy, self.ccb, self.ccr = cy, ccb, ccr
+        self.maps = maps
+        self.sse = sse
+        self.recon = recon
+
+
+def _finalize_band(bcfg: CodecConfig, coef, flat, sse, rec,
+                   with_recon: bool) -> BandOut:
+    """Device (or already-downloaded numpy) step outputs -> BandOut."""
+    if bcfg.lossless:
+        cy, ccb, ccr = fused.unpack_coefs(bcfg, np.asarray(coef))
+        sse_np = np.asarray(sse)
+    else:
+        low, high = coef
+        stats = np.asarray(sse)
+        sse_np = stats[:3]
+        high_np = np.asarray(high) if stats[3] > 0 else None
+        full = fused.reconstruct_coefs(np.asarray(low), high_np)
+        cy, ccb, ccr = fused.unpack_coefs(bcfg, full)
+    maps = fused.unpack_maps(bcfg, np.asarray(flat))
+    recon = (fused.unpack_recon(bcfg, np.asarray(rec))
+             if with_recon else None)
+    return BandOut(bcfg, cy, ccb, ccr, maps, sse_np, recon)
+
+
+def _band_segments(b: BandOut, st: SliceType) -> list[bytes]:
+    """Entropy-code one band -> its segment payloads."""
+    bcfg, maps = b.bcfg, b.maps
+    sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
+                  if bcfg.sao else None)
+    if st == SliceType.B:
+        imaps = (maps["pred"], maps["mvx"], maps["mvy"],
+                 maps["mvx1"], maps["mvy1"])
+    elif st == SliceType.P:
+        imaps = (maps["pred"], maps["mvx"], maps["mvy"])
+    else:
+        imaps = None
+    if native_bind.available():
+        return [native_bind.encode_segment(
+            bcfg, maps["size"], maps["mode"], b.cy, b.ccb, b.ccr,
+            r0, r1, sao_params, maps["mts"], imaps)
+            for (r0, r1) in bcfg.segment_ctu_rows()]
+    kw = {}
+    if st == SliceType.P:
+        kw = dict(is_p=True, pred_map=maps["pred"],
+                  mvx_map=maps["mvx"], mvy_map=maps["mvy"])
+    elif st == SliceType.B:
+        kw = dict(is_b=True, pred_map=maps["pred"],
+                  mvx_map=maps["mvx"], mvy_map=maps["mvy"],
+                  mvx1_map=maps["mvx1"], mvy1_map=maps["mvy1"])
+    enc = SyntaxEncoder(bcfg, maps["size"], maps["mode"], b.cy, b.ccb,
+                        b.ccr, sao_params, maps["mts"], **kw)
+    return [enc.encode_segment(r0, r1)
+            for (r0, r1) in bcfg.segment_ctu_rows()]
+
+
+def _bands_to_slice(cfg: CodecConfig, bands: list[BandOut], poc: int,
+                    st: SliceType, with_recon: bool):
+    """Bands -> (rbsp, recon Frame|None, frame sse (3,))."""
+    segments = [seg for b in bands for seg in _band_segments(b, st)]
+    rbsp = assemble_slice(cfg, poc, segments, st)
+    recon = None
+    if with_recon:
+        recon = Frame(np.concatenate([b.recon.y for b in bands]),
+                      np.concatenate([b.recon.cb for b in bands]),
+                      np.concatenate([b.recon.cr for b in bands]))
+    sse = np.sum([b.sse[:3] for b in bands], axis=0)
+    return rbsp, recon, sse
+
+
+# ---- serial backend: extend_band slices of the full reference --------------
+
+class _SerialBands:
+    """One device; per-band jits; refs = full filtered planes (device)."""
+
+    def __init__(self, cfg: CodecConfig, with_recon: bool):
+        self.cfg = cfg
+        self.with_recon = with_recon
+        self.bands = cfg.tile_bands()
+        self.bcfgs = [cfg.tile_cfg(b) for b in self.bands]
+
+    def _refs_from(self, recs):
+        """Per-band packed rec (device u8) -> full (Y, Cb, Cr) planes."""
+        w = self.cfg.width
+        ys, cbs, crs = [], [], []
+        for bcfg, rec in zip(self.bcfgs, recs):
+            bh = bcfg.height
+            ys.append(rec[:bh])
+            cbs.append(rec[bh:, :w // 2])
+            crs.append(rec[bh:, w // 2:])
+        return (jnp.concatenate(ys), jnp.concatenate(cbs),
+                jnp.concatenate(crs))
+
+    def _run(self, frame, stepper):
+        outs = [stepper(bcfg, fused.pack_input(bcfg, band), y0)
+                for bcfg, (y0, _), band in zip(
+                    self.bcfgs, self.bands,
+                    split_bands(self.cfg, frame))]
+        refs = self._refs_from([o[3] for o in outs])
+        bands = [_finalize_band(bcfg, o[0], o[1], o[2], o[3],
+                                self.with_recon)
+                 for bcfg, o in zip(self.bcfgs, outs)]
+        return bands, refs
+
+    def encode_i(self, frame):
+        return self._run(frame, lambda bcfg, packed, y0:
+                         fused.make_encode_step_i(bcfg, True, False)(
+                             packed))
+
+    def encode_p(self, frame, refs):
+        return self._run(frame, lambda bcfg, packed, y0:
+                         fused.make_encode_step_p_band(bcfg)(
+                             packed, np.int32(y0), *refs))
+
+    def encode_b(self, frame, refs0, refs1):
+        return self._run(frame, lambda bcfg, packed, y0:
+                         fused.make_encode_step_b_band(bcfg)(
+                             packed, np.int32(y0), *refs0, *refs1))
+
+
+# ---- sharded backend: shard_map + ppermute halo exchange -------------------
+
+def uniform_bands(cfg: CodecConfig) -> tuple[int, CodecConfig] | None:
+    """(n_bands, band cfg) when every band has equal height, else None
+    (shard_map needs identical per-shard shapes)."""
+    bands = cfg.tile_bands()
+    bh = bands[0][1] - bands[0][0]
+    if any(b1 - b0 != bh for b0, b1 in bands):
+        return None
+    return len(bands), cfg.tile_cfg(bands[0])
+
+
+class _ShardedBands:
+    """Bands over a 1-D 'tile' mesh; halos via jax.lax.ppermute."""
+
+    def __init__(self, cfg: CodecConfig, mesh, with_recon: bool):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        u = uniform_bands(cfg)
+        if u is None:
+            raise ValueError("sharded tiles need uniform band heights")
+        self.n, self.bcfg = u
+        if self.n != mesh.shape["tile"]:
+            raise ValueError(
+                f"{self.n} bands vs mesh tile={mesh.shape['tile']}")
+        if self.bcfg.height < halo.HALO_Y:
+            raise ValueError("band height below the halo width")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.with_recon = with_recon
+        self.sharding = NamedSharding(mesh, P("tile"))
+        self.bcfgs = [self.bcfg] * self.n
+        self._steps: dict[str, object] = {}
+
+    def _pack(self, frame):
+        stacked = np.stack([fused.pack_input(self.bcfg, band)
+                            for band in split_bands(self.cfg, frame)])
+        return jax.device_put(stacked, self.sharding)
+
+    def _exchange_pyrs(self, ry, rcb, rcr):
+        n = self.n
+        return halo.build_ext_pyramids(
+            halo.exchange_bands(ry, halo.HALO_Y, "tile", n),
+            halo.exchange_bands(rcb, halo.HALO_C, "tile", n),
+            halo.exchange_bands(rcr, halo.HALO_C, "tile", n))
+
+    def _split_rec(self, rec):
+        bh, w = self.bcfg.height, self.bcfg.width
+        return rec[:bh], rec[bh:, :w // 2], rec[bh:, w // 2:]
+
+    def _make(self, kind: str):
+        """Build the jitted shard_map step for kind in {'i','p','b'}."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bcfg = self.bcfg
+        if kind == "i":
+            from x266_tpu.engine.fused import _make_encode_step_i_raw
+            body = _make_encode_step_i_raw(bcfg, True, False)
+
+            def band_fn(packed):
+                out = body(packed[0])
+                out = out + self._split_rec(out[3])
+                return jax.tree.map(lambda a: a[None], out)
+        elif kind == "p":
+            from x266_tpu.engine.fused import _p_body
+            from x266_tpu.engine.inter import (
+                make_mode_decision_p_raw, select_recon_inter_impl)
+            mdp = make_mode_decision_p_raw(bcfg)
+            rp = select_recon_inter_impl(bcfg, encode=True)
+
+            def band_fn(packed, ry, rcb, rcr):
+                pyrs = self._exchange_pyrs(ry[0], rcb[0], rcr[0])
+                out = _p_body(bcfg, mdp, rp, packed[0], *pyrs, True,
+                              False)
+                out = out + self._split_rec(out[3])
+                return jax.tree.map(lambda a: a[None], out)
+        else:
+            from x266_tpu.engine.fused import _b_body
+            from x266_tpu.engine.inter import (
+                make_mode_decision_b_raw, select_recon_inter_impl)
+            mdb = make_mode_decision_b_raw(bcfg)
+            rp = select_recon_inter_impl(bcfg, encode=True, b_mode=True)
+
+            def band_fn(packed, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+                p0 = self._exchange_pyrs(r0y[0], r0cb[0], r0cr[0])
+                p1 = self._exchange_pyrs(r1y[0], r1cb[0], r1cr[0])
+                out = _b_body(bcfg, mdb, rp, packed[0], p0, p1, True,
+                              False)
+                out = out + self._split_rec(out[3])
+                return jax.tree.map(lambda a: a[None], out)
+
+        n_in = {"i": 1, "p": 4, "b": 7}[kind]
+        # output structure: trace once abstractly to build out_specs
+        spec = P("tile")
+        fn = shard_map(band_fn, mesh=self.mesh,
+                       in_specs=(spec,) * n_in,
+                       out_specs=jax.tree.map(
+                           lambda _: spec, self._out_template(kind)),
+                       check_vma=False)
+        return jax.jit(fn)
+
+    def _out_template(self, kind: str):
+        """Abstract output pytree (for out_specs) via eval_shape of the
+        underlying band body — structure only, values unused."""
+        bcfg = self.bcfg
+        bh, w = bcfg.height, bcfg.width
+        coef = ((jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.int16),)
+                if bcfg.lossless else
+                (jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.uint8),
+                 jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.int8)))
+        coef = coef[0] if bcfg.lossless else coef
+        nsse = 3 if bcfg.lossless else 4
+        from x266_tpu.engine.fused import _maps_layout
+        _, flat_len = _maps_layout(bcfg)
+        return (coef,
+                jax.ShapeDtypeStruct((flat_len,), jnp.int16),
+                jax.ShapeDtypeStruct((nsse,), jnp.float32),
+                jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.uint8),
+                jax.ShapeDtypeStruct((bh, w), jnp.uint8),
+                jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8),
+                jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8))
+
+    def _step(self, kind: str):
+        if kind not in self._steps:
+            self._steps[kind] = self._make(kind)
+        return self._steps[kind]
+
+    def _finish(self, out):
+        """Sharded step output -> (list[BandOut], refs)."""
+        coef, flat, sse, rec, ry, rcb, rcr = out
+        refs = (ry, rcb, rcr)            # stay sharded on the mesh
+        # one download per array, sliced per band on host
+        if self.bcfg.lossless:
+            coef_np = np.asarray(coef)
+            per = lambda i: coef_np[i]               # noqa: E731
+        else:
+            stats = np.asarray(sse)
+            low = np.asarray(coef[0])
+            high = (np.asarray(coef[1]) if (stats[:, 3] > 0).any()
+                    else None)
+
+            def per(i):
+                hi = (high[i] if high is not None
+                      else np.zeros_like(low[i], np.int8))
+                return (low[i], hi)
+        flat_np = np.asarray(flat)
+        sse_np = np.asarray(sse)
+        rec_np = np.asarray(rec) if self.with_recon else [None] * self.n
+        bands = [_finalize_band(self.bcfg, per(i), flat_np[i],
+                                sse_np[i], rec_np[i], self.with_recon)
+                 for i in range(self.n)]
+        return bands, refs
+
+    def encode_i(self, frame):
+        return self._finish(self._step("i")(self._pack(frame)))
+
+    def encode_p(self, frame, refs):
+        return self._finish(self._step("p")(self._pack(frame), *refs))
+
+    def encode_b(self, frame, refs0, refs1):
+        return self._finish(self._step("b")(
+            self._pack(frame), *refs0, *refs1))
+
+
+# ---- the shared GOP loop ----------------------------------------------------
+
+def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
+                       with_recon: bool = True, mesh=None
+                       ) -> EncodeResult:
+    """Tile-band GOP encoder: low-delay P (intra_period) and the RA
+    hierarchical-B order (gop_size), with halo-extended references.
+    mesh=None -> serial oracle; a Mesh with a 'tile' axis -> shard_map
+    with ppermute halo exchange (bit-identical streams)."""
+    if cfg.alf:
+        raise ValueError("ALF supports single tile in v1")
+    be = (_ShardedBands(cfg, mesh, with_recon) if mesh is not None
+          else _SerialBands(cfg, with_recon))
+    out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+           write_nal(NalType.PPS, headers.write_pps(cfg))]
+    order = gop_coding_order(len(frames), cfg.intra_period,
+                             max(cfg.gop_size, 1))
+    dpb: dict[int, tuple] = {}
+    per_poc: dict[int, tuple] = {}
+    for poc, kind in order:
+        if kind == "B":
+            l0 = max(p for p in dpb if p < poc)
+            l1 = min(p for p in dpb if p > poc)
+            bands, refs = be.encode_b(frames[poc], dpb[l0], dpb[l1])
+            st = SliceType.B
+            if poc % 2 == 0:             # leaf-B rule (never referenced)
+                dpb[poc] = refs
+        elif kind == "P":
+            ref = dpb[max(p for p in dpb if p < poc)]
+            bands, refs = be.encode_p(frames[poc], ref)
+            st = SliceType.P
+            dpb[poc] = refs
+        else:
+            bands, refs = be.encode_i(frames[poc])
+            st = SliceType.I
+            dpb[poc] = refs
+        rbsp, recon, sse = _bands_to_slice(cfg, bands, poc, st,
+                                           with_recon)
+        nal = write_nal(NalType.IDR if st == SliceType.I
+                        else NalType.TRAIL, rbsp)
+        out.append(nal)
+        per_poc[poc] = (nal, recon, sse)
+        if kind != "B" and poc > 0:
+            if cfg.gop_size > 1:
+                for p in [p for p in dpb if p < poc - cfg.gop_size]:
+                    del dpb[p]
+            else:
+                dpb = {poc: dpb[poc]}    # low-delay chain: latest only
+    recons = [per_poc[p][1] for p in sorted(per_poc)
+              if per_poc[p][1] is not None]
+    frame_bits = [8 * len(per_poc[p][0]) for p in sorted(per_poc)]
+    sses = [per_poc[p][2] for p in sorted(per_poc)]
+    return EncodeResult(b"".join(out), recons, frame_bits, sse=sses)
