@@ -87,7 +87,9 @@ def bench_4k_ra() -> dict:
     n = 17                              # one full GOP-16 + its anchor
     frames = synthetic_clip(width, height, n, kind="mixed")
     enc = Encoder(cfg, with_recon=False)
-    enc.encode(frames[:3])              # warm-up: I + first B compiles
+    # warm-up: a full pass so every step variant (I, P anchor, B ref,
+    # B leaf) is compiled before the timed window
+    enc.encode(frames)
 
     t0 = time.time()
     res = enc.encode(frames)

@@ -57,6 +57,6 @@ def test_multihost_two_processes(tmp_path):
     # single-process reference (same clip/cfg as the worker)
     from x266_tpu.shard.gop import GopScheduler
     cfg = CodecConfig(width=128, height=128, qp=32, intra_period=4)
-    frames = synthetic_clip(128, 128, 12, kind="mixed", seed=21)
+    frames = synthetic_clip(128, 128, 8, kind="mixed", seed=21)
     ref = GopScheduler(cfg).encode(frames).bitstream
     assert streams[0] == ref

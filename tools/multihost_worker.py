@@ -37,7 +37,7 @@ def main() -> None:
     from x266_tpu.shard.multihost import encode_multihost
 
     cfg = CodecConfig(width=128, height=128, qp=32, intra_period=4)
-    frames = synthetic_clip(128, 128, 12, kind="mixed", seed=21)
+    frames = synthetic_clip(128, 128, 8, kind="mixed", seed=21)
     bs = encode_multihost(cfg, frames)
     if not isinstance(bs, bytes):
         bs = bs.bitstream

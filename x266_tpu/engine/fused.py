@@ -182,8 +182,11 @@ def make_decode_step(cfg: CodecConfig):
 
 # ---- P-picture steps (inter path, SURVEY.md M3) ---------------------------
 
-def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP):
-    """Deblock + SAO + ALF + SSE shared by the I and P encode steps."""
+def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
+                       db_info=None):
+    """Deblock + SAO + ALF + SSE shared by the I and P encode steps.
+    db_info: (pred_map, mvx_final, mvy_final, coef_y) for inter-picture
+    boundary-strength derivation (kernels.deblock); None = all-intra."""
     from x266_tpu.kernels import alf as kalf
 
     h, w = cfg.height, cfg.width
@@ -192,7 +195,10 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP):
     cb = cb8.astype(jnp.int32)
     cr = cr8.astype(jnp.int32)
     if cfg.deblock:
-        y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp, xp=jnp)
+        pm, mx, my, cy = db_info if db_info else (None,) * 4
+        y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+                                    xp=jnp, pred_map=pm, mvx=mx,
+                                    mvy=my, coef_y=cy)
     orig_y = yP[1:1 + h, 1:1 + w].astype(jnp.int32)
     orig_cb = cbP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
     orig_cr = crP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
@@ -335,7 +341,9 @@ def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
                             mts_map, pred_map, mvx_map, mvy_map,
                             pyr_y, pyr_cb, pyr_cr)
     y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
-        cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+        cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
+        (pred_map, mvx_fin.astype(jnp.int32),
+         mvy_fin.astype(jnp.int32), cY))
     zero_u = jnp.zeros_like(size_map)
     maps = [size_map, mode_map, mts_map, st, sb, so,
             pred_map, mvx_fin.astype(jnp.int32),
@@ -410,7 +418,9 @@ def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids):
                             p0y, p0cb, p0cr, p1y, p1cb, p1cr,
                             mvx1_map, mvy1_map)
     y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
-        cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+        cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
+        (pred_map, mvx_fin.astype(jnp.int32),
+         mvy_fin.astype(jnp.int32), cY))
     maps = [size_map, mode_map, mts_map, st, sb, so,
             pred_map, mvx_fin.astype(jnp.int32),
             mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac]
@@ -487,19 +497,27 @@ def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
     cCb = coef[h:, :w // 2]
     cCr = coef[h:, w // 2:]
     size_map = get(flat, "size", (uy, ux))
+    pred_map = get(flat, "pred", (uy, ux))
     args = (cY, cCb, cCr, size_map, get(flat, "mode", (uy, ux)),
-            get(flat, "mts", (uy, ux)), get(flat, "pred", (uy, ux)),
+            get(flat, "mts", (uy, ux)), pred_map,
             get(flat, "mvx", (uy, ux)), get(flat, "mvy", (uy, ux)),
             *pyrs)
     if b_mode:
         args = args + (get(flat, "mvx1", (uy, ux)),
                        get(flat, "mvy1", (uy, ux)))
-    y8, cb8, cr8, *_ = rp(*args)
+    out_rp = rp(*args)
+    y8, cb8, cr8 = out_rp[:3]
+    mvx_fin, mvy_fin = out_rp[6], out_rp[7]
     y = y8.astype(jnp.int32)
     cb = cb8.astype(jnp.int32)
     cr = cr8.astype(jnp.int32)
     if cfg.deblock:
-        y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp, xp=jnp)
+        # BS from the SAME inputs the encoder used: coded kinds, the
+        # scan's final (incl. derived-skip) MVs, parsed luma levels
+        y, cb, cr = deblock_picture(
+            y, cb, cr, size_map, cfg.qp, xp=jnp, pred_map=pred_map,
+            mvx=mvx_fin.astype(jnp.int32),
+            mvy=mvy_fin.astype(jnp.int32), coef_y=cY.astype(jnp.int32))
     if cfg.sao:
         y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
                       get(flat, "sao_band", (cyn, cxn)),

@@ -6,10 +6,23 @@ samples [STD order] — each pass is pure element-wise/gather math, ideal
 for the VPU, instead of the reference's per-edge scalar loops.
 
 Edge geometry: luma edges on the 8-sample grid where a CU boundary exists
-(v1: TU==PU==CU, all-intra so boundary strength is always 2); chroma edges
-on its 8-sample grid (16 luma).  beta/tc thresholds are x266t constants
-shaped like the HEVC tables (self-consistent encoder/decoder; HEVC-table
-conformance is unverifiable here, SURVEY.md §0).
+(v1: TU==PU==CU); chroma edges on its 8-sample grid (16 luma).  beta/tc
+thresholds are x266t constants shaped like the HEVC tables
+(self-consistent encoder/decoder; HEVC-table conformance is unverifiable
+here, SURVEY.md §0).
+
+Boundary strength (C13 derivation, HEVC-shaped [STD]): per 8x8-unit edge
+  BS=2  either side intra;
+  BS=1  either side has non-zero luma coefficients, the prediction kinds
+        differ (the ref-picture-difference proxy: L0/L1/BI mismatch), or
+        the MV components differ by >= 1 full pel (4 quarter-pel);
+  BS=0  otherwise -> edge not filtered; chroma filters only at BS=2.
+tc indexes the table at qp + 2*(BS-1) per edge [STD shape].  Both sides
+of the codec compute BS from the SAME inputs: parsed/coded pred kinds,
+the recon scan's FINAL MV planes (skip MVs are derived identically in
+encoder and decoder), and the coded luma levels — so filtered recon
+stays bit-exact across encode/decode (the MD5 gate covers it).
+Intra pictures (pred info absent) keep the constant-BS=2 fast path.
 
 The same code runs under NumPy (oracle/spec) and jax.numpy (device): all
 ops are arithmetic-shift/clip/where, bit-exact in both.  Normative: the
@@ -44,6 +57,33 @@ def tc_of(qp: int, bs: int = 2) -> int:
     return int(TC_TABLE[min(max(qp + 2 * (bs - 1), 0), 53)])
 
 
+def bs_units(pred, mvx, mvy, cbf, xp, axis: int = 1):
+    """(Uy, Ux) boundary strength of the edge between each 8x8 unit and
+    its neighbor at -1 along `axis` (left for axis=1, above for axis=0).
+    pred: prediction kinds (0 = intra, engine.inter.PRED_*); mvx/mvy:
+    FINAL quarter-pel MV planes (incl. derived skip MVs); cbf: per-unit
+    non-zero-luma-level flags.  Index 0 along `axis` is never an edge
+    (masked by the caller)."""
+    def shift(a):
+        if axis == 1:
+            return xp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+        return xp.concatenate([a[:1], a[:-1]], axis=0)
+
+    intra = (shift(pred) == 0) | (pred == 0)
+    bs1 = ((shift(cbf) | cbf)
+           | (shift(pred) != pred)
+           | (xp.abs(shift(mvx) - mvx) >= 4)
+           | (xp.abs(shift(mvy) - mvy) >= 4))
+    return xp.where(intra, 2, xp.where(bs1, 1, 0)).astype(xp.int32)
+
+
+def cbf_units(coef_y, xp):
+    """(H, W) luma level plane -> (H/8, W/8) non-zero flags (int32)."""
+    h, w = coef_y.shape
+    blk = xp.reshape(xp.abs(coef_y), (h // 8, 8, w // 8, 8))
+    return (blk.max(axis=(1, 3)) > 0).astype(xp.int32)
+
+
 def luma_edge_mask(size_map: np.ndarray) -> np.ndarray:
     """(Uy, Ux) bool: vertical CU-boundary edge at the left side of each
     8x8 unit (column 0 excluded — picture boundary is never filtered)."""
@@ -58,8 +98,9 @@ def _filter_luma_dir(y, edge_mask_units, beta, tc, xp):
     """One direction of luma deblocking over vertical edges.
 
     y: (H, W) int32; edge_mask_units: (H//8, W//8) bool (True = edge at
-    column 8*k).  Returns filtered (H, W).  For horizontal edges call with
-    transposed arguments.
+    column 8*k); tc: scalar, or a per-unit (H//8, W//8) int array (BS-
+    derived) broadcast to edge lines here.  Returns filtered (H, W).
+    For horizontal edges call with transposed arguments.
     """
     h, w = y.shape
     ux = w // 8
@@ -67,6 +108,8 @@ def _filter_luma_dir(y, edge_mask_units, beta, tc, xp):
     if len(ecols) == 0 or beta == 0:
         return y
     em = edge_mask_units[:, 1:]                        # (Uy, E)
+    if not np.isscalar(tc):
+        tc = xp.repeat(tc[:, 1:], 8, axis=0)           # (H, E) per edge
 
     def col(off):
         return y[:, ecols + off]                       # (H, E)
@@ -182,15 +225,20 @@ def _filter_chroma_dir(c, edge_mask_units, tc, xp):
     return c
 
 
-def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp):
+def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp,
+                    pred_map=None, mvx=None, mvy=None, coef_y=None):
     """Full normative deblock: vertical then horizontal, luma + chroma.
 
     y: (H, W) int32, cb/cr: (H/2, W/2) int32, size_map: (Uy, Ux).
+    Inter pictures pass (pred_map, mvx, mvy, coef_y) — the coded kinds,
+    the recon scan's FINAL MV planes and the luma level plane — and get
+    per-edge boundary strengths (module docstring); without them every
+    edge is BS=2 (the all-intra case, where that is exact).
     """
     if xp is not np:
         y, cb, cr = (xp.asarray(a, dtype=xp.int32) for a in (y, cb, cr))
         size_map = xp.asarray(size_map)
-    beta, tc = beta_of(qp), tc_of(qp)
+    beta = beta_of(qp)
     tc_c = tc_of(qp, bs=2)
 
     def vmask_of(sm):
@@ -206,12 +254,31 @@ def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp):
     vm = vmask_of(size_map)
     hm = vmask_of(smT)
 
-    y = _filter_luma_dir(y, vm, beta, tc, xp)
-    y = _filter_luma_dir(y.T, hm, beta, tc, xp).T
-    cb = _filter_chroma_dir(cb, vm, tc_c, xp)
-    cb = _filter_chroma_dir(cb.T, hm, tc_c, xp).T
-    cr = _filter_chroma_dir(cr, vm, tc_c, xp)
-    cr = _filter_chroma_dir(cr.T, hm, tc_c, xp).T
+    if pred_map is None:
+        tc_v = tc_h = tc_of(qp)          # BS=2 everywhere (all-intra)
+        vm_c, hm_c = vm, hm
+    else:
+        cbf = cbf_units(coef_y, xp)
+        bs_v = bs_units(pred_map, mvx, mvy, cbf, xp, axis=1)
+        bs_hT = bs_units(pred_map.T, mvx.T, mvy.T, cbf.T, xp, axis=1)
+        tct = xp.asarray(TC_TABLE)
+
+        def tc_of_bs(bs):
+            return xp.where(bs > 0,
+                            tct[xp.clip(qp + 2 * (bs - 1), 0, 53)], 0)
+
+        tc_v, tc_h = tc_of_bs(bs_v), tc_of_bs(bs_hT)
+        vm = vm & (bs_v > 0)
+        hm = hm & (bs_hT > 0)
+        vm_c = vm & (bs_v == 2)          # chroma filters at BS=2 only
+        hm_c = hm & (bs_hT == 2)
+
+    y = _filter_luma_dir(y, vm, beta, tc_v, xp)
+    y = _filter_luma_dir(y.T, hm, beta, tc_h, xp).T
+    cb = _filter_chroma_dir(cb, vm_c, tc_c, xp)
+    cb = _filter_chroma_dir(cb.T, hm_c, tc_c, xp).T
+    cr = _filter_chroma_dir(cr, vm_c, tc_c, xp)
+    cr = _filter_chroma_dir(cr.T, hm_c, tc_c, xp).T
     return y, cb, cr
 
 

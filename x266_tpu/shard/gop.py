@@ -45,9 +45,11 @@ class GopScheduler:
         self.max_retries = max_retries
         self.fault_hook = fault_hook
 
-    def _gops(self, frames: list[Frame]) -> list[tuple[int, list[Frame]]]:
+    def _gops(self, frames: list[Frame], poc_base: int = 0
+              ) -> list[tuple[int, list[Frame]]]:
         n = self.cfg.intra_period if self.cfg.intra_period > 1 else 1
-        return [(i, frames[i:i + n]) for i in range(0, len(frames), n)]
+        return [(poc_base + i, frames[i:i + n])
+                for i in range(0, len(frames), n)]
 
     def _encode_gop(self, gop_idx: int, poc0: int, gop: list[Frame],
                     device) -> list[tuple[bytes, Frame | None, np.ndarray]]:
@@ -66,9 +68,12 @@ class GopScheduler:
         return out
 
     def encode(self, frames: list[Frame],
-               checkpoint_path: str | None = None) -> EncodeResult:
+               checkpoint_path: str | None = None,
+               poc_base: int = 0) -> EncodeResult:
+        """poc_base: first frame's global POC (multi-host GOP shares
+        must write GLOBAL POCs into their slice headers)."""
         cfg = self.cfg
-        gops = self._gops(frames)
+        gops = self._gops(frames, poc_base)
 
         start_poc = 0
         writer = None

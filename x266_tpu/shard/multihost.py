@@ -67,20 +67,27 @@ def encode_multihost(cfg: CodecConfig, frames: list[Frame]):
     if pc == 1:
         return GopScheduler(cfg).encode(frames)
 
+    from jax.experimental import multihost_utils
+
+    # establish the cross-process collective context NOW, while every
+    # process is still in lockstep: the backend's context rendezvous has
+    # a short timeout, and local encode times diverge across processes
+    # (unequal GOP shares, compile skew), so a first-contact collective
+    # after encoding can time out spuriously.
+    multihost_utils.process_allgather(np.zeros(8, np.uint8))
+
     mine = partition_gops(len(frames), cfg.intra_period, pc)[pi]
     # each process drives only the chips under it (addressable devices)
     sched = GopScheduler(cfg, devices=jax.local_devices())
     local_nals: dict[int, bytes] = {}
     for poc0, length in mine:
-        res = sched.encode(frames[poc0:poc0 + length])
+        res = sched.encode(frames[poc0:poc0 + length], poc_base=poc0)
         # strip SPS/PPS; keep the slice NALs with their POCs
         from x266_tpu.core.nal import split_nals
         slices = [n for n in split_nals(res.bitstream)
                   if n[0] in (NalType.IDR, NalType.TRAIL)]
         for k, (t, rbsp) in enumerate(slices):
             local_nals[poc0 + k] = write_nal(t, rbsp)
-
-    from jax.experimental import multihost_utils
 
     # exchange (poc, payload) pairs; payloads are padded u8 tensors.
     # every process contributes the same ROW COUNT (allgather needs
