@@ -38,5 +38,5 @@ _test_counter = {"n": 0}
 def _periodic_cache_clear():
     yield
     _test_counter["n"] += 1
-    if _test_counter["n"] % 10 == 0:
+    if _test_counter["n"] % 5 == 0:
         jax.clear_caches()

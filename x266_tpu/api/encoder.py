@@ -179,7 +179,8 @@ class Encoder:
         keeps pyramids for the active span only (pocs >= the previous
         anchor)."""
         from x266_tpu.core.nal import NalType as NT
-        from x266_tpu.engine.picture import (encode_picture_b,
+        from x266_tpu.engine.picture import (b_qp_offset,
+                                             encode_picture_b,
                                              encode_picture_gop,
                                              gop_coding_order)
 
@@ -196,8 +197,9 @@ class Encoder:
                 # odd-POC Bs are hierarchy leaves (gop_size is a power
                 # of two): never referenced, so no pyramids/DPB entry
                 is_ref = poc % 2 == 0
+                bc = cfg.replace(qp=cfg.qp + b_qp_offset(cfg, poc))
                 rbsp, recon, sse, pyr = encode_picture_b(
-                    cfg, frames[poc], poc, dpb[l0], dpb[l1],
+                    bc, frames[poc], poc, dpb[l0], dpb[l1],
                     self.with_recon, with_pyramids=is_ref)
                 nal = write_nal(NalType.TRAIL, rbsp)
             else:

@@ -434,6 +434,18 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
     return rbsp, recon, sse, new_pyr, st
 
 
+def b_qp_offset(cfg: CodecConfig, poc: int) -> int:
+    """Temporal-layer QP offset for an RA B picture (C17, HM-shaped):
+    referenced (even-POC) Bs code at QP+1, hierarchy leaves at QP+3.
+    Two tiers instead of per-depth offsets keeps the compiled step
+    variants at the existing ref/leaf pair (4K compiles are minutes on
+    a remote chip).  The slice header carries the QP, so decoding needs
+    nothing new."""
+    if cfg.lossless:
+        return 0
+    return 1 if poc % 2 == 0 else 3
+
+
 def gop_coding_order(n: int, intra_period: int, gop: int
                      ) -> list[tuple[int, str]]:
     """Random-access coding order (C16): [(poc, kind)] with kind in

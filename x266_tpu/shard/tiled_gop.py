@@ -37,8 +37,8 @@ from x266_tpu.core import headers
 from x266_tpu.core.nal import NalType, write_nal
 from x266_tpu.core.yuv import Frame
 from x266_tpu.engine import fused
-from x266_tpu.engine.picture import (assemble_slice, gop_coding_order,
-                                     split_bands)
+from x266_tpu.engine.picture import (assemble_slice, b_qp_offset,
+                                     gop_coding_order, split_bands)
 from x266_tpu.shard import halo
 
 
@@ -144,15 +144,16 @@ class _SerialBands:
         return (jnp.concatenate(ys), jnp.concatenate(cbs),
                 jnp.concatenate(crs))
 
-    def _run(self, frame, stepper):
+    def _run(self, frame, stepper, qp: int | None = None):
+        bcfgs = (self.bcfgs if qp is None
+                 else [b.replace(qp=qp) for b in self.bcfgs])
         outs = [stepper(bcfg, fused.pack_input(bcfg, band), y0)
                 for bcfg, (y0, _), band in zip(
-                    self.bcfgs, self.bands,
-                    split_bands(self.cfg, frame))]
+                    bcfgs, self.bands, split_bands(self.cfg, frame))]
         refs = self._refs_from([o[3] for o in outs])
         bands = [_finalize_band(bcfg, o[0], o[1], o[2], o[3],
                                 self.with_recon)
-                 for bcfg, o in zip(self.bcfgs, outs)]
+                 for bcfg, o in zip(bcfgs, outs)]
         return bands, refs
 
     def encode_i(self, frame):
@@ -165,10 +166,11 @@ class _SerialBands:
                          fused.make_encode_step_p_band(bcfg)(
                              packed, np.int32(y0), *refs))
 
-    def encode_b(self, frame, refs0, refs1):
+    def encode_b(self, frame, refs0, refs1, qp: int | None = None):
         return self._run(frame, lambda bcfg, packed, y0:
                          fused.make_encode_step_b_band(bcfg)(
-                             packed, np.int32(y0), *refs0, *refs1))
+                             packed, np.int32(y0), *refs0, *refs1),
+                         qp)
 
 
 # ---- sharded backend: shard_map + ppermute halo exchange -------------------
@@ -221,12 +223,10 @@ class _ShardedBands:
         bh, w = self.bcfg.height, self.bcfg.width
         return rec[:bh], rec[bh:, :w // 2], rec[bh:, w // 2:]
 
-    def _make(self, kind: str):
+    def _make(self, kind: str, bcfg: CodecConfig):
         """Build the jitted shard_map step for kind in {'i','p','b'}."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
-
-        bcfg = self.bcfg
         if kind == "i":
             from x266_tpu.engine.fused import _make_encode_step_i_raw
             body = _make_encode_step_i_raw(bcfg, True, False)
@@ -269,14 +269,12 @@ class _ShardedBands:
         fn = shard_map(band_fn, mesh=self.mesh,
                        in_specs=(spec,) * n_in,
                        out_specs=jax.tree.map(
-                           lambda _: spec, self._out_template(kind)),
+                           lambda _: spec, self._out_template(bcfg)),
                        check_vma=False)
         return jax.jit(fn)
 
-    def _out_template(self, kind: str):
-        """Abstract output pytree (for out_specs) via eval_shape of the
-        underlying band body — structure only, values unused."""
-        bcfg = self.bcfg
+    def _out_template(self, bcfg: CodecConfig):
+        """Abstract output pytree (for out_specs): structure only."""
         bh, w = bcfg.height, bcfg.width
         coef = ((jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.int16),)
                 if bcfg.lossless else
@@ -294,17 +292,20 @@ class _ShardedBands:
                 jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8),
                 jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8))
 
-    def _step(self, kind: str):
-        if kind not in self._steps:
-            self._steps[kind] = self._make(kind)
-        return self._steps[kind]
+    def _step(self, kind: str, qp: int | None = None):
+        key = (kind, qp)
+        if key not in self._steps:
+            bcfg = (self.bcfg if qp is None
+                    else self.bcfg.replace(qp=qp))
+            self._steps[key] = self._make(kind, bcfg)
+        return self._steps[key]
 
-    def _finish(self, out):
+    def _finish(self, out, bcfg: CodecConfig):
         """Sharded step output -> (list[BandOut], refs)."""
         coef, flat, sse, rec, ry, rcb, rcr = out
         refs = (ry, rcb, rcr)            # stay sharded on the mesh
         # one download per array, sliced per band on host
-        if self.bcfg.lossless:
+        if bcfg.lossless:
             coef_np = np.asarray(coef)
             per = lambda i: coef_np[i]               # noqa: E731
         else:
@@ -320,20 +321,23 @@ class _ShardedBands:
         flat_np = np.asarray(flat)
         sse_np = np.asarray(sse)
         rec_np = np.asarray(rec) if self.with_recon else [None] * self.n
-        bands = [_finalize_band(self.bcfg, per(i), flat_np[i],
+        bands = [_finalize_band(bcfg, per(i), flat_np[i],
                                 sse_np[i], rec_np[i], self.with_recon)
                  for i in range(self.n)]
         return bands, refs
 
     def encode_i(self, frame):
-        return self._finish(self._step("i")(self._pack(frame)))
+        return self._finish(self._step("i")(self._pack(frame)),
+                            self.bcfg)
 
     def encode_p(self, frame, refs):
-        return self._finish(self._step("p")(self._pack(frame), *refs))
+        return self._finish(self._step("p")(self._pack(frame), *refs),
+                            self.bcfg)
 
-    def encode_b(self, frame, refs0, refs1):
-        return self._finish(self._step("b")(
-            self._pack(frame), *refs0, *refs1))
+    def encode_b(self, frame, refs0, refs1, qp: int | None = None):
+        bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
+        return self._finish(self._step("b", qp)(
+            self._pack(frame), *refs0, *refs1), bcfg)
 
 
 # ---- the shared GOP loop ----------------------------------------------------
@@ -355,11 +359,18 @@ def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
                              max(cfg.gop_size, 1))
     dpb: dict[int, tuple] = {}
     per_poc: dict[int, tuple] = {}
+    fcfg = cfg
     for poc, kind in order:
+        fcfg = cfg
         if kind == "B":
             l0 = max(p for p in dpb if p < poc)
             l1 = min(p for p in dpb if p > poc)
-            bands, refs = be.encode_b(frames[poc], dpb[l0], dpb[l1])
+            off = b_qp_offset(cfg, poc)
+            qp_b = (cfg.qp + off) if off else None
+            if qp_b is not None:
+                fcfg = cfg.replace(qp=qp_b)
+            bands, refs = be.encode_b(frames[poc], dpb[l0], dpb[l1],
+                                      qp=qp_b)
             st = SliceType.B
             if poc % 2 == 0:             # leaf-B rule (never referenced)
                 dpb[poc] = refs
@@ -372,7 +383,7 @@ def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
             bands, refs = be.encode_i(frames[poc])
             st = SliceType.I
             dpb[poc] = refs
-        rbsp, recon, sse = _bands_to_slice(cfg, bands, poc, st,
+        rbsp, recon, sse = _bands_to_slice(fcfg, bands, poc, st,
                                            with_recon)
         nal = write_nal(NalType.IDR if st == SliceType.I
                         else NalType.TRAIL, rbsp)
