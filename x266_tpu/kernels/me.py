@@ -93,10 +93,17 @@ def integer_search(cur: jnp.ndarray, ref_pad: jnp.ndarray,
 
 # ---- hierarchical search (coarse 4x + combined refine) ---------------------
 
-REFINE_R = 3       # full-pel refinement radius around the coarse MV
+REFINE_R = 3       # full-pel refinement reach around the coarse MV
 
-_REF_DELTAS = [(dx, dy) for dy in range(-REFINE_R, REFINE_R + 1)
-               for dx in range(-REFINE_R, REFINE_R + 1)]
+# Two-step full-pel pattern instead of the exhaustive (2R+1)^2 grid:
+# a stride-2 3x3 picks a quadrant, a stride-1 3x3 lands on the pel —
+# 18 SADs for the same +-3 reach (every |d| <= 3 position remains
+# reachable: stride-2 winner w in {-2,0,2}^2, then w + {-1,0,1}^2).
+# Greedy vs exhaustive costs ~0 RD on the regression clips (the gate
+# in tests/test_rd.py watches it) and halves the refine kernel's
+# dominant per-block SAD chain at 4K.
+_REF_DELTAS_A = [(dx, dy) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
+_REF_DELTAS_B = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 _QP_DELTAS = [(dx, dy) for dy in range(-FRAC_D, FRAC_D + 1)
               for dx in range(-FRAC_D, FRAC_D + 1)]
 
@@ -119,9 +126,9 @@ def coarse_search(cur: jnp.ndarray, pyramid: jnp.ndarray,
 def refine_search_ref(cur: jnp.ndarray, pyramid: jnp.ndarray,
                       base: jnp.ndarray) -> jnp.ndarray:
     """XLA reference of the combined refine (oracle for the Pallas
-    kernel): +-REFINE_R full-pel around `base` on the integer plane,
-    then +-FRAC_D quarter-pel around the winner.  First minimum wins
-    in _REF_DELTAS/_QP_DELTAS order.
+    kernel): two-step full-pel pattern (stride-2 then stride-1 3x3)
+    around `base` on the integer plane, then +-FRAC_D quarter-pel
+    around the winner.  First minimum wins in list order.
 
     cur (H, W) int32 (ME_BLOCK multiples); base (By, Bx, 2) full-pel.
     Returns (By, Bx, 2) quarter-pel MVs.
@@ -144,11 +151,15 @@ def refine_search_ref(cur: jnp.ndarray, pyramid: jnp.ndarray,
             pyramid, x, y, mx, my, ME_BLOCK))(gx, gy, mvx, mvy)
         return jnp.sum(jnp.abs(cur_blocks - pred), axis=(1, 2))
 
-    # stage 1: full-pel (quarter-pel units = *4, plane 0)
+    # stage 1a/1b: full-pel (quarter-pel units = *4, plane 0)
     costs = jnp.stack([sad_at((b[:, 0] + dx) * 4, (b[:, 1] + dy) * 4)
-                       for (dx, dy) in _REF_DELTAS])
+                       for (dx, dy) in _REF_DELTAS_A])
     k = jnp.argmin(costs, axis=0)
-    dd = jnp.asarray(_REF_DELTAS, jnp.int32)[k]        # (B, 2)
+    b = b + jnp.asarray(_REF_DELTAS_A, jnp.int32)[k]   # (B, 2)
+    costs = jnp.stack([sad_at((b[:, 0] + dx) * 4, (b[:, 1] + dy) * 4)
+                       for (dx, dy) in _REF_DELTAS_B])
+    k = jnp.argmin(costs, axis=0)
+    dd = jnp.asarray(_REF_DELTAS_B, jnp.int32)[k]
     ib = (b + dd) * 4
     # stage 2: quarter-pel
     costs2 = jnp.stack([sad_at(ib[:, 0] + dx, ib[:, 1] + dy)

@@ -10,10 +10,11 @@ P-picture mode decision (XLA lowers them to serialized gathers; measured
   T independent MV fields produce T full MC frames in one call; Pass A
   then reads per-CU predictions as pure reshapes of these frames.
 - refine_search: hierarchical ME's combined refinement. Per block ONE
-  3D DMA fetches the (16, 40, 256) window spanning all 16 subplanes;
-  49 (+-3 full-pel)^2 then 25 (+-2 qpel)^2 candidates evaluate in
-  VMEM; bit-identical to kernels.me.refine_search_ref (same candidate
-  order and strict-< tie-breaks).
+  3D DMA fetches the (16, WROWS, 256) window spanning all 16
+  subplanes; the two-step full-pel pattern (stride-2 then stride-1
+  3x3, +-3 reach) then 25 (+-2 qpel)^2 candidates evaluate in VMEM;
+  bit-identical to kernels.me.refine_search_ref (same candidate order
+  and strict-< tie-breaks).
 
 Both are exact gathers (uint8 pyramid -> int32), so all consumers are
 bit-exact vs the XLA reference paths (tests/test_me_pallas.py).
@@ -31,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from x266_tpu.kernels.interp import REF_PAD
 from x266_tpu.kernels.me import (FRAC_D, ME_BLOCK, REFINE_R,
-                                 _QP_DELTAS, _REF_DELTAS)
+                                 _QP_DELTAS, _REF_DELTAS_A,
+                                 _REF_DELTAS_B)
 
 I32 = jnp.int32
 
@@ -131,79 +133,125 @@ def warp_frames(pyramid, mvs, h: int, w: int,
 
 # ---- combined full-pel + quarter-pel refinement ------------------------------
 
+REFINE_NB = 32   # ME blocks per refine grid step: all NB windows DMA
+                 # concurrently, so the per-step HBM latency wall
+                 # amortizes over 4x more compute than the 8-block shape
+
+
 def _build_refine2(by: int, bxp: int, interpret: bool):
-    """Stage-1 (+-REFINE_R full-pel, integer plane) and stage-2
+    """Stage-1 (two-step full-pel, integer plane) and stage-2
     (+-FRAC_D quarter-pel) refinement around a per-block base MV, ONE
     3D DMA per block; bit-identical to kernels.me.refine_search_ref
     (same candidate order and strict-< tie-breaks)."""
-    gx = bxp // 8
+    NB = REFINE_NB
+    gx = bxp // NB
     B = ME_BLOCK
     R = REFINE_R
+    # window rows: origin base-(R+1) .. widest read base+R+B+2 quarter
+    # rows, +8 for sublane alignment slack
+    WROWS = _pad_to(3 * R + B + 3 + 8, 8)
 
-    def kernel(mv_ref, cur_ref, pyr_ref, out_ref, win, sem):
+    def kernel(mv_ref, cur_ref, pyr_ref, out_ref, *scratch):
+        wins, sems = scratch[:NB], scratch[NB:]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        for k in range(8):
-            bxi = j * 8 + k
-            basex = mv_ref[0, bxi, 0]
-            basey = mv_ref[0, bxi, 1]
-            cur = cur_ref[:, k * B:(k + 1) * B].astype(I32)
-            # window origin: one pel beyond the widest candidate reach
-            ibx = bxi * B + REF_PAD + basex - (R + 1)
-            iby = i * B + REF_PAD + basey - (R + 1)
+
+        def window(k):
+            """Aligned (16, 40, 256) pyramid window around block k's
+            base MV (origin one pel beyond the widest candidate)."""
+            bxi = j * NB + k
+            ibx = bxi * B + REF_PAD + mv_ref[0, bxi, 0] - (R + 1)
+            iby = i * B + REF_PAD + mv_ref[0, bxi, 1] - (R + 1)
             iyb = (iby // 8) * 8
             ixb = (ibx // 128) * 128
             cp = pltpu.make_async_copy(
                 pyr_ref.at[pl.ds(0, 16),
-                           pl.ds(pl.multiple_of(iyb, 8), 40),
+                           pl.ds(pl.multiple_of(iyb, 8), WROWS),
                            pl.ds(pl.multiple_of(ixb, 128), 256)],
-                win, sem)
-            cp.start()
-            cp.wait()
-            remy = iby - iyb                          # 0..7
-            remx = ibx - ixb
+                wins[k], sems[k])
+            return cp, iby - iyb, ibx - ixb
 
-            # ---- stage 1: 49 full-pel SADs on the integer plane ----
+        # issue ALL 8 block DMAs up front: per-block HBM->VMEM latency
+        # (the kernel's dominant cost — 32k blocks at 4K) overlaps the
+        # SAD compute of earlier blocks instead of serializing with it
+        cps = [window(k) for k in range(NB)]
+        for cp, _, _ in cps:
+            cp.start()
+        for k in range(NB):
+            bxi = j * NB + k
+            basex = mv_ref[0, bxi, 0]
+            basey = mv_ref[0, bxi, 1]
+            cur = cur_ref[:, k * B:(k + 1) * B].astype(I32)
+            cp, remy, remx = cps[k]
+            cp.wait()
+            win = wins[k]
+
+            # ---- stage 1: two-step full-pel on the integer plane ----
+            # mirrors kernels.me.refine_search_ref: a stride-2 3x3 then
+            # a stride-1 3x3 (18 SADs for the +-3 reach; same candidate
+            # order and strict-< tie-breaks as the oracle)
             v0 = win[0].astype(I32)
             v0 = pltpu.roll(v0, (256 - remx) % 256, 1)
-            u0 = _row_select(v0, remy, 40, 2 * R + 2 + B)   # rows [iby..]
-            best_cost = None
-            best_idx = None
-            for di, (dx, dy) in enumerate(_REF_DELTAS):
-                p = u0[R + 1 + dy:R + 1 + dy + B,
-                       R + 1 + dx:R + 1 + dx + B]
-                sad = jnp.sum(jnp.abs(cur - p))
-                if best_cost is None:
-                    best_cost, best_idx = sad, jnp.zeros((), I32)
-                else:
-                    better = sad < best_cost
-                    best_cost = jnp.where(better, sad, best_cost)
-                    best_idx = jnp.where(better, di, best_idx)
-            bix = jnp.zeros((), I32)
-            biy = jnp.zeros((), I32)
-            for di, (dx, dy) in enumerate(_REF_DELTAS):
-                bix = jnp.where(best_idx == di, dx, bix)
-                biy = jnp.where(best_idx == di, dy, biy)
+            u0 = _row_select(v0, remy, WROWS, 2 * R + 2 + B)  # rows iby..
+
+            def argmin_deltas(deltas, sad_of):
+                best = None
+                idx = None
+                for di, (dx, dy) in enumerate(deltas):
+                    sad = sad_of(dx, dy)
+                    if best is None:
+                        best, idx = sad, jnp.zeros((), I32)
+                    else:
+                        better = sad < best
+                        best = jnp.where(better, sad, best)
+                        idx = jnp.where(better, di, idx)
+                ax = jnp.zeros((), I32)
+                ay = jnp.zeros((), I32)
+                for di, (dx, dy) in enumerate(deltas):
+                    ax = jnp.where(idx == di, dx, ax)
+                    ay = jnp.where(idx == di, dy, ay)
+                return ax, ay
+
+            bixA, biyA = argmin_deltas(
+                _REF_DELTAS_A,
+                lambda dx, dy: jnp.sum(jnp.abs(
+                    cur - u0[R + 1 + dy:R + 1 + dy + B,
+                             R + 1 + dx:R + 1 + dx + B])))
+            # stage 1b window: rows [R+biyA ..) by 3-way select, cols
+            # left-shifted by bixA+2 so the 3x3 slices become static
+            uB = u0[R - 2:R - 2 + B + 2]
+            for v in (0, 2):
+                uB = jnp.where(biyA == v, u0[R + v:R + v + B + 2], uB)
+            uB = pltpu.roll(uB, (256 - (bixA + 2) % 256) % 256, 1)
+            bxB, byB = argmin_deltas(
+                _REF_DELTAS_B,
+                lambda dx, dy: jnp.sum(jnp.abs(
+                    cur - uB[1 + dy:1 + dy + B,
+                             R - 1 + dx:R - 1 + dx + B])))
+            bix = bixA + bxB
+            biy = biyA + byB
 
             # ---- stage 2: 25 quarter-pel SADs around the winner ----
-            planes = {}
+            # all 16 subplanes share remx/remy/biy: roll and row-select
+            # the (16, rows, 256) stack JOINTLY — 2 rolls + 13 selects
+            # total instead of per-plane loops (the kernel is bound by
+            # per-block instruction count, not DMA bytes)
             rowsh = remy + R + biy                    # in [remy, remy+2R]
-            for f in range(16):
-                v = win[f].astype(I32)
-                v = pltpu.roll(v, (256 - remx) % 256, 1)
-                v = pltpu.roll(v, (256 - ((R + bix) % 256)) % 256, 1)
-                u = v[0:2 * R + 8 + B + 2]
-                sel = u[0:B + 2]
-                for r in range(1, 2 * R + 8):
-                    sel = jnp.where(rowsh == r, u[r:r + B + 2], sel)
-                planes[f] = sel                       # rows [iby+R+biy..]
+            v3 = win[:].astype(I32)                   # (16, WROWS, 256)
+            v3 = pltpu.roll(v3, (256 - remx) % 256, 2)
+            v3 = pltpu.roll(v3, (256 - ((R + bix) % 256)) % 256, 2)
+            u3 = v3[:, 0:2 * R + 8 + B + 2, :]
+            sel3 = u3[:, 0:B + 2, :]
+            for r in range(1, 2 * R + 8):
+                sel3 = jnp.where(rowsh == r, u3[:, r:r + B + 2, :],
+                                 sel3)                # rows [iby+R+biy..]
             best2 = None
             bq = None
             for di, (dx, dy) in enumerate(_QP_DELTAS):
                 f = (dy & 3) * 4 + (dx & 3)
                 oy = 1 + (dy >> 2)
                 ox = 1 + (dx >> 2)
-                p = planes[f][oy:oy + B, ox:ox + B]
+                p = sel3[f, oy:oy + B, ox:ox + B]
                 sad = jnp.sum(jnp.abs(cur - p))
                 if best2 is None:
                     best2, bq = sad, jnp.zeros((), I32)
@@ -231,13 +279,14 @@ def _build_refine2(by: int, bxp: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((by, bxp, 2), jnp.int32),
         in_specs=[pl.BlockSpec((1, bxp, 2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((ME_BLOCK, 128), lambda i, j: (i, j),
+                  pl.BlockSpec((ME_BLOCK, NB * ME_BLOCK),
+                               lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, bxp, 2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, 40, 256), jnp.uint8),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=([pltpu.VMEM((16, WROWS, 256), jnp.uint8)] * NB
+                        + [pltpu.SemaphoreType.DMA] * NB),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 2),
@@ -272,7 +321,7 @@ def refine_search(cur, pyramid, base, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     h, w = cur.shape
     by, bx = h // ME_BLOCK, w // ME_BLOCK
-    bxp = _pad_to(bx, 8)
+    bxp = _pad_to(bx, REFINE_NB)
     wneed = _pad_to(bxp * ME_BLOCK + REF_PAD + (REF_PAD - 8), 128) + 256
     hp = by * ME_BLOCK + 2 * REF_PAD + 48
     out = _refine2_call(by, bxp, hp, wneed, interpret)(cur, base,
