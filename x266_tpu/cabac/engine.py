@@ -29,10 +29,17 @@ TOP = 1 << 24
 
 
 class ContextSet:
-    """An array of adaptive contexts: (n, 2) uint16 [p_fast, p_slow]."""
+    """An array of adaptive contexts: (n, 2) uint16 [p_fast, p_slow].
 
-    def __init__(self, n: int):
-        self.p = np.full((n, 2), PROB_INIT, dtype=np.uint16)
+    init: optional (n, 2) trained initial states (cabac/ctx_init.py);
+    None starts every context at p = 0.5."""
+
+    def __init__(self, n: int, init=None):
+        if init is None:
+            self.p = np.full((n, 2), PROB_INIT, dtype=np.uint16)
+        else:
+            assert init.shape == (n, 2)
+            self.p = np.array(init, dtype=np.uint16)
 
     def prob(self, idx: int) -> int:
         """Effective p(bin==1), clamped to (0, 1) exclusive: the counters

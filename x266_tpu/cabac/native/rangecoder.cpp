@@ -58,6 +58,13 @@ struct Contexts {
   Contexts() {
     for (int i = 0; i < NUM_CONTEXTS; i++) pf[i] = ps[i] = PROB_INIT;
   }
+  // trained init tables (cabac/ctx_init.py): t = [pf[0..n), ps[0..n)]
+  void load(const int32_t* t) {
+    for (int i = 0; i < NUM_CONTEXTS; i++) {
+      pf[i] = t[i];
+      ps[i] = t[NUM_CONTEXTS + i];
+    }
+  }
   int prob(int idx) const {
     int p = (pf[idx] + ps[idx]) >> 1;
     if (p < PROB_MIN) p = PROB_MIN;
@@ -846,7 +853,8 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
                              const int32_t* sao_band,
                              const int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, uint8_t* out,
-                             int64_t out_capacity) {
+                             int64_t out_capacity,
+                             const int32_t* ctx_init) {
   Picture pic;
   pic.width = width;
   pic.height = height;
@@ -876,6 +884,7 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.sao_off = const_cast<int32_t*>(sao_off);
 
   SegEncoder se(pic);
+  if (ctx_init) se.ctxs.load(ctx_init);
   for (int cy = ctu_row0; cy < ctu_row1; cy++)
     for (int cx = 0; cx < pic.ctus_x; cx++) {
       if (pic.has_sao) se.sao_params(cy, cx);
@@ -902,7 +911,7 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
                              int32_t* sao_type, int32_t* sao_band,
                              int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, const uint8_t* data,
-                             int64_t len) {
+                             int64_t len, const int32_t* ctx_init) {
   Picture pic;
   pic.width = width;
   pic.height = height;
@@ -932,6 +941,7 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.sao_off = sao_off;
 
   SegDecoder sd(pic, data, len);
+  if (ctx_init) sd.ctxs.load(ctx_init);
   for (int cy = ctu_row0; cy < ctu_row1; cy++)
     for (int cx = 0; cx < pic.ctus_x; cx++) {
       if (pic.has_sao) sd.sao_params(cy, cx);

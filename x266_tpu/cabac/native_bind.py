@@ -19,6 +19,8 @@ import threading
 
 import numpy as np
 
+from x266_tpu.cabac import ctx_init as _ctx_init
+
 _SRC = os.path.join(os.path.dirname(__file__), "native", "rangecoder.cpp")
 _BUILD_DIR = os.path.join(os.path.dirname(__file__), "native", "build")
 _lock = threading.Lock()
@@ -66,7 +68,8 @@ def _load():
             ctypes.c_int32, i32p,
             ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
-            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
+            i32p]
         lib.x266t_decode_segment.restype = ctypes.c_int64
         lib.x266t_decode_segment.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -75,7 +78,8 @@ def _load():
             ctypes.c_int32, i32p,
             ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
-            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64]
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
+            i32p]
         _lib = lib
         return _lib
 
@@ -138,6 +142,9 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     st, stp = _i32(st)
     sb, sbp = _i32(sb)
     so, sop = _i32(so)
+    init = _ctx_init.flat_i32(cfg, is_p)
+    initp = (init.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+             if init is not None else None)
     cap = 32 + 4 * (cfg.width * cfg.height * 3) // 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     n = lib.x266t_encode_segment(
@@ -146,7 +153,8 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         int(cfg.mts), mtp,
         is_p, pmp, mxp, myp, mx1p, my1p,
         has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        initp)
     if n < 0:
         raise RuntimeError(f"native encode_segment failed ({n})")
     return out[:n].tobytes()
@@ -185,12 +193,14 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                      ctypes.POINTER(ctypes.c_uint8)))
     i32 = ctypes.POINTER(ctypes.c_int32)
     ptrs = [a.ctypes.data_as(i32) for a in arrays]
+    init = _ctx_init.flat_i32(cfg, is_p)
+    initp = (init.ctypes.data_as(i32) if init is not None else None)
     rc = lib.x266t_decode_segment(
         cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
         int(cfg.mts), ptrs[5],
         is_p, ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10],
         has_sao, ptrs[11], ptrs[12], ptrs[13],
-        ctu_row0, ctu_row1, p, len(data))
+        ctu_row0, ctu_row1, p, len(data), initp)
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")

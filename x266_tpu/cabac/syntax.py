@@ -22,6 +22,7 @@ import functools
 import numpy as np
 
 from x266_tpu.cabac import contexts as cx
+from x266_tpu.cabac import ctx_init
 from x266_tpu.cabac.engine import ContextSet, RangeDecoder, RangeEncoder
 from x266_tpu.config import CodecConfig
 from x266_tpu.specmodel.intra import DC, PLANAR
@@ -138,7 +139,9 @@ class SyntaxEncoder(_Walker):
 
     def encode_segment(self, ctu_row0: int, ctu_row1: int) -> bytes:
         self.enc = RangeEncoder()
-        self.ctxs = ContextSet(cx.NUM_CONTEXTS)
+        self.ctxs = ContextSet(cx.NUM_CONTEXTS,
+                               ctx_init.table(self.cfg, self.is_p,
+                                              self.is_b))
         for cy in range(ctu_row0, ctu_row1):
             for cxi in range(self.cfg.ctus_x):
                 if self.cfg.sao:
@@ -359,7 +362,9 @@ class SyntaxDecoder(_Walker):
     def decode_segment(self, data: bytes, ctu_row0: int,
                        ctu_row1: int) -> None:
         self.dec = RangeDecoder(data)
-        self.ctxs = ContextSet(cx.NUM_CONTEXTS)
+        self.ctxs = ContextSet(cx.NUM_CONTEXTS,
+                               ctx_init.table(self.cfg, self.is_p,
+                                              self.is_b))
         for cy in range(ctu_row0, ctu_row1):
             for cxi in range(self.cfg.ctus_x):
                 if self.cfg.sao:

@@ -65,6 +65,12 @@ class CodecConfig:
     sao: bool = False               # C14
     alf: bool = False               # C15 (VVC)
     mts: bool = False               # C10 VVC MTS (requires profile=VVC)
+    # C3 "context init tables per slice type": every entropy segment
+    # starts its adaptive contexts from trained per-slice-type tables
+    # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
+    # fresh-context cost of wavefront segments (measured +5..9% bits at
+    # rows_per_segment=1 without it).
+    ctx_init: bool = True
 
     # Entropy segmentation (SURVEY.md §2.2 P6): number of CABAC segments per
     # picture; segment i covers CTU rows [i*rows/n, (i+1)*rows/n). Entry-point

@@ -29,6 +29,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.sao)
     w.flag(cfg.alf)
     w.flag(cfg.mts)
+    w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.intra_period - 1)
@@ -50,6 +51,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     sao = r.flag()
     alf = r.flag()
     mts = r.flag()
+    ctx_init = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     intra_period = r.ue() + 1
@@ -59,6 +61,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        profile=profile, ctu_size=ctu_size,
                        max_cu_size=max_cu, lossless=lossless,
                        deblock=deblock, sao=sao, alf=alf, mts=mts,
+                       ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)
