@@ -165,7 +165,8 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
         for s in (8, 16, 32):
             if s > cfg.max_cu_size:
                 continue
-            cost_intra, mode_intra = _eval_size(plane, s, cfg)
+            cost_intra, mode_intra = _eval_size(plane, s, cfg,
+                                                inter_slice=True)
             c_int, mvx, mvy, c_skip = _inter_cost(cfg, plane, pyr_y,
                                                   mv_grid, s,
                                                   warp.get(s))
@@ -314,7 +315,8 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
         for s in (8, 16, 32):
             if s > cfg.max_cu_size:
                 continue
-            cost_intra, mode_intra = _eval_size(plane, s, cfg)
+            cost_intra, mode_intra = _eval_size(plane, s, cfg,
+                                                inter_slice=True)
             w0 = warp0.get(s)
             c0, x0, y0, c_skip = _inter_cost(cfg, plane, pyr0_y, g0, s,
                                              w0)

@@ -90,7 +90,7 @@ def _block_gather(plane: jnp.ndarray, gy: int, gx: int,
     return blk.reshape(gy * gx, s, s)
 
 
-def _rd_modes() -> int:
+def _rd_modes(inter_slice: bool = False) -> int:
     """Modes surviving the SAD preselect into full RD (0 = all).
 
     Two-stage search is the HM/VTM (and hardware-encoder) convention:
@@ -99,13 +99,19 @@ def _rd_modes() -> int:
     only on those.  Encoder-only freedom [STD]: any choice yields a
     conforming stream; measured at K=8: -0.05 dB / -2.3% bits (416x240
     qp32 synthetic) for a 3x Pass-A speedup (114 -> 37 ms at 1080p).
+    On P/B slices intra is the minority mode, so a shorter list (K=4)
+    pays for itself: the intra eval is 156 ms of the 4K B-picture mode
+    decision at K=8; RD delta is gated by tests/test_rd.py.
     """
     import os
 
+    if inter_slice:
+        return int(os.environ.get("X266T_RD_MODES_INTER", "4"))
     return int(os.environ.get("X266T_RD_MODES", "8"))
 
 
-def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig):
+def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
+               inter_slice: bool = False):
     """Best mode + RD cost for every size-aligned block.
 
     Returns (cost (gy, gx) float32, mode (gy, gx) int32).  Invalid
@@ -126,7 +132,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig):
     res = orig - preds                                        # (B, nm, s, s)
     nm = preds.shape[1]
 
-    k = _rd_modes()
+    k = _rd_modes(inter_slice)
     if 0 < k < nm:
         # Stage 1: SAD ranking; stage 2 selects the K best residual
         # blocks via a one-hot MXU matmul (a take_along_axis gather on

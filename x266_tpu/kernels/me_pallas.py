@@ -55,11 +55,12 @@ def _row_select(v, rem, nrows: int, out_rows: int):
 def _build_warp(t_n: int, by: int, bxp: int, interpret: bool):
     gx = bxp // 8    # grid steps per block row (8 ME blocks per step)
 
-    def kernel(mv_ref, pyr_ref, out_ref, win, sem):
-        t = pl.program_id(0)
+    def kernel(mv_ref, pyr_ref, out_ref, *scratch):
+        wins, sems = scratch[:8], scratch[8:]
         i = pl.program_id(1)
         j = pl.program_id(2)
-        for k in range(8):
+
+        def window(k):
             bxi = j * 8 + k
             mvx = mv_ref[0, 0, bxi, 0]
             mvy = mv_ref[0, 0, bxi, 1]
@@ -71,12 +72,20 @@ def _build_warp(t_n: int, by: int, bxp: int, interpret: bool):
             cp = pltpu.make_async_copy(
                 pyr_ref.at[f, pl.ds(pl.multiple_of(iyb, 8), 24),
                            pl.ds(pl.multiple_of(ixb, 128), 256)],
-                win, sem)
+                wins[k], sems[k])
+            return cp, iy - iyb, ix - ixb
+
+        # issue all 8 block DMAs up front so HBM latency overlaps the
+        # roll/select extraction of earlier blocks (see refine kernel)
+        cps = [window(k) for k in range(8)]
+        for cp, _, _ in cps:
             cp.start()
+        for k in range(8):
+            cp, remy, remx = cps[k]
             cp.wait()
-            v = win[:].astype(I32)
-            v = pltpu.roll(v, (256 - (ix - ixb)) % 256, 1)[:, 0:ME_BLOCK]
-            blk = _row_select(v, iy - iyb, 24, ME_BLOCK)
+            v = wins[k][:].astype(I32)
+            v = pltpu.roll(v, (256 - remx) % 256, 1)[:, 0:ME_BLOCK]
+            blk = _row_select(v, remy, 24, ME_BLOCK)
             out_ref[0, :, k * ME_BLOCK:(k + 1) * ME_BLOCK] = blk
 
     return pl.pallas_call(
@@ -91,8 +100,8 @@ def _build_warp(t_n: int, by: int, bxp: int, interpret: bool):
         out_specs=pl.BlockSpec((1, ME_BLOCK, 128),
                                lambda t, i, j: (t, i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((24, 256), jnp.uint8),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=([pltpu.VMEM((24, 256), jnp.uint8)] * 8
+                        + [pltpu.SemaphoreType.DMA] * 8),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 3),
