@@ -74,3 +74,55 @@ def test_alf_tiles_rejected():
     cfg = CodecConfig(width=128, height=128, alf=True, tile_rows=1)
     with pytest.raises(ValueError, match="single tile"):
         Encoder(cfg).encode([fr])
+
+
+def test_alf_chroma_estimate_reduces_error():
+    rng = np.random.default_rng(50)
+    orig = rng.integers(0, 256, (64, 96)).astype(np.int32)
+    noise = rng.integers(-5, 6, (64, 96))
+    recon = np.clip(orig + noise, 0, 255).astype(np.int32)
+    coeffs, flags, filt = alf.estimate_alf_chroma(orig, recon, lam=10.0)
+    mse0 = np.mean((orig - recon) ** 2.0)
+    mse1 = np.mean((orig - np.asarray(filt)) ** 2.0)
+    assert mse1 <= mse0 + 1e-6
+    # normative apply reproduces the estimator's filtered plane
+    again = np.asarray(alf.apply_alf_chroma(recon, np.asarray(coeffs),
+                                            np.asarray(flags), xp=np))
+    assert (again == np.asarray(filt)).all()
+
+
+def test_alf_chroma_roundtrip():
+    """Chroma ALF end-to-end: slice-header round-trip + MD5 gate +
+    the chroma planes improve vs luma-only ALF."""
+    fr = synthetic_frame(128, 96, kind="noise", seed=42)
+
+    def run(**kw):
+        cfg = CodecConfig(width=128, height=96, qp=37, deblock=True,
+                          sao=True, alf=True, **kw)
+        res = Encoder(cfg).encode([fr])
+        cfg2, dec = Decoder().decode(res.bitstream)
+        assert frame_md5(res.recon[0]) == frame_md5(dec[0])
+        return res, cfg2
+
+    res_c, cfg2 = run(alf_chroma=True)
+    assert cfg2.alf_chroma
+    res_l, _ = run()
+
+    def csse(res):
+        return (np.sum((res.recon[0].cb.astype(np.int64)
+                        - fr.cb.astype(np.int64)) ** 2)
+                + np.sum((res.recon[0].cr.astype(np.int64)
+                          - fr.cr.astype(np.int64)) ** 2))
+
+    assert csse(res_c) <= csse(res_l)
+
+
+def test_alf_chroma_roundtrip_b_gop():
+    frames = synthetic_clip(96, 64, 5, kind="mixed", seed=43)
+    cfg = CodecConfig(width=96, height=64, qp=32, intra_period=4,
+                      gop_size=4, deblock=True, sao=True,
+                      sao_chroma=True, alf=True, alf_chroma=True)
+    res = Encoder(cfg).encode(frames)
+    _, dec = Decoder().decode(res.bitstream)
+    for r, d in zip(res.recon, dec):
+        assert frame_md5(r) == frame_md5(d)

@@ -98,3 +98,18 @@ def test_pps_and_slice_header_roundtrip():
     sh2, off = parse_slice_header(rbsp)
     assert sh2 == sh
     assert rbsp[off:] == b"payload"
+
+
+def test_y4m_roundtrip(tmp_path):
+    from x266_tpu.core.yuv import read_y4m, synthetic_clip, write_y4m
+
+    frames = synthetic_clip(64, 48, 3, kind="mixed", seed=5)
+    p = str(tmp_path / "clip.y4m")
+    write_y4m(p, frames, fps_num=24, fps_den=1)
+    got, params = read_y4m(p)
+    assert params == {"width": 64, "height": 48,
+                      "fps_num": 24, "fps_den": 1}
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        assert (a.y == b.y).all() and (a.cb == b.cb).all() \
+            and (a.cr == b.cr).all()

@@ -39,12 +39,15 @@ CFGS = [
     CodecConfig(width=128, height=64, qp=37, profile=Profile.VVC, mts=True),
     CodecConfig(width=104, height=72, qp=30, lossless=True),
     CodecConfig(width=64, height=64, qp=22, max_cu_size=16),
+    CodecConfig(width=128, height=64, qp=30, profile=Profile.VVC,
+                mts=True, pdpc=True, rdoq=True),
 ]
 
 
 @pytest.mark.parametrize("cfg", CFGS, ids=lambda c: (
     f"{c.width}x{c.height}-qp{c.qp}"
     f"{'-mts' if c.mts else ''}{'-ll' if c.lossless else ''}"
+    f"{'-pdpc' if c.pdpc else ''}{'-rdoq' if c.rdoq else ''}"
     f"-cu{c.max_cu_size}"))
 def test_encode_matches_scan(cfg):
     y, cb, cr = _frame(cfg.width, cfg.height, seed=7)

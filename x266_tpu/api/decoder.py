@@ -36,7 +36,8 @@ class Decoder:
                 if cfg is None or qp is None:
                     raise ValueError("slice before parameter sets")
                 sh, off = headers.parse_slice_header(
-                    rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x)
+                    rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x,
+                    cfg.alf_chroma)
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
                 poc = sh.poc
                 if cfg.tile_rows and (cfg.intra_period != 1

@@ -272,7 +272,7 @@ struct Picture {
   int width, height, max_cu;
   int n_modes = 35;            // 35 (HEVC subset) or 67 (VVC)
   int mode_bits = 5;           // non-MPM rank bits: 5 or 6
-  int ux_n, uy_n, ctus_x;
+  int ux_n, uy_n, ctus_x, ctus_y;
   int32_t* size_map;
   int32_t* mode_map;
   int32_t* coef_y;
@@ -287,10 +287,11 @@ struct Picture {
   int32_t* mvy_map = nullptr;
   int32_t* mvx1_map = nullptr;     // bi-prediction's L1 MV
   int32_t* mvy1_map = nullptr;
-  int has_sao = 0;                 // cfg.sao flag
-  int32_t* sao_type = nullptr;     // (Cy, Cx)
-  int32_t* sao_band = nullptr;     // (Cy, Cx)
-  int32_t* sao_off = nullptr;      // (Cy, Cx, 4)
+  int has_sao = 0;                 // SAO plane count: 0 off, 1 luma,
+                                   // 3 luma+chroma (cfg.sao_chroma)
+  int32_t* sao_type = nullptr;     // (planes, Cy, Cx)
+  int32_t* sao_band = nullptr;     // (planes, Cy, Cx)
+  int32_t* sao_off = nullptr;      // (planes, Cy, Cx, 4)
 
   // Non-intra neighbors count as DC (mirror of syntax.py rule).
   int neighbor_left(int ux, int uy) const {
@@ -523,22 +524,25 @@ struct SegEncoder {
   }
 
   void sao_params(int cy, int cxi) {
-    int idx = cy * pic.ctus_x + cxi;
-    int stype = pic.sao_type[idx];
-    enc.encode_bin(ctxs, CTX_SAO_ON, stype != 0);
-    if (stype == 0) return;
-    int is_band = stype == 5;
-    enc.encode_bin(ctxs, CTX_SAO_KIND, is_band);
-    if (is_band)
-      enc.encode_bypass_bits((uint32_t)pic.sao_band[idx], 5);
-    else
-      enc.encode_bypass_bits((uint32_t)(stype - 1), 2);
-    for (int i = 0; i < 4; i++) {
-      int off = pic.sao_off[idx * 4 + i];
-      int mag = off < 0 ? -off : off;
-      for (int j = 0; j < mag; j++) enc.encode_bypass(1);
-      if (mag < 7) enc.encode_bypass(0);
-      if (is_band && mag) enc.encode_bypass(off < 0);
+    // luma params, then Cb and Cr iff sao_chroma (mirror of syntax.py)
+    for (int p = 0; p < pic.has_sao; p++) {
+      int idx = (p * pic.ctus_y + cy) * pic.ctus_x + cxi;
+      int stype = pic.sao_type[idx];
+      enc.encode_bin(ctxs, CTX_SAO_ON, stype != 0);
+      if (stype == 0) continue;
+      int is_band = stype == 5;
+      enc.encode_bin(ctxs, CTX_SAO_KIND, is_band);
+      if (is_band)
+        enc.encode_bypass_bits((uint32_t)pic.sao_band[idx], 5);
+      else
+        enc.encode_bypass_bits((uint32_t)(stype - 1), 2);
+      for (int i = 0; i < 4; i++) {
+        int off = pic.sao_off[idx * 4 + i];
+        int mag = off < 0 ? -off : off;
+        for (int j = 0; j < mag; j++) enc.encode_bypass(1);
+        if (mag < 7) enc.encode_bypass(0);
+        if (is_band && mag) enc.encode_bypass(off < 0);
+      }
     }
   }
 
@@ -784,26 +788,28 @@ struct SegDecoder {
   }
 
   void sao_params(int cy, int cxi) {
-    int idx = cy * pic.ctus_x + cxi;
-    if (!dec.decode_bin(ctxs, CTX_SAO_ON)) {
-      pic.sao_type[idx] = 0;
-      return;
-    }
-    int is_band = dec.decode_bin(ctxs, CTX_SAO_KIND);
-    if (is_band) {
-      pic.sao_type[idx] = 5;
-      pic.sao_band[idx] = (int32_t)dec.decode_bypass_bits(5);
-    } else {
-      pic.sao_type[idx] = 1 + (int32_t)dec.decode_bypass_bits(2);
-    }
-    for (int i = 0; i < 4; i++) {
-      int mag = 0;
-      while (mag < 7 && dec.decode_bypass()) mag++;
+    for (int p = 0; p < pic.has_sao; p++) {
+      int idx = (p * pic.ctus_y + cy) * pic.ctus_x + cxi;
+      if (!dec.decode_bin(ctxs, CTX_SAO_ON)) {
+        pic.sao_type[idx] = 0;
+        continue;
+      }
+      int is_band = dec.decode_bin(ctxs, CTX_SAO_KIND);
       if (is_band) {
-        int neg = mag && dec.decode_bypass();
-        pic.sao_off[idx * 4 + i] = neg ? -mag : mag;
+        pic.sao_type[idx] = 5;
+        pic.sao_band[idx] = (int32_t)dec.decode_bypass_bits(5);
       } else {
-        pic.sao_off[idx * 4 + i] = i < 2 ? mag : -mag;
+        pic.sao_type[idx] = 1 + (int32_t)dec.decode_bypass_bits(2);
+      }
+      for (int i = 0; i < 4; i++) {
+        int mag = 0;
+        while (mag < 7 && dec.decode_bypass()) mag++;
+        if (is_band) {
+          int neg = mag && dec.decode_bypass();
+          pic.sao_off[idx * 4 + i] = neg ? -mag : mag;
+        } else {
+          pic.sao_off[idx * 4 + i] = i < 2 ? mag : -mag;
+        }
       }
     }
   }
@@ -864,6 +870,7 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.ux_n = width / 8;
   pic.uy_n = height / 8;
   pic.ctus_x = (width + 63) / 64;
+  pic.ctus_y = (height + 63) / 64;
   pic.size_map = const_cast<int32_t*>(size_map);
   pic.mode_map = const_cast<int32_t*>(mode_map);
   pic.coef_y = const_cast<int32_t*>(coef_y);
@@ -921,6 +928,7 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   pic.ux_n = width / 8;
   pic.uy_n = height / 8;
   pic.ctus_x = (width + 63) / 64;
+  pic.ctus_y = (height + 63) / 64;
   pic.size_map = size_map;
   pic.mode_map = mode_map;
   pic.coef_y = coef_y;

@@ -29,15 +29,27 @@ _tried = False
 
 
 def _build() -> str | None:
+    # X266T_SANITIZE=ubsan|asan builds an instrumented library (used by
+    # tools/sanitize_native.py over the differential entropy tests).
+    san = os.environ.get("X266T_SANITIZE", "")
+    san_flags, san_tag = [], ""
+    if san == "ubsan":
+        san_flags = ["-fsanitize=undefined", "-fno-sanitize-recover=all",
+                     "-g", "-O1"]
+        san_tag = "_ubsan"
+    elif san == "asan":
+        # loading into a non-ASan python needs LD_PRELOAD=libasan.so
+        san_flags = ["-fsanitize=address", "-g", "-O1"]
+        san_tag = "_asan"
     with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        tag = hashlib.sha256(f.read()).hexdigest()[:16] + san_tag
     so_path = os.path.join(_BUILD_DIR, f"rangecoder_{tag}.so")
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
     tmp = so_path + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-fno-exceptions", "-o", tmp, _SRC]
+           "-fno-exceptions", "-o", tmp, _SRC] + san_flags
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
@@ -94,14 +106,20 @@ def _i32(a: np.ndarray):
 
 
 def _sao_args(cfg, sao_params):
+    """Returns (plane_count 0/1/3, 3-plane (type, band, off) arrays)."""
     if sao_params is None:
-        z = np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32)
-        zo = np.zeros((cfg.ctus_y, cfg.ctus_x, 4), np.int32)
+        z = np.zeros((3, cfg.ctus_y, cfg.ctus_x), np.int32)
+        zo = np.zeros((3, cfg.ctus_y, cfg.ctus_x, 4), np.int32)
         return 0, (z, z, zo)
-    st, sb, so = sao_params
-    return 1, (np.ascontiguousarray(st, np.int32),
-               np.ascontiguousarray(sb, np.int32),
-               np.ascontiguousarray(so, np.int32))
+    st, sb, so = (np.ascontiguousarray(a, np.int32)
+                  for a in sao_params)
+    if st.ndim == 2:               # legacy luma-only params
+        z = np.zeros_like(st)
+        st = np.ascontiguousarray(np.stack([st, z, z]))
+        sb = np.ascontiguousarray(np.stack([sb, z, z]))
+        zo = np.zeros_like(so)
+        so = np.ascontiguousarray(np.stack([so, zo, zo]))
+    return (3 if cfg.sao_chroma else 1), (st, sb, so)
 
 
 def _inter_args(cfg, inter_maps):
@@ -179,7 +197,7 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         if len(inter_maps) == 3:
             z = np.zeros((cfg.units_y, cfg.units_x), np.int32)
             inter_maps = tuple(inter_maps) + (z, z)
-    has_sao = int(cfg.sao)
+    has_sao = (3 if cfg.sao_chroma else 1) if cfg.sao else 0
     if sao_params is None:
         _, sao_params = _sao_args(cfg, None)
         has_sao = 0

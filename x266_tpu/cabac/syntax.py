@@ -134,8 +134,18 @@ class SyntaxEncoder(_Walker):
                          else z)
         self.coef = {"y": np.asarray(coef_y), "cb": np.asarray(coef_cb),
                      "cr": np.asarray(coef_cr)}
-        self.sao = (tuple(np.asarray(a) for a in sao_params)
-                    if sao_params is not None else None)
+        if sao_params is not None:
+            st, sb, so = (np.asarray(a) for a in sao_params)
+            if st.ndim == 2:           # legacy luma-only params
+                st = np.stack([st, np.zeros_like(st),
+                               np.zeros_like(st)])
+                sb = np.stack([sb, np.zeros_like(sb),
+                               np.zeros_like(sb)])
+                so = np.stack([so, np.zeros_like(so),
+                               np.zeros_like(so)])
+            self.sao = (st, sb, so)
+        else:
+            self.sao = None
 
     def encode_segment(self, ctu_row0: int, ctu_row1: int) -> bytes:
         self.enc = RangeEncoder()
@@ -151,26 +161,30 @@ class SyntaxEncoder(_Walker):
 
     def _sao_params(self, cy, cxi):
         """Per-CTB SAO signalling [STD-shaped]: on flag, band/edge kind,
-        class or band position, 4 offsets (edge: magnitudes only)."""
-        stype = int(self.sao[0][cy, cxi])
-        self.enc.encode_bin(self.ctxs, cx.SAO_ON, int(stype != 0))
-        if stype == 0:
-            return
-        is_band = stype == 5
-        self.enc.encode_bin(self.ctxs, cx.SAO_KIND, int(is_band))
-        if is_band:
-            self.enc.encode_bypass_bits(int(self.sao[1][cy, cxi]), 5)
-        else:
-            self.enc.encode_bypass_bits(stype - 1, 2)
-        for i in range(4):
-            off = int(self.sao[2][cy, cxi, i])
-            mag = abs(off)
-            for _ in range(mag):
-                self.enc.encode_bypass(1)
-            if mag < 7:
-                self.enc.encode_bypass(0)
-            if is_band and mag:
-                self.enc.encode_bypass(int(off < 0))
+        class or band position, 4 offsets (edge: magnitudes only).
+        Luma params, then Cb and Cr iff SPS.sao_chroma (same syntax)."""
+        planes = 3 if self.cfg.sao_chroma else 1
+        for p in range(planes):
+            stype = int(self.sao[0][p, cy, cxi])
+            self.enc.encode_bin(self.ctxs, cx.SAO_ON, int(stype != 0))
+            if stype == 0:
+                continue
+            is_band = stype == 5
+            self.enc.encode_bin(self.ctxs, cx.SAO_KIND, int(is_band))
+            if is_band:
+                self.enc.encode_bypass_bits(
+                    int(self.sao[1][p, cy, cxi]), 5)
+            else:
+                self.enc.encode_bypass_bits(stype - 1, 2)
+            for i in range(4):
+                off = int(self.sao[2][p, cy, cxi, i])
+                mag = abs(off)
+                for _ in range(mag):
+                    self.enc.encode_bypass(1)
+                if mag < 7:
+                    self.enc.encode_bypass(0)
+                if is_band and mag:
+                    self.enc.encode_bypass(int(off < 0))
 
     def _node(self, x, y, s):
         if x >= self.w or y >= self.h:
@@ -347,7 +361,7 @@ class SyntaxDecoder(_Walker):
             "cr": np.zeros((cfg.height // 2, cfg.width // 2),
                            dtype=np.int32),
         }
-        c = (cfg.ctus_y, cfg.ctus_x)
+        c = (3, cfg.ctus_y, cfg.ctus_x)
         self.sao = (np.zeros(c, np.int32), np.zeros(c, np.int32),
                     np.zeros(c + (4,), np.int32))
         self.mts_map = np.zeros(u, dtype=np.int32)
@@ -372,25 +386,27 @@ class SyntaxDecoder(_Walker):
                 self._node(cxi * 64, cy * 64, 64)
 
     def _sao_params(self, cy, cxi):
-        if not self.dec.decode_bin(self.ctxs, cx.SAO_ON):
-            self.sao[0][cy, cxi] = 0
-            return
-        is_band = self.dec.decode_bin(self.ctxs, cx.SAO_KIND)
-        if is_band:
-            self.sao[0][cy, cxi] = 5
-            self.sao[1][cy, cxi] = self.dec.decode_bypass_bits(5)
-        else:
-            self.sao[0][cy, cxi] = 1 + self.dec.decode_bypass_bits(2)
-        for i in range(4):
-            mag = 0
-            while mag < 7 and self.dec.decode_bypass():
-                mag += 1
+        planes = 3 if self.cfg.sao_chroma else 1
+        for p in range(planes):
+            if not self.dec.decode_bin(self.ctxs, cx.SAO_ON):
+                self.sao[0][p, cy, cxi] = 0
+                continue
+            is_band = self.dec.decode_bin(self.ctxs, cx.SAO_KIND)
             if is_band:
-                neg = mag and self.dec.decode_bypass()
-                self.sao[2][cy, cxi, i] = -mag if neg else mag
+                self.sao[0][p, cy, cxi] = 5
+                self.sao[1][p, cy, cxi] = self.dec.decode_bypass_bits(5)
             else:
-                # inferred signs: + for categories 1,2; - for 3,4 [STD]
-                self.sao[2][cy, cxi, i] = mag if i < 2 else -mag
+                self.sao[0][p, cy, cxi] = 1 + self.dec.decode_bypass_bits(2)
+            for i in range(4):
+                mag = 0
+                while mag < 7 and self.dec.decode_bypass():
+                    mag += 1
+                if is_band:
+                    neg = mag and self.dec.decode_bypass()
+                    self.sao[2][p, cy, cxi, i] = -mag if neg else mag
+                else:
+                    # inferred signs: + for cats 1,2; - for 3,4 [STD]
+                    self.sao[2][p, cy, cxi, i] = mag if i < 2 else -mag
 
     def _node(self, x, y, s):
         if x >= self.w or y >= self.h:

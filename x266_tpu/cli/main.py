@@ -28,18 +28,34 @@ def cmd_encode(args) -> int:
 
     from x266_tpu.api import Encoder
     from x266_tpu.config import CodecConfig, Profile
-    from x266_tpu.core.yuv import read_yuv420
+    from x266_tpu.core.yuv import read_y4m, read_yuv420
 
-    w, h = _parse_size(args.size)
+    if args.input.endswith(".y4m"):
+        frames, y4m = read_y4m(args.input, args.frames)
+        w, h = y4m["width"], y4m["height"]
+        if args.size and _parse_size(args.size) != (w, h):
+            print("-s disagrees with the Y4M header", file=sys.stderr)
+            return 1
+    else:
+        if not args.size:
+            print("-s/--size is required for raw YUV input",
+                  file=sys.stderr)
+            return 1
+        w, h = _parse_size(args.size)
+        frames = None
     cfg = CodecConfig(
         width=w, height=h, qp=args.qp,
         profile=Profile.VVC if args.profile == "vvc" else
         Profile.HEVC_SUBSET,
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
-        alf=args.alf, mts=args.mts, tile_rows=args.tile_rows,
+        sao_chroma=args.sao_chroma,
+        alf=args.alf, alf_chroma=args.alf_chroma,
+        mts=args.mts, pdpc=args.pdpc, rdoq=args.rdoq,
+        tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
-    frames = read_yuv420(args.input, w, h, args.frames)
+    if frames is None:
+        frames = read_yuv420(args.input, w, h, args.frames)
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
@@ -85,14 +101,17 @@ def cmd_encode(args) -> int:
 def cmd_decode(args) -> int:
     from x266_tpu.api import Decoder
     from x266_tpu.core.hashing import frame_md5
-    from x266_tpu.core.yuv import write_yuv420
+    from x266_tpu.core.yuv import write_y4m, write_yuv420
 
     with open(args.input, "rb") as f:
         stream = f.read()
     t0 = time.time()
     cfg, frames = Decoder().decode(stream)
     dt = time.time() - t0
-    write_yuv420(args.output, frames)
+    if args.output.endswith(".y4m"):
+        write_y4m(args.output, frames)
+    else:
+        write_yuv420(args.output, frames)
     for i, fr in enumerate(frames):
         print(f"POC {i:4d}  md5 {frame_md5(fr)}")
     print(f"-- decoded {len(frames)} frames {cfg.width}x{cfg.height} "
@@ -107,15 +126,25 @@ def main(argv=None) -> int:
     e = sub.add_parser("encode", help="encode raw YUV420")
     e.add_argument("-i", "--input", required=True)
     e.add_argument("-o", "--output", required=True)
-    e.add_argument("-s", "--size", required=True, help="WxH, e.g. 416x240")
+    e.add_argument("-s", "--size", default=None,
+                   help="WxH, e.g. 416x240 (raw YUV input; inferred "
+                        "from the header for .y4m)")
     e.add_argument("--qp", type=int, default=32)
     e.add_argument("--frames", type=int, default=None)
     e.add_argument("--profile", choices=["hevc", "vvc"], default="hevc")
     e.add_argument("--lossless", action="store_true")
     e.add_argument("--deblock", action="store_true")
     e.add_argument("--sao", action="store_true")
+    e.add_argument("--sao-chroma", action="store_true",
+                   help="chroma SAO planes (requires --sao)")
     e.add_argument("--alf", action="store_true")
+    e.add_argument("--alf-chroma", action="store_true",
+                   help="chroma ALF 5x5 diamond (requires --alf)")
     e.add_argument("--mts", action="store_true")
+    e.add_argument("--pdpc", action="store_true",
+                   help="PDPC intra blend (requires --profile vvc)")
+    e.add_argument("--rdoq", action="store_true",
+                   help="RD-optimized quantization (encoder-only)")
     e.add_argument("--tile-rows", type=int, default=0)
     e.add_argument("--gop", type=int, default=1,
                    help="intra period: 1 = all-intra, N = IDR every N "

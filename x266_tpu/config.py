@@ -62,9 +62,18 @@ class CodecConfig:
     # Tool flags (each maps to an SPS flag).
     lossless: bool = False          # transquant bypass, whole stream (C11)
     deblock: bool = False           # C13
-    sao: bool = False               # C14
-    alf: bool = False               # C15 (VVC)
+    sao: bool = False               # C14 (luma)
+    sao_chroma: bool = False        # C14 chroma planes (requires sao)
+    alf: bool = False               # C15 (VVC, luma)
+    alf_chroma: bool = False        # C15 chroma 5x5 diamond (requires alf)
     mts: bool = False               # C10 VVC MTS (requires profile=VVC)
+    # C6 VVC PDPC: position-dependent blend of the intra prediction with
+    # the unfiltered references for planar/DC/H/V on luma (FORMAT.md §8).
+    pdpc: bool = False              # requires profile=VVC
+    # C11 RDOQ (encoder-only, NOT in the SPS — the quantizer is
+    # non-normative [STD]): per-coefficient D + lambda*R level decision
+    # (kernels.quant.rd_quantize) instead of the fixed deadzone.
+    rdoq: bool = False
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
@@ -97,6 +106,12 @@ class CodecConfig:
             raise ValueError("v1 supports min_cu_size=8 only")
         if self.mts and self.profile != Profile.VVC:
             raise ValueError("MTS requires the VVC profile")
+        if self.pdpc and self.profile != Profile.VVC:
+            raise ValueError("PDPC requires the VVC profile")
+        if self.sao_chroma and not self.sao:
+            raise ValueError("sao_chroma requires sao")
+        if self.alf_chroma and not self.alf:
+            raise ValueError("alf_chroma requires alf")
         if self.gop_size > 1 and (self.gop_size
                                   & (self.gop_size - 1)) != 0:
             raise ValueError("gop_size must be a power of two (the "
@@ -177,19 +192,20 @@ class CodecConfig:
 def preset_cfg1(width: int = 416, height: int = 240) -> CodecConfig:
     """Config 1: all-intra HEVC-subset, 416x240, single tile, CPU-runnable."""
     return CodecConfig(width=width, height=height,
-                       profile=Profile.HEVC_SUBSET, intra_period=1)
+                       profile=Profile.HEVC_SUBSET, intra_period=1,
+                       rdoq=True)
 
 
 def preset_cfg2(width: int = 1920, height: int = 1080) -> CodecConfig:
     """Config 2: all-intra 1080p VVC with MTS + CABAC, one chip."""
     return CodecConfig(width=width, height=height, profile=Profile.VVC,
-                       mts=True, intra_period=1)
+                       mts=True, intra_period=1, rdoq=True)
 
 
 def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:
     """Config 3: low-delay P 1080p, integer+fractional ME."""
     return CodecConfig(width=width, height=height, qp=32,
-                       intra_period=32)
+                       intra_period=32, rdoq=True)
 
 
 def preset_cfg4(width: int = 3840, height: int = 2160) -> CodecConfig:
@@ -199,7 +215,8 @@ def preset_cfg4(width: int = 3840, height: int = 2160) -> CodecConfig:
     preset keeps one tile and the tiled variant drops ALF."""
     return CodecConfig(width=width, height=height, qp=32,
                        intra_period=32, gop_size=16, deblock=True,
-                       sao=True, alf=True)
+                       sao=True, sao_chroma=True, alf=True,
+                       alf_chroma=True, rdoq=True)
 
 
 def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:
@@ -207,4 +224,4 @@ def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:
     with wavefront entropy segments; multi-host DCN is round 2."""
     return CodecConfig(width=width, height=height, qp=32,
                        intra_period=16, deblock=True, sao=True,
-                       rows_per_segment=1)
+                       sao_chroma=True, rows_per_segment=1, rdoq=True)

@@ -27,8 +27,11 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.lossless)
     w.flag(cfg.deblock)
     w.flag(cfg.sao)
+    w.flag(cfg.sao_chroma)
     w.flag(cfg.alf)
+    w.flag(cfg.alf_chroma)
     w.flag(cfg.mts)
+    w.flag(cfg.pdpc)
     w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
@@ -49,8 +52,11 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     lossless = r.flag()
     deblock = r.flag()
     sao = r.flag()
+    sao_chroma = r.flag()
     alf = r.flag()
+    alf_chroma = r.flag()
     mts = r.flag()
+    pdpc = r.flag()
     ctx_init = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
@@ -60,8 +66,9 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     return CodecConfig(width=width, height=height, bit_depth=bit_depth,
                        profile=profile, ctu_size=ctu_size,
                        max_cu_size=max_cu, lossless=lossless,
-                       deblock=deblock, sao=sao, alf=alf, mts=mts,
-                       ctx_init=ctx_init,
+                       deblock=deblock, sao=sao, sao_chroma=sao_chroma,
+                       alf=alf, alf_chroma=alf_chroma, mts=mts,
+                       pdpc=pdpc, ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)
@@ -95,6 +102,10 @@ class SliceHeader:
     # (x266t carries these in the slice header instead of an APS).
     alf_coeffs: list[int] | None = None       # flattened 300 ints
     alf_flags: list[int] | None = None        # Cy*Cx bits
+    # chroma ALF (iff SPS alf_chroma): 2 planes x 6 diamond-pair
+    # coefficients (se(v)) and per-plane per-CTB on/off bits.
+    alf_ccoeffs: list[int] | None = None      # flattened 12 ints
+    alf_cflags: list[int] | None = None       # 2*Cy*Cx bits
 
 
 def write_slice_header(sh: SliceHeader) -> bytes:
@@ -110,12 +121,19 @@ def write_slice_header(sh: SliceHeader) -> bytes:
             w.se(int(c))
         for f in sh.alf_flags:
             w.flag(int(f))
+    if sh.alf_ccoeffs is not None:
+        for c in sh.alf_ccoeffs:
+            w.se(int(c))
+        for f in sh.alf_cflags:
+            w.flag(int(f))
     w.align()
     return w.bytes_value()
 
 
 def parse_slice_header(rbsp: bytes, has_alf: bool = False,
-                       num_ctbs: int = 0) -> tuple[SliceHeader, int]:
+                       num_ctbs: int = 0,
+                       has_alf_chroma: bool = False
+                       ) -> tuple[SliceHeader, int]:
     """Returns (header, payload_byte_offset_within_rbsp)."""
     r = BitReader(rbsp)
     st = SliceType(r.ue())
@@ -123,10 +141,13 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
     qp = r.se() + 26
     n = r.ue()
     entries = [r.ue() for _ in range(n)]
-    alf_coeffs = alf_flags = None
+    alf_coeffs = alf_flags = alf_ccoeffs = alf_cflags = None
     if has_alf:
         alf_coeffs = [r.se() for _ in range(25 * 12)]
         alf_flags = [int(r.flag()) for _ in range(num_ctbs)]
+    if has_alf_chroma:
+        alf_ccoeffs = [r.se() for _ in range(2 * 6)]
+        alf_cflags = [int(r.flag()) for _ in range(2 * num_ctbs)]
     r.align()
     return SliceHeader(st, poc, qp, entries, alf_coeffs,
-                       alf_flags), r.byte_position
+                       alf_flags, alf_ccoeffs, alf_cflags), r.byte_position

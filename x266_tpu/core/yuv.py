@@ -81,6 +81,90 @@ def write_yuv420(path_or_file, frames: list[Frame]) -> None:
             f.close()
 
 
+# ---- Y4M container (SURVEY.md §8 "Y4M") -------------------------------------
+
+def read_y4m(path_or_file, num_frames: int | None = None
+             ) -> tuple[list[Frame], dict]:
+    """Read a YUV4MPEG2 file (C420 8-bit).  Returns (frames, params)
+    with params = {"width", "height", "fps_num", "fps_den"}."""
+    f = (open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes))
+         else path_or_file)
+    close = isinstance(path_or_file, (str, bytes))
+    try:
+        header = bytearray()
+        while not header.endswith(b"\n"):
+            b = f.read(1)
+            if not b:
+                raise ValueError("truncated Y4M header")
+            header += b
+        fields = header.decode("ascii").strip().split(" ")
+        if fields[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 stream")
+        width = height = None
+        fps_num, fps_den = 30, 1
+        for tok in fields[1:]:
+            if tok.startswith("W"):
+                width = int(tok[1:])
+            elif tok.startswith("H"):
+                height = int(tok[1:])
+            elif tok.startswith("F"):
+                fps_num, fps_den = (int(v) for v in tok[1:].split(":"))
+            elif tok.startswith("C") and not tok.startswith(
+                    ("C420", "C420jpeg", "C420mpeg2", "C420paldv")):
+                raise ValueError(f"unsupported Y4M chroma: {tok}")
+        if width is None or height is None:
+            raise ValueError("Y4M header missing W/H")
+        frames = []
+        ysz, csz = width * height, (width // 2) * (height // 2)
+        while num_frames is None or len(frames) < num_frames:
+            mark = bytearray()
+            while not mark.endswith(b"\n"):
+                b = f.read(1)
+                if not b:
+                    break
+                mark += b
+            if not mark:
+                break
+            if not mark.startswith(b"FRAME"):
+                raise ValueError("bad Y4M FRAME marker")
+            raw = f.read(ysz + 2 * csz)
+            if len(raw) < ysz + 2 * csz:
+                break
+            y = np.frombuffer(raw, np.uint8, ysz).reshape(height, width)
+            cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(
+                height // 2, width // 2)
+            cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(
+                height // 2, width // 2)
+            frames.append(Frame(y.copy(), cb.copy(), cr.copy()))
+        return frames, {"width": width, "height": height,
+                        "fps_num": fps_num, "fps_den": fps_den}
+    finally:
+        if close:
+            f.close()
+
+
+def write_y4m(path_or_file, frames: list[Frame], fps_num: int = 30,
+              fps_den: int = 1) -> None:
+    """Write frames as YUV4MPEG2 (C420, progressive, square pixels)."""
+    f = (open(path_or_file, "wb") if isinstance(path_or_file, (str, bytes))
+         else path_or_file)
+    close = isinstance(path_or_file, (str, bytes))
+    try:
+        if not frames:
+            raise ValueError("no frames")
+        w, h = frames[0].width, frames[0].height
+        f.write(f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 "
+                f"C420\n".encode("ascii"))
+        for fr in frames:
+            f.write(b"FRAME\n")
+            f.write(fr.y.astype(np.uint8).tobytes())
+            f.write(fr.cb.astype(np.uint8).tobytes())
+            f.write(fr.cr.astype(np.uint8).tobytes())
+    finally:
+        if close:
+            f.close()
+
+
 # ---- deterministic synthetic clips (test fixtures, SURVEY.md §4) -----------
 
 def synthetic_frame(width: int, height: int, t: int = 0,

@@ -74,11 +74,15 @@ def _unpack_padded(cfg: CodecConfig, packed):
 def _maps_layout(cfg: CodecConfig):
     u = cfg.units_y * cfg.units_x
     c = cfg.ctus_y * cfg.ctus_x
+    # SAO parameters carry a leading plane axis (0 Y, 1 Cb, 2 Cr) so the
+    # luma-only and chroma (cfg.sao_chroma) cases share one layout.
     sizes = [("size", u), ("mode", u), ("mts", u),
-             ("sao_type", c), ("sao_band", c), ("sao_off", 4 * c),
+             ("sao_type", 3 * c), ("sao_band", 3 * c),
+             ("sao_off", 12 * c),
              ("pred", u), ("mvx", u), ("mvy", u),
              ("mvx1", u), ("mvy1", u),
-             ("alf_flag", c), ("alf_coef", 25 * 12)]
+             ("alf_flag", c), ("alf_coef", 25 * 12),
+             ("alf_cflag", 2 * c), ("alf_ccoef", 2 * 6)]
     offs, pos = {}, 0
     for name, n in sizes:
         offs[name] = (pos, pos + n)
@@ -99,15 +103,17 @@ def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
 
     return {"size": get("size", (uy, ux)), "mode": get("mode", (uy, ux)),
             "mts": get("mts", (uy, ux)),
-            "sao_type": get("sao_type", (cy, cx)),
-            "sao_band": get("sao_band", (cy, cx)),
-            "sao_off": get("sao_off", (cy, cx, 4)),
+            "sao_type": get("sao_type", (3, cy, cx)),
+            "sao_band": get("sao_band", (3, cy, cx)),
+            "sao_off": get("sao_off", (3, cy, cx, 4)),
             "pred": get("pred", (uy, ux)), "mvx": get("mvx", (uy, ux)),
             "mvy": get("mvy", (uy, ux)),
             "mvx1": get("mvx1", (uy, ux)),
             "mvy1": get("mvy1", (uy, ux)),
             "alf_flag": get("alf_flag", (cy, cx)),
-            "alf_coef": get("alf_coef", (25, 12))}
+            "alf_coef": get("alf_coef", (25, 12)),
+            "alf_cflag": get("alf_cflag", (2, cy, cx)),
+            "alf_ccoef": get("alf_ccoef", (2, 6))}
 
 
 def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
@@ -116,7 +122,7 @@ def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
     flat = np.zeros(total, dtype=np.int16)
     for name in ("size", "mode", "mts", "sao_type", "sao_band",
                  "sao_off", "pred", "mvx", "mvy", "mvx1", "mvy1",
-                 "alf_flag", "alf_coef"):
+                 "alf_flag", "alf_coef", "alf_cflag", "alf_ccoef"):
         a, b = offs[name]
         flat[a:b] = maps[name].astype(np.int16).ravel()
     return flat
@@ -202,15 +208,35 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
     orig_y = yP[1:1 + h, 1:1 + w].astype(jnp.int32)
     orig_cb = cbP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
     orig_cr = crP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
+    zc = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
+    zo = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
     if cfg.sao:
-        st, sb, so = estimate_sao(orig_y, y, lam)
-        y = apply_sao(y, st, sb, so, xp=jnp)
+        sty, sby, soy = estimate_sao(orig_y, y, lam)
+        y = apply_sao(y, sty, sby, soy, xp=jnp)
+        if cfg.sao_chroma:
+            stb, sbb, sob = estimate_sao(orig_cb, cb, lam, ctb=32)
+            cb = apply_sao(cb, stb, sbb, sob, xp=jnp, ctb=32)
+            str_, sbr, sor = estimate_sao(orig_cr, cr, lam, ctb=32)
+            cr = apply_sao(cr, str_, sbr, sor, xp=jnp, ctb=32)
+        else:
+            stb = str_ = sbb = sbr = zc
+            sob = sor = zo
+        st = jnp.stack([sty, stb, str_])
+        sb = jnp.stack([sby, sbb, sbr])
+        so = jnp.stack([soy, sob, sor])
     else:
-        st = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
-        sb = jnp.zeros_like(st)
-        so = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
+        st = jnp.stack([zc, zc, zc])
+        sb = jnp.stack([zc, zc, zc])
+        so = jnp.stack([zo, zo, zo])
+    alf_ccoef = jnp.zeros((2, 6), jnp.int32)
+    alf_cflag = jnp.zeros((2, cfg.ctus_y, cfg.ctus_x), jnp.int32)
     if cfg.alf:
         alf_coef, alf_flag, y = kalf.estimate_alf(orig_y, y, lam)
+        if cfg.alf_chroma:
+            ccb, fcb, cb = kalf.estimate_alf_chroma(orig_cb, cb, lam)
+            ccr, fcr, cr = kalf.estimate_alf_chroma(orig_cr, cr, lam)
+            alf_ccoef = jnp.stack([ccb, ccr])
+            alf_cflag = jnp.stack([fcb, fcr])
     else:
         alf_coef = jnp.zeros((25, 12), jnp.int32)
         alf_flag = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
@@ -218,7 +244,8 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         jnp.sum(((y - orig_y).astype(jnp.float32)) ** 2),
         jnp.sum(((cb - orig_cb).astype(jnp.float32)) ** 2),
         jnp.sum(((cr - orig_cr).astype(jnp.float32)) ** 2)])
-    return y, cb, cr, (st, sb, so), (alf_flag, alf_coef), sse
+    return y, cb, cr, (st, sb, so), (alf_flag, alf_coef,
+                                      alf_cflag, alf_ccoef), sse
 
 
 def _pyr_target(h: int, w: int) -> tuple[int, int]:
@@ -297,11 +324,13 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
             mts_map = jnp.zeros_like(size_map)
         y8, cb8, cr8, cY, cCb, cCr = rp(yP, cbP, crP, size_map,
                                         mode_map, mts_map)
-        y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
+        (y, cb, cr, (st, sb, so),
+         (af, ac, acf, acc), sse) = _filters_and_stats(
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
         zero_u = jnp.zeros((uy, ux), jnp.int32)
         maps = [size_map, mode_map, mts_map, st, sb, so,
-                zero_u, zero_u, zero_u, zero_u, zero_u, af, ac]
+                zero_u, zero_u, zero_u, zero_u, zero_u, af, ac,
+                acf, acc]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, with_pyramids)
 
@@ -340,14 +369,16 @@ def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
      mvx_fin, mvy_fin) = rp(yP, cbP, crP, size_map, mode_map,
                             mts_map, pred_map, mvx_map, mvy_map,
                             pyr_y, pyr_cb, pyr_cr)
-    y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
+    (y, cb, cr, (st, sb, so),
+     (af, ac, acf, acc), sse) = _filters_and_stats(
         cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         (pred_map, mvx_fin.astype(jnp.int32),
          mvy_fin.astype(jnp.int32), cY))
     zero_u = jnp.zeros_like(size_map)
     maps = [size_map, mode_map, mts_map, st, sb, so,
             pred_map, mvx_fin.astype(jnp.int32),
-            mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac]
+            mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac,
+            acf, acc]
     return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                          with_recon, with_pyramids)
 
@@ -417,13 +448,15 @@ def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids):
                             mts_map, pred_map, mvx_map, mvy_map,
                             p0y, p0cb, p0cr, p1y, p1cb, p1cr,
                             mvx1_map, mvy1_map)
-    y, cb, cr, (st, sb, so), (af, ac), sse = _filters_and_stats(
+    (y, cb, cr, (st, sb, so),
+     (af, ac, acf, acc), sse) = _filters_and_stats(
         cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         (pred_map, mvx_fin.astype(jnp.int32),
          mvy_fin.astype(jnp.int32), cY))
     maps = [size_map, mode_map, mts_map, st, sb, so,
             pred_map, mvx_fin.astype(jnp.int32),
-            mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac]
+            mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac,
+            acf, acc]
     return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                          with_recon, with_pyramids)
 
@@ -519,14 +552,23 @@ def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
             mvx=mvx_fin.astype(jnp.int32),
             mvy=mvy_fin.astype(jnp.int32), coef_y=cY.astype(jnp.int32))
     if cfg.sao:
-        y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
-                      get(flat, "sao_band", (cyn, cxn)),
-                      get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+        st = get(flat, "sao_type", (3, cyn, cxn))
+        sb = get(flat, "sao_band", (3, cyn, cxn))
+        so = get(flat, "sao_off", (3, cyn, cxn, 4))
+        y = apply_sao(y, st[0], sb[0], so[0], xp=jnp)
+        if cfg.sao_chroma:
+            cb = apply_sao(cb, st[1], sb[1], so[1], xp=jnp, ctb=32)
+            cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32)
     if cfg.alf:
         from x266_tpu.kernels import alf as kalf
         y = kalf.apply_alf(y, kalf.classify(y),
                            get(flat, "alf_coef", (25, 12)),
                            get(flat, "alf_flag", (cyn, cxn)))
+        if cfg.alf_chroma:
+            acc = get(flat, "alf_ccoef", (2, 6))
+            acf = get(flat, "alf_cflag", (2, cyn, cxn))
+            cb = kalf.apply_alf_chroma(cb, acc[0], acf[0])
+            cr = kalf.apply_alf_chroma(cr, acc[1], acf[1])
     rec = jnp.zeros((h + h // 2, w), jnp.uint8)
     rec = rec.at[:h].set(y.astype(jnp.uint8))
     rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
@@ -641,14 +683,23 @@ def make_decode_step_i(cfg: CodecConfig, with_pyramids: bool):
             y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
                                         xp=jnp)
         if cfg.sao:
-            y = apply_sao(y, get(flat, "sao_type", (cyn, cxn)),
-                          get(flat, "sao_band", (cyn, cxn)),
-                          get(flat, "sao_off", (cyn, cxn, 4)), xp=jnp)
+            st = get(flat, "sao_type", (3, cyn, cxn))
+            sb = get(flat, "sao_band", (3, cyn, cxn))
+            so = get(flat, "sao_off", (3, cyn, cxn, 4))
+            y = apply_sao(y, st[0], sb[0], so[0], xp=jnp)
+            if cfg.sao_chroma:
+                cb = apply_sao(cb, st[1], sb[1], so[1], xp=jnp, ctb=32)
+                cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32)
         if cfg.alf:
             from x266_tpu.kernels import alf as kalf
             y = kalf.apply_alf(y, kalf.classify(y),
                                get(flat, "alf_coef", (25, 12)),
                                get(flat, "alf_flag", (cyn, cxn)))
+            if cfg.alf_chroma:
+                acc = get(flat, "alf_ccoef", (2, 6))
+                acf = get(flat, "alf_cflag", (2, cyn, cxn))
+                cb = kalf.apply_alf_chroma(cb, acc[0], acf[0])
+                cr = kalf.apply_alf_chroma(cr, acc[1], acf[1])
         rec = jnp.zeros((h + h // 2, w), jnp.uint8)
         rec = rec.at[:h].set(y.astype(jnp.uint8))
         rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))

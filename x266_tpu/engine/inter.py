@@ -66,10 +66,17 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size, warped=None):
     """Explicit-inter and skip candidate costs for all size-s blocks.
 
     Returns (cost_inter, mvx, mvy, cost_skip) as (gy, gx) grids.
-    warped: optional (explicit_frame, skip_frame) MC frames from
-    kernels.me_pallas.warp_frames — per-block predictions become pure
-    reshapes (identical values; the vmapped mc_block gathers they
-    replace are the XLA-gather cliff, ~150 ms/size at 1080p).
+    warped: optional (explicit_frame, skip_left_frame, skip_above_frame)
+    MC frames from kernels.me_pallas.warp_frames — per-block predictions
+    become pure reshapes (identical values; the vmapped mc_block gathers
+    they replace are the XLA-gather cliff, ~150 ms/size at 1080p).
+
+    Skip robustness: Pass B DERIVES the skip MV (left CU's final MV,
+    else above, else zero), which this decoupled pass can only proxy.
+    The skip distortion is therefore the WORST CASE over the three
+    derivable shapes {left ME MV, above ME MV, zero} — a single
+    optimistic proxy let one mispredicted 16x16 skip cost a P frame
+    ~6 dB when the real derivation diverged (no residual to recover).
     """
     w, h, s = cfg.width, cfg.height, size
     lam = np.float32(cfg.lambda_mode)
@@ -81,25 +88,33 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size, warped=None):
     m_y = (ys_np // kme.ME_BLOCK).astype(np.int32)
     m_x = (xs_np // kme.ME_BLOCK).astype(np.int32)
     mv = mv_grid[m_y, m_x]                        # (B, 2) quarter-pel
-    # skip-proxy predictor: left ME block's MV (clamped at the edge)
+    # skip-proxy predictors: left / above ME block MVs (edge-clamped)
     mvl = mv_grid[m_y, np.maximum(m_x - 1, 0)]
+    mva = mv_grid[np.maximum(m_y - 1, 0), m_x]
 
     orig = _block_gather(plane, gy, gx, s)        # (B, s, s)
 
     if warped is not None:
         pred = _blockify(warped[0], gy, gx, s)
-        pred_skip = _blockify(warped[1], gy, gx, s)
+        pred_skl = _blockify(warped[1], gy, gx, s)
+        pred_ska = _blockify(warped[2], gy, gx, s)
     else:
         def mc(x, y, m):
             return interp.mc_block(pyr_y, x, y, m[0], m[1], s)
 
         pred = jax.vmap(mc)(xs, ys, mv)
-        pred_skip = jax.vmap(mc)(xs, ys, mvl)
+        pred_skl = jax.vmap(mc)(xs, ys, mvl)
+        pred_ska = jax.vmap(mc)(xs, ys, mva)
+    # zero-MV shape: a plain slice of the reference plane (no warp)
+    rp = interp.REF_PAD
+    pred_zero = _blockify(pyr_y[0, rp:rp + h, rp:rp + w], gy, gx, s)
 
     res = orig - pred
     mv_bits = jnp.sum(2.0 + 2.0 * jnp.log2(
         jnp.abs(mv - mvl).astype(jnp.float32) + 1.0), axis=1)
-    dist_s = kcost.sse(pred_skip, orig)
+    dist_s = jnp.maximum(
+        jnp.maximum(kcost.sse(pred_skl, orig), kcost.sse(pred_ska, orig)),
+        kcost.sse(pred_zero, orig))
     if cfg.lossless:
         rate = kcost.rate_estimate_levels(res)
         cost_i = lam * (rate + mv_bits + 3.0)
@@ -152,14 +167,15 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
             from x266_tpu.kernels import me_pallas
             by, bx = mv_grid.shape[:2]
             left = mv_grid[:, np.maximum(np.arange(bx) - 1, 0)]
-            fields = [mv_grid, left]
+            above = mv_grid[np.maximum(np.arange(by) - 1, 0), :]
+            fields = [mv_grid, left, above]
             if cfg.max_cu_size >= 32:
-                fields += [_rep2(mv_grid, by, bx), _rep2(left, by, bx)]
+                fields += [_rep2(f, by, bx) for f in fields]
             frames = me_pallas.warp_frames(
                 pyr_y, jnp.stack(fields), cfg.height, cfg.width)
-            warp[8] = warp[16] = (frames[0], frames[1])
+            warp[8] = warp[16] = (frames[0], frames[1], frames[2])
             if cfg.max_cu_size >= 32:
-                warp[32] = (frames[2], frames[3])
+                warp[32] = (frames[3], frames[4], frames[5])
 
         per_size = {}
         for s in (8, 16, 32):
@@ -296,19 +312,20 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
             from x266_tpu.kernels import me_pallas
             by, bx = g0.shape[:2]
             left0 = g0[:, np.maximum(np.arange(bx) - 1, 0)]
-            f0 = [g0, left0]
+            above0 = g0[np.maximum(np.arange(by) - 1, 0), :]
+            f0 = [g0, left0, above0]
             f1 = [g1]
             if cfg.max_cu_size >= 32:
-                f0 += [_rep2(g0, by, bx), _rep2(left0, by, bx)]
+                f0 += [_rep2(f, by, bx) for f in f0]
                 f1 += [_rep2(g1, by, bx)]
             fr0 = me_pallas.warp_frames(pyr0_y, jnp.stack(f0),
                                         cfg.height, cfg.width)
             fr1 = me_pallas.warp_frames(pyr1_y, jnp.stack(f1),
                                         cfg.height, cfg.width)
-            warp0[8] = warp0[16] = (fr0[0], fr0[1])
+            warp0[8] = warp0[16] = (fr0[0], fr0[1], fr0[2])
             warp1[8] = warp1[16] = fr1[0]
             if cfg.max_cu_size >= 32:
-                warp0[32] = (fr0[2], fr0[3])
+                warp0[32] = (fr0[3], fr0[4], fr0[5])
                 warp1[32] = fr1[1]
 
         per_size = {}
@@ -320,7 +337,7 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
             w0 = warp0.get(s)
             c0, x0, y0, c_skip = _inter_cost(cfg, plane, pyr0_y, g0, s,
                                              w0)
-            w1 = ((warp1[s], warp1[s]) if s in warp1 else None)
+            w1 = ((warp1[s],) * 3 if s in warp1 else None)
             c1, x1, y1, _ = _inter_cost(cfg, plane, pyr1_y, g1, s, w1)
             wb = ((w0[0], warp1[s]) if (w0 and s in warp1) else None)
             cb_, bx0, by0, bx1, by1 = _bi_cost(cfg, plane, pyr0_y,
@@ -431,6 +448,11 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
     lossless = cfg.lossless
     n_modes = cfg.n_intra_modes
     use_mts = cfg.mts
+    # NOTE: an apparent RDOQ-on-inter quality collapse (-1.7 dB on the
+    # lowdelay_p RD clip) was actually the optimistic skip proxy being
+    # tickled by perturbed references (_inter_cost docstring); with the
+    # worst-case skip distortion it measures -11% bits +0.6 dB there.
+    rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
 
     def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
             mvy_map, pyr_y, pyr_cb, pyr_cr, pyr1_y=None, pyr1_cb=None,
@@ -479,7 +501,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                     rec = jnp.where(skip, pred, orig)
                     return jnp.clip(rec, 0, 255), lev
                 res = orig - pred
-                lev = _fwd_mts(res, s, qp, mts_idx, use_mts)
+                lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam)
                 lev = jnp.where(skip, 0, lev)
                 rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
                 return jnp.clip(pred + rres, 0, 255), lev
@@ -525,7 +547,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
 
                 # luma prediction: intra refs or MC gather
                 ref = _gather_ref(yP, x, y, s)
-                pred_i = kintra.predict_mode(ref, mode, s, n_modes)
+                pred_i = kintra.predict_mode(ref, mode, s, n_modes,
+                                             pdpc=cfg.pdpc,
+                                             left_ok=x > 0, top_ok=y > 0)
                 pred_m = mc2(pyr_y, pyr1_y, x, y, mvx, mvy,
                              m1x if b_mode else mvx,
                              m1y if b_mode else mvy, s)

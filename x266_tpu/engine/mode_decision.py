@@ -127,7 +127,10 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
         avail.ref_availability_masks(w, h, s).reshape(nb, -1))
     refs = jnp.where(mask, refs, 128)
 
-    preds = kintra.predict_all_modes(refs, s, cfg.n_intra_modes)
+    preds = kintra.predict_all_modes(
+        refs, s, cfg.n_intra_modes, pdpc=cfg.pdpc,
+        left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
+        top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, s)[:, None]           # (B, 1, s, s)
     res = orig - preds                                        # (B, nm, s, s)
     nm = preds.shape[1]
@@ -267,7 +270,10 @@ def make_mts_select_raw(cfg: CodecConfig):
             avail.ref_availability_masks(w, h, s).reshape(nb, -1))
         refs = jnp.where(mask, refs, 128)
         modes = mode_map[oy, ox]                        # (B,)
-        preds = kintra.predict_all_modes(refs, s, n_modes)
+        preds = kintra.predict_all_modes(
+            refs, s, n_modes, pdpc=cfg.pdpc,
+            left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
+            top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
         pred = jnp.take_along_axis(
             preds, modes[:, None, None, None], axis=1)[:, 0]
         orig = _block_gather(plane, gy, gx, s)

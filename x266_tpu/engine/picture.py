@@ -78,7 +78,8 @@ def tile_compute_async(cfg: CodecConfig, band: Frame,
                  if with_recon else None)
         sao_params = ((maps["sao_type"], maps["sao_band"],
                        maps["sao_off"]) if cfg.sao else None)
-        alf = ((maps["alf_flag"], maps["alf_coef"])
+        alf = ((maps["alf_flag"], maps["alf_coef"],
+                maps["alf_cflag"], maps["alf_ccoef"])
                if cfg.alf else None)
         return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
                         recon, sao_params, maps["mts"], sse, alf)
@@ -109,7 +110,8 @@ def _finalize_one(cfg, out, with_recon) -> TileData:
              if with_recon else None)
     sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
                   if cfg.sao else None)
-    alf = ((maps["alf_flag"], maps["alf_coef"]) if cfg.alf else None)
+    alf = ((maps["alf_flag"], maps["alf_coef"],
+            maps["alf_cflag"], maps["alf_ccoef"]) if cfg.alf else None)
     return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
                     recon, sao_params, maps["mts"], sse, alf)
 
@@ -180,16 +182,24 @@ def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
                    alf: tuple | None = None) -> bytes:
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
-    coeffs = flags = None
+    coeffs = flags = ccoeffs = cflags = None
     if cfg.alf:
-        af, ac = alf if alf is not None else (
-            np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
-            np.zeros((25, 12), np.int32))
+        zf = np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32)
+        if alf is None:
+            alf = (zf, np.zeros((25, 12), np.int32),
+                   np.zeros((2,) + zf.shape, np.int32),
+                   np.zeros((2, 6), np.int32))
+        af, ac = alf[0], alf[1]
         coeffs = [int(v) for v in np.asarray(ac).ravel()]
         flags = [int(v) for v in np.asarray(af).ravel()]
+        if cfg.alf_chroma:
+            acf, acc = alf[2], alf[3]
+            ccoeffs = [int(v) for v in np.asarray(acc).ravel()]
+            cflags = [int(v) for v in np.asarray(acf).ravel()]
     sh = SliceHeader(slice_type, poc=poc, qp=cfg.qp,
                      entry_points=[int(e) for e in entry_points],
-                     alf_coeffs=coeffs, alf_flags=flags)
+                     alf_coeffs=coeffs, alf_flags=flags,
+                     alf_ccoeffs=ccoeffs, alf_cflags=cflags)
     return write_slice_header(sh) + payload
 
 
@@ -241,13 +251,21 @@ def _parse_segments(cfg: CodecConfig, segments: list[bytes],
 
 
 def _alf_maps_from_header(cfg: CodecConfig, sh) -> dict:
+    out = {"alf_flag": np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
+           "alf_coef": np.zeros((25, 12), np.int32),
+           "alf_cflag": np.zeros((2, cfg.ctus_y, cfg.ctus_x), np.int32),
+           "alf_ccoef": np.zeros((2, 6), np.int32)}
     if cfg.alf and sh is not None and sh.alf_coeffs is not None:
-        return {"alf_flag": np.asarray(sh.alf_flags, np.int32).reshape(
-                    cfg.ctus_y, cfg.ctus_x),
-                "alf_coef": np.asarray(sh.alf_coeffs, np.int32).reshape(
-                    25, 12)}
-    return {"alf_flag": np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
-            "alf_coef": np.zeros((25, 12), np.int32)}
+        out["alf_flag"] = np.asarray(sh.alf_flags, np.int32).reshape(
+            cfg.ctus_y, cfg.ctus_x)
+        out["alf_coef"] = np.asarray(sh.alf_coeffs, np.int32).reshape(
+            25, 12)
+    if cfg.alf_chroma and sh is not None and sh.alf_ccoeffs is not None:
+        out["alf_cflag"] = np.asarray(sh.alf_cflags, np.int32).reshape(
+            2, cfg.ctus_y, cfg.ctus_x)
+        out["alf_ccoef"] = np.asarray(sh.alf_ccoeffs, np.int32).reshape(
+            2, 6)
+    return out
 
 
 def tile_decode(cfg: CodecConfig, segments: list[bytes],
@@ -429,7 +447,8 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
         segments = [enc.encode_segment(r0, r1)
                     for (r0, r1) in cfg.segment_ctu_rows()]
     st = SliceType.P if is_p else SliceType.I
-    alf = ((maps["alf_flag"], maps["alf_coef"]) if cfg.alf else None)
+    alf = ((maps["alf_flag"], maps["alf_coef"],
+            maps["alf_cflag"], maps["alf_ccoef"]) if cfg.alf else None)
     rbsp = assemble_slice(cfg, poc, segments, st, alf)
     return rbsp, recon, sse, new_pyr, st
 
@@ -512,7 +531,8 @@ def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
                             mvy1_map=maps["mvy1"])
         segments = [enc.encode_segment(r0, r1)
                     for (r0, r1) in cfg.segment_ctu_rows()]
-    alf = ((maps["alf_flag"], maps["alf_coef"]) if cfg.alf else None)
+    alf = ((maps["alf_flag"], maps["alf_coef"],
+            maps["alf_cflag"], maps["alf_ccoef"]) if cfg.alf else None)
     rbsp = assemble_slice(cfg, poc, segments, SliceType.B, alf)
     return rbsp, recon, sse, new_pyr
 

@@ -40,15 +40,20 @@ def _gather_ref(plane, x, y, s):
     return jnp.concatenate([row, col])
 
 
-def _fwd_mts(res, s, qp, mts_idx, use_mts):
-    """Forward transform + quant with per-TU MTS selection (luma)."""
+def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None):
+    """Forward transform + quant with per-TU MTS selection (luma).
+    rdoq_lam: pixel-domain lambda enabling RDOQ (encoder-only), or None
+    for the hard deadzone quantizer."""
+    def q(coefs):
+        if rdoq_lam is not None:
+            return kquant.rd_quantize(coefs, qp, s, rdoq_lam)
+        return kquant.quantize(coefs, qp, s)
+
     if not use_mts:
-        return kquant.quantize(ktx.forward_transform(res[None], s),
-                               qp, s)[0]
+        return q(ktx.forward_transform(res[None], s))[0]
     branches = [
         (lambda r, tv=tv, th=th:
-         kquant.quantize(ktx.forward_transform(r[None], s, tv, th),
-                         qp, s)[0])
+         q(ktx.forward_transform(r[None], s, tv, th))[0])
         for (tv, th) in ktx.MTS_COMBOS]
     return jax.lax.switch(mts_idx, branches, res)
 
@@ -66,18 +71,19 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts):
 
 
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
-        n_modes, mts_idx=None):
+        n_modes, mts_idx=None, pdpc=False, rdoq_lam=None):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar MTS candidate (luma TUs, cfg.mts) or None."""
     use_mts = mts_idx is not None
     ref = _gather_ref(plane, x, y, s)
-    pred = kintra.predict_mode(ref, mode, s, n_modes)
+    pred = kintra.predict_mode(ref, mode, s, n_modes, pdpc=pdpc,
+                               left_ok=x > 0, top_ok=y > 0)
     if encode:
         orig = jax.lax.dynamic_slice(src, (y + 1, x + 1), (s, s))
         if lossless:
             return orig, orig - pred
         res = orig - pred
-        lev = _fwd_mts(res, s, qp, mts_idx, use_mts)
+        lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam)
         rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
         return jnp.clip(pred + rres, 0, 255), lev
     else:
@@ -106,6 +112,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     qp = cfg.qp
     lossless = cfg.lossless
     n_modes = cfg.n_intra_modes
+    rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
 
     use_mts = cfg.mts
 
@@ -138,17 +145,20 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 mode = mode_map[uy, ux]
                 mts_idx = mts_map[uy, ux] if use_mts else None
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
-                               encode, lossless, n_modes, mts_idx)
+                               encode, lossless, n_modes, mts_idx,
+                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, cs, qp,
-                                 encode, lossless, n_modes)
+                                 encode, lossless, n_modes,
+                                 rdoq_lam=rdoq_lam)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, cs, qp,
-                                 encode, lossless, n_modes)
+                                 encode, lossless, n_modes,
+                                 rdoq_lam=rdoq_lam)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
                 cCr2 = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))

@@ -385,7 +385,7 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                              pltpu.roll(rowCr0[:], shc, 1)[:, :128])
 
         # ---- one TU ----
-        def intra_pred(s, win, col, top, x, y, mode):
+        def intra_pred(s, win, col, top, x, y, mode, luma=False):
             """Normative intra prediction -> (s, s) int32."""
             realign = (s == 4)
             topr, leftr, smr, slot = _wgeom(s)
@@ -435,7 +435,36 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
             pred_i = pred.astype(I32)
             sh = jnp.where(mode <= 1, log2s + 1, 5)
             pred_i = (pred_i + (1 << (sh - 1))) >> sh
-            return _to2d(pred_i, s)                             # (s,s)
+            pred2d = _to2d(pred_i, s)                           # (s,s)
+            if cfg.pdpc and luma:
+                # PDPC blend with the RAW refs (specmodel.intra.apply_pdpc;
+                # luma-only, planar/DC/H/V — FORMAT.md §8).  top_vec lane 0
+                # is the corner, lanes 1..s the top row; left_vec rows 0..s
+                # the left column.  Pure int32 VPU math, |terms| < 2^22.
+                # Availability gate (see specmodel.intra): a side's terms
+                # are zeroed when its reference is out of picture.
+                hm, vm = (10, 26) if n_modes == 35 else (18, 50)
+                lok = ((cx > 0) | (x > 0)).astype(I32)
+                tok = ((cy > 0) | (y > 0)).astype(I32)
+                # weights from iota (pallas_call rejects captured jnp
+                # constants): w(i) = 32 >> min(31, 2i >> scale)
+                scale = (2 * log2s - 2) >> 2
+                colx = jax.lax.broadcasted_iota(I32, (s, s), 1)
+                rowy = jax.lax.broadcasted_iota(I32, (s, s), 0)
+                wl = (32 >> jnp.minimum(31, (2 * colx) >> scale)) * lok
+                wt = (32 >> jnp.minimum(31, (2 * rowy) >> scale)) * tok
+                corner = top_vec[0:1, 0:1]
+                traw = pltpu.roll(top_vec, 127, 1)[:, 0:s]      # (1, s)
+                lcol = left_vec[0:s, 0:1]                       # (s, 1)
+                both = (lok & tok) == 1
+                pd = (wl * lcol + wt * traw
+                      + (64 - wl - wt) * pred2d + 32) >> 6
+                ver = (64 * pred2d + wl * (lcol - corner) + 32) >> 6
+                hor = (64 * pred2d + wt * (traw - corner) + 32) >> 6
+                pred2d = jnp.where(mode <= 1, pd, pred2d)
+                pred2d = jnp.where(both & (mode == vm), ver, pred2d)
+                pred2d = jnp.where(both & (mode == hm), hor, pred2d)
+            return pred2d
 
         def mc_pred(s, pyr_ref, xpix, ypix, mvx, mvy):
             """Motion-compensated (s, s) int32 prediction: DMA an
@@ -463,12 +492,12 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
             return out
 
         def tu(s, win, col, top, data_ref, cf_ref, x, y, mode, mts,
-               iargs=None):
+               iargs=None, luma=False):
             realign = (s == 4)
             log2s = s.bit_length() - 1
 
             if iargs is None:
-                pred2d = intra_pred(s, win, col, top, x, y, mode)
+                pred2d = intra_pred(s, win, col, top, x, y, mode, luma)
                 skip = None
             else:
                 (is_inter, skip, mvx, mvy, pyr_ref, x0pix, y0pix,
@@ -477,7 +506,7 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                 @pl.when(jnp.logical_not(is_inter))
                 def _():
                     predbuf[0:s, 0:s] = intra_pred(s, win, col, top,
-                                                   x, y, mode)
+                                                   x, y, mode, luma)
 
                 @pl.when(is_inter)
                 def _():
@@ -533,8 +562,38 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                     co = _limb_mm_lhs(t, txmat(1))
                     co = jnp.clip(_rshift_round(co, log2s + 6),
                                   -32768, 32767)
-                    alev = jnp.clip((jnp.abs(co) * qscale + qadd) >> qbits,
-                                    0, 32767)
+                    aco = jnp.abs(co)
+                    if cfg.rdoq:
+                        # mirrors kernels.quant.rd_quantize exactly (the
+                        # interpret-mode equality tests pin it): 3-level
+                        # candidate RD decision, elementwise VPU math
+                        lup = jnp.clip(
+                            (aco * qscale + (1 << (qbits - 1))) >> qbits,
+                            0, 32767)
+                        ldn = jnp.maximum(lup - 1, 0)
+                        err_scale = float(2.0 ** (-2 * (7 - log2s)))
+                        lam = float(cfg.lambda_mode)
+
+                        def rdcost(l):
+                            dq = jnp.clip(
+                                (l * dscale + (1 << (ishift - 1)))
+                                >> ishift, -32768, 32767)
+                            e = (aco - dq).astype(F32)
+                            rate = jnp.where(
+                                l > 0,
+                                3.0 + 2.0 * jnp.log2(l.astype(F32) + 1.0),
+                                0.0625)
+                            return e * e * err_scale + lam * rate
+
+                        c0 = rdcost(jnp.zeros_like(aco))
+                        cd = rdcost(ldn)
+                        cu = rdcost(lup)
+                        alev = jnp.where(cu <= cd, lup, ldn)
+                        alev = jnp.where(jnp.minimum(cu, cd) <= c0, alev,
+                                         jnp.zeros_like(alev))
+                    else:
+                        alev = jnp.clip((aco * qscale + qadd) >> qbits,
+                                        0, 32767)
                     lev = jnp.where(co > 0, alev,
                                     jnp.where(co < 0, -alev, 0))
                     if skip is not None:
@@ -582,7 +641,7 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                     if not inter:
                         tu(s, winY, colY, topY, dY_ref,
                            cfY_ref if encode else None,
-                           zx * 8, zy * 8, mode, mts)
+                           zx * 8, zy * 8, mode, mts, luma=True)
                         tu(s // 2, winCb, colCb, topCb, dCb_ref,
                            cfCb_ref if encode else None,
                            zx * 4, zy * 4, mode, cmts)
@@ -618,7 +677,7 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                        cfY_ref if encode else None,
                        zx * 8, zy * 8, mode, mts,
                        iargs=(is_inter, skip, mvx, mvy, pyrY_ref,
-                              cx * 64, cy * 64, byl))
+                              cx * 64, cy * 64, byl), luma=True)
                     cmx = mvx >> 1
                     cmy = mvy >> 1
                     tu(s // 2, winCb, colCb, topCb, dCb_ref,

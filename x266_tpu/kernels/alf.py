@@ -112,6 +112,80 @@ def apply_alf(y, class_map, coeffs, ctb_flags, xp=jnp):
     return xp.where(on > 0, filt, y)
 
 
+# ---- chroma ALF (C15, VVC-shaped) ------------------------------------------
+#
+# VVC chroma ALF: a 5x5 point-symmetric diamond with NO classification
+# (one filter per plane; VVC's alternative-filter signalling is not
+# implemented).  Same difference form / unit DC gain / 1<<7 scale as
+# luma; per-CTB on/off flags per chroma plane; coefficients ride the
+# slice header next to the luma set.
+
+CHROMA_DIAMOND = np.array([
+    (0, 1), (0, 2),
+    (1, -1), (1, 0), (1, 1),
+    (2, 0),
+], dtype=np.int32)
+
+
+def _diff_planes_chroma(c, xp=jnp):
+    """(6, H, W) symmetric 5x5-diamond difference features."""
+    feats = []
+    for dy, dx in CHROMA_DIAMOND:
+        a = _shift2(c, int(dy), int(dx), xp)
+        b = _shift2(c, -int(dy), -int(dx), xp)
+        feats.append(a + b - 2 * c)
+    return xp.stack(feats)
+
+
+def apply_alf_chroma(c, coeffs, ctb_flags, xp=jnp):
+    """Normative chroma ALF: c (H, W) int32 chroma plane (post-SAO),
+    coeffs (6,) int32, ctb_flags (Cy, Cx) over the luma CTU grid
+    (32x32 chroma samples per CTB at 4:2:0)."""
+    if xp is not np:
+        c = xp.asarray(c, xp.int32)
+        coeffs = xp.asarray(coeffs, xp.int32)
+        ctb_flags = xp.asarray(ctb_flags)
+    h, w = c.shape
+    feats = _diff_planes_chroma(c, xp)                # (6, H, W)
+    acc = xp.sum(coeffs[:, None, None] * feats, axis=0)
+    filt = xp.clip(c + ((acc + 64) >> COEF_BITS), 0, 255)
+    on = xp.repeat(xp.repeat(ctb_flags, 32, axis=0), 32, axis=1)[:h, :w]
+    return xp.where(on > 0, filt, c)
+
+
+def estimate_alf_chroma(orig, recon, lam: float):
+    """Encoder: Wiener 5x5 diamond for one chroma plane + per-CTB flags.
+
+    Returns (coeffs (6,) int32, flags (Cy, Cx) int32, filtered int32).
+    """
+    orig = jnp.asarray(orig, jnp.int32)
+    recon = jnp.asarray(recon, jnp.int32)
+    h, w = orig.shape
+    feats = _diff_planes_chroma(recon).astype(jnp.float32)
+    err = (orig - recon).astype(jnp.float32)
+    f = feats.reshape(6, -1)
+    gram = f @ f.T
+    rhs = (f @ err.reshape(-1)) * float(1 << COEF_BITS)
+    reg = 64.0 * jnp.eye(6)
+    sol = jnp.linalg.solve(gram + reg, rhs)
+    coeffs = jnp.clip(jnp.round(sol), -COEF_MAX, COEF_MAX
+                      ).astype(jnp.int32)
+
+    cy, cx = -(-h // 32), -(-w // 32)
+    all_on = jnp.ones((cy, cx), jnp.int32)
+    filt = apply_alf_chroma(recon, coeffs, all_on)
+
+    def ctb_sse(a):
+        d = (a - orig).astype(jnp.float32) ** 2
+        pad = jnp.pad(d, ((0, cy * 32 - h), (0, cx * 32 - w)))
+        return pad.reshape(cy, 32, cx, 32).sum(axis=(1, 3))
+
+    gain = ctb_sse(filt) - ctb_sse(recon)
+    flags = (gain + lam * 1.5 < 0).astype(jnp.int32)
+    final = apply_alf_chroma(recon, coeffs, flags)
+    return coeffs, flags, final
+
+
 def estimate_alf(orig, recon, lam: float):
     """Encoder: derive per-class Wiener filters + per-CTB on/off flags.
 

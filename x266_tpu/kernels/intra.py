@@ -44,8 +44,50 @@ def extend_refs(refs: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.concatenate([refs, sm], axis=-1)
 
 
+@functools.cache
+def _pdpc_consts(size: int, n_modes: int):
+    """(cls (nm,), wL (s,), wT (s,)) numpy constants for the PDPC blend."""
+    cls = np.array([spec.pdpc_mode_class(m, n_modes)
+                    for m in range(n_modes)], dtype=np.int32)
+    wl, wt = spec.pdpc_weights(size)
+    return cls, wl, wt
+
+
+def _apply_pdpc_batched(preds: jnp.ndarray, refs: jnp.ndarray,
+                        size: int, n_modes: int,
+                        left_ok=None, top_ok=None) -> jnp.ndarray:
+    """PDPC blend over (B, nm, s, s) preds with RAW refs (B, R) int32.
+
+    Mirrors specmodel.intra.apply_pdpc: pure int32 VPU element-wise math
+    (terms bounded by 64*2^15), selected per mode by class masks.
+    left_ok/top_ok: (B,) int32/bool availability gates (None = all on).
+    """
+    s = size
+    b = preds.shape[0]
+    cls_np, wl_np, wt_np = _pdpc_consts(s, n_modes)
+    lok = (jnp.ones((b,), jnp.int32) if left_ok is None
+           else left_ok.astype(jnp.int32))[:, None, None, None]
+    tok = (jnp.ones((b,), jnp.int32) if top_ok is None
+           else top_ok.astype(jnp.int32))[:, None, None, None]
+    cls = jnp.asarray(cls_np)[None, :, None, None]        # (1, nm, 1, 1)
+    wl = jnp.asarray(wl_np)[None, None, None, :] * lok    # by column x
+    wt = jnp.asarray(wt_np)[None, None, :, None] * tok    # by row y
+    corner = refs[:, 0][:, None, None, None]
+    top = refs[:, 1:1 + s][:, None, None, :]              # (B, 1, 1, s)
+    left = refs[:, 2 * s + 1:2 * s + 1 + s][:, None, :, None]
+    both = (lok & tok) == 1
+    pd = (wl * left + wt * top + (64 - wl - wt) * preds + 32) >> 6
+    ver = (64 * preds + wl * (left - corner) + 32) >> 6
+    hor = (64 * preds + wt * (top - corner) + 32) >> 6
+    out = jnp.where(cls == spec.PDPC_PD, pd, preds)
+    out = jnp.where(both & (cls == spec.PDPC_VER), ver, out)
+    return jnp.where(both & (cls == spec.PDPC_HOR), hor, out)
+
+
 def predict_all_modes(refs: jnp.ndarray, size: int,
-                      n_modes: int = spec.NUM_MODES) -> jnp.ndarray:
+                      n_modes: int = spec.NUM_MODES,
+                      pdpc: bool = False,
+                      left_ok=None, top_ok=None) -> jnp.ndarray:
     """(B, R) int32 reference vectors -> (B, n_modes, s, s) int32.
 
     Exact-integer f32 matmul on the MXU (refs <= 255 are 8-bit, weights
@@ -54,29 +96,57 @@ def predict_all_modes(refs: jnp.ndarray, size: int,
     single hottest op (~30x slower) at 1080p.
     """
     w, shifts, _ = _consts(size, n_modes)
-    ext = extend_refs(refs.astype(jnp.int32), size)
+    refs = refs.astype(jnp.int32)
+    ext = extend_refs(refs, size)
     p = jnp.einsum("bn,mkn->bmk", ext.astype(jnp.float32),
                    w.astype(jnp.float32),
                    precision=_HIGHEST).astype(jnp.int32)
     sh = shifts[None, :, None]
     p = (p + (1 << (sh - 1))) >> sh
     b = refs.shape[0]
-    return p.reshape(b, n_modes, size, size)
+    p = p.reshape(b, n_modes, size, size)
+    if pdpc:
+        p = _apply_pdpc_batched(p, refs, size, n_modes, left_ok, top_ok)
+    return p
 
 
 def predict_mode(ref: jnp.ndarray, mode: jnp.ndarray, size: int,
-                 n_modes: int = spec.NUM_MODES) -> jnp.ndarray:
+                 n_modes: int = spec.NUM_MODES,
+                 pdpc: bool = False,
+                 left_ok=None, top_ok=None) -> jnp.ndarray:
     """One (R,) ref vector + scalar mode -> (s, s) int32 prediction.
 
     Used inside the reconstruction scan (batch=1, mode is a traced
     scalar); weights are gathered by dynamic index.
     """
     w, shifts, _ = _consts(size, n_modes)
-    ext = extend_refs(ref.astype(jnp.int32)[None], size)[0]
+    ref = ref.astype(jnp.int32)
+    ext = extend_refs(ref[None], size)[0]
     wm = jax.lax.dynamic_index_in_dim(jnp.asarray(w), mode, axis=0,
                                       keepdims=False)
     p = jnp.matmul(wm.astype(jnp.float32), ext.astype(jnp.float32),
                    precision=_HIGHEST).astype(jnp.int32)
     sh = jnp.asarray(shifts)[mode]
     p = (p + (1 << (sh - 1))) >> sh
-    return p.reshape(size, size)
+    p = p.reshape(size, size)
+    if pdpc:
+        s = size
+        cls_np, wl_np, wt_np = _pdpc_consts(s, n_modes)
+        lok = (jnp.int32(1) if left_ok is None
+               else left_ok.astype(jnp.int32))
+        tok = (jnp.int32(1) if top_ok is None
+               else top_ok.astype(jnp.int32))
+        cls = jnp.asarray(cls_np)[mode]                   # traced scalar
+        wl = jnp.asarray(wl_np)[None, :] * lok            # by column x
+        wt = jnp.asarray(wt_np)[:, None] * tok            # by row y
+        corner = ref[0]
+        top = ref[1:1 + s][None, :]
+        left = ref[2 * s + 1:2 * s + 1 + s][:, None]
+        both = (lok & tok) == 1
+        pd = (wl * left + wt * top + (64 - wl - wt) * p + 32) >> 6
+        ver = (64 * p + wl * (left - corner) + 32) >> 6
+        hor = (64 * p + wt * (top - corner) + 32) >> 6
+        p = jnp.where(cls == spec.PDPC_PD, pd, p)
+        p = jnp.where(both & (cls == spec.PDPC_VER), ver, p)
+        p = jnp.where(both & (cls == spec.PDPC_HOR), hor, p)
+    return p

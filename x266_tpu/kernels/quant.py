@@ -29,3 +29,49 @@ def dequantize(level: jnp.ndarray, qp: int, size: int) -> jnp.ndarray:
     scale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
     c = (level.astype(jnp.int32) * scale + (1 << (ishift - 1))) >> ishift
     return jnp.clip(c, -32768, 32767)
+
+
+def rd_quantize(coef: jnp.ndarray, qp: int, size: int,
+                lam: float) -> jnp.ndarray:
+    """Rate-distortion-optimized quantization (C11 "RDOQ", encoder-only).
+
+    The quantizer is non-normative [STD, specmodel.quant docstring], so
+    instead of the fixed-deadzone hard quantizer each coefficient picks the
+    level in {0, l_dn, l_up} (l_up = nearest level, l_dn = l_up - 1) that
+    minimizes D + lambda*R — the TPU-first restatement of HM's sequential
+    RDOQ as a fully element-wise vectorized decision (no coefficient
+    ordering state; the context-adaptive rate terms are replaced by the
+    kernels.cost surrogate so the decision stays branch-free VPU math).
+
+    D is measured in the coefficient domain and converted to pixel-domain
+    SSE with the forward-transform gain 2^transform_shift (exact power of
+    two by the HM shift schedule, specmodel.transforms docstring), so lam
+    is the standard pixel-domain lambda (config.lambda_mode).
+    """
+    tsh = transform_shift(size)
+    qbits = 14 + qp // 6 + tsh
+    scale = int(QUANT_SCALES[qp % 6])
+    ishift = 6 - tsh
+    dscale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
+    err_scale = float(2.0 ** (-2 * tsh))
+
+    c = coef.astype(jnp.int32)
+    a = jnp.abs(c)
+    # nearest level (offset 1/2) and one below
+    lup = jnp.clip((a * scale + (1 << (qbits - 1))) >> qbits, 0, 32767)
+    ldn = jnp.maximum(lup - 1, 0)
+
+    def cost(l):
+        dq = jnp.clip((l * dscale + (1 << (ishift - 1))) >> ishift,
+                      -32768, 32767)
+        e = (a - dq).astype(jnp.float32)
+        rate = jnp.where(l > 0,
+                         3.0 + 2.0 * jnp.log2(l.astype(jnp.float32) + 1.0),
+                         0.0625)
+        return e * e * err_scale + lam * rate
+
+    c0, cd, cu = cost(jnp.zeros_like(a)), cost(ldn), cost(lup)
+    lev = jnp.where(cu <= cd, lup, ldn)
+    lbest = jnp.where(jnp.minimum(cu, cd) <= c0, lev,
+                      jnp.zeros_like(lev))
+    return (jnp.sign(c) * lbest).astype(jnp.int32)

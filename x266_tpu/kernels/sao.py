@@ -62,13 +62,14 @@ def _category_maps(y, xp):
     return xp.stack(cats)
 
 
-def _upsample_ctb(param, h, w, xp):
-    """(Cy, Cx) -> (H, W) by 64x repetition, cropped."""
-    return xp.repeat(xp.repeat(param, 64, axis=0), 64, axis=1)[:h, :w]
+def _upsample_ctb(param, h, w, xp, ctb=64):
+    """(Cy, Cx) -> (H, W) by ctb-x repetition, cropped."""
+    return xp.repeat(xp.repeat(param, ctb, axis=0), ctb, axis=1)[:h, :w]
 
 
-def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp):
-    """Apply per-CTB SAO to a luma plane.
+def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp, ctb=64):
+    """Apply per-CTB SAO to one plane (luma ctb=64, 4:2:0 chroma ctb=32
+    — the parameter grid is the LUMA CTU grid either way).
 
     y: (H, W) int32; sao_type: (Cy, Cx) in {0..5}; sao_band: (Cy, Cx);
     sao_off: (Cy, Cx, 4) signed offsets.  Edge types store the inferred
@@ -82,9 +83,10 @@ def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp):
         sao_off = xp.asarray(sao_off)
     h, w = y.shape
     cats = _category_maps(y, xp)                       # (4, H, W)
-    type_p = _upsample_ctb(sao_type, h, w, xp)         # (H, W)
-    band_p = _upsample_ctb(sao_band, h, w, xp)
-    offs_p = [_upsample_ctb(sao_off[..., i], h, w, xp) for i in range(4)]
+    type_p = _upsample_ctb(sao_type, h, w, xp, ctb)    # (H, W)
+    band_p = _upsample_ctb(sao_band, h, w, xp, ctb)
+    offs_p = [_upsample_ctb(sao_off[..., i], h, w, xp, ctb)
+              for i in range(4)]
 
     # edge: select this pixel's class's category, then its offset
     is_edge = (type_p >= SAO_EO0) & (type_p <= SAO_EO0 + 3)
@@ -111,15 +113,15 @@ def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp):
 
 # ---- encoder-side estimation (non-normative, float allowed) ---------------
 
-def _ctb_block_sum(a, cy, cx):
-    """(H, W) -> (Cy, Cx) sums over (padded) 64x64 blocks."""
+def _ctb_block_sum(a, cy, cx, ctb=64):
+    """(H, W) -> (Cy, Cx) sums over (padded) ctb x ctb blocks."""
     h, w = a.shape
-    pad_h, pad_w = cy * 64 - h, cx * 64 - w
+    pad_h, pad_w = cy * ctb - h, cx * ctb - w
     a = jnp.pad(a, ((0, pad_h), (0, pad_w)))
-    return a.reshape(cy, 64, cx, 64).sum(axis=(1, 3))
+    return a.reshape(cy, ctb, cx, ctb).sum(axis=(1, 3))
 
 
-def estimate_sao(orig, recon, lam: float):
+def estimate_sao(orig, recon, lam: float, ctb=64):
     """Pick per-CTB SAO params minimizing D + lambda*R (jnp, batched).
 
     Returns (sao_type, sao_band, sao_off) as int32 arrays.
@@ -127,13 +129,13 @@ def estimate_sao(orig, recon, lam: float):
     orig = jnp.asarray(orig, jnp.int32)
     recon = jnp.asarray(recon, jnp.int32)
     h, w = orig.shape
-    cy, cx = -(-h // 64), -(-w // 64)
+    cy, cx = -(-h // ctb), -(-w // ctb)
     diff = (orig - recon).astype(jnp.float32)
     cats = _category_maps(recon, jnp)                  # (4, H, W)
 
     def stats_for(mask):
-        e = _ctb_block_sum(jnp.where(mask, diff, 0.0), cy, cx)
-        n = _ctb_block_sum(mask.astype(jnp.float32), cy, cx)
+        e = _ctb_block_sum(jnp.where(mask, diff, 0.0), cy, cx, ctb)
+        n = _ctb_block_sum(mask.astype(jnp.float32), cy, cx, ctb)
         return e, n
 
     # ---- edge candidates: (4 classes, 4 categories) ----

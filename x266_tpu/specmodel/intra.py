@@ -253,11 +253,97 @@ def extend_refs(ref: np.ndarray) -> np.ndarray:
     return np.concatenate([ref.astype(np.int64), sm])
 
 
+# ---- PDPC (C6, VVC tool) ----------------------------------------------------
+#
+# Position-dependent prediction combination [STD-shaped, H.266 8.4.5.2.15]:
+# after the mode prediction, boundary rows/columns are blended toward the
+# *unfiltered* reference samples with weights that decay by distance:
+#
+#   planar/DC:  p' = (wL(x)*L(y) + wT(y)*T(x) + (64-wL-wT)*p + 32) >> 6
+#   vertical:   p' = (64*p + wL(x)*(L(y) - C) + 32) >> 6
+#   horizontal: p' = (64*p + wT(y)*(T(x) - C) + 32) >> 6
+#   wL(x) = 32 >> min(31, (2x) >> scale), wT likewise over y,
+#   scale = (2*log2(s) - 2) >> 2.
+#
+# x266t deviations (FORMAT.md §8): PDPC applies to the four dominant modes
+# (planar, DC, pure H, pure V) and to luma only; the VVC near-diagonal
+# angular variants are not implemented.  No output clip (the final
+# reconstruction clip bounds the sample; encoder and decoder share the
+# identical function so no mismatch is possible).
+#
+# Availability gate (x266t, replaces HEVC/VVC reference substitution):
+# unavailable reference positions read 128 in this format, and blending
+# boundary pixels toward that constant measurably poisons edge blocks
+# (a 32x32 DC block at the picture top lost ~7 extra coded coefficients
+# on the gradient test clip).  A blend term is therefore DISABLED when
+# its reference side is out of picture: the left terms require x0 > 0,
+# the top terms y0 > 0, and the H/V corner forms require both.  The gate
+# is purely geometric (TU origin), so encoder and decoder derive it
+# identically with no signalling.
+
+PDPC_NONE, PDPC_PD, PDPC_HOR, PDPC_VER = 0, 1, 2, 3
+
+
+def pdpc_mode_class(mode: int, n_modes: int = NUM_MODES) -> int:
+    """Which PDPC blend (if any) a mode receives."""
+    if mode in (PLANAR, DC):
+        return PDPC_PD
+    h, v = (10, 26) if n_modes == NUM_MODES else (18, 50)
+    if mode == h:
+        return PDPC_HOR
+    if mode == v:
+        return PDPC_VER
+    return PDPC_NONE
+
+
+@functools.cache
+def pdpc_weights(size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(wL (s,), wT (s,)) int32 decay weights [STD]."""
+    scale = (2 * (size.bit_length() - 1) - 2) >> 2
+    pos = np.arange(size, dtype=np.int32)
+    w = 32 >> np.minimum(31, (2 * pos) >> scale)
+    return w.copy(), w.copy()
+
+
+def apply_pdpc(pred: np.ndarray, ref: np.ndarray, size: int, mode: int,
+               n_modes: int = NUM_MODES, left_ok: bool = True,
+               top_ok: bool = True) -> np.ndarray:
+    """NumPy oracle PDPC blend; ref is the RAW (unfiltered) ref vector.
+    left_ok/top_ok: geometric availability gates (x0 > 0 / y0 > 0)."""
+    cls = pdpc_mode_class(mode, n_modes)
+    if cls == PDPC_NONE:
+        return pred
+    s = size
+    p = pred.astype(np.int64)
+    corner = int(ref[_idx_corner()])
+    top = ref[1:1 + s].astype(np.int64)[None, :]          # (1, s)
+    left = ref[2 * s + 1:2 * s + 1 + s].astype(np.int64)[:, None]  # (s, 1)
+    wl, wt = pdpc_weights(s)
+    wl = wl.astype(np.int64)[None, :] * int(left_ok)      # by column x
+    wt = wt.astype(np.int64)[:, None] * int(top_ok)      # by row y
+    if cls == PDPC_PD:
+        out = (wl * left + wt * top + (64 - wl - wt) * p + 32) >> 6
+    elif cls == PDPC_VER:
+        if not (left_ok and top_ok):
+            return pred
+        out = (64 * p + wl * (left - corner) + 32) >> 6
+    else:
+        if not (left_ok and top_ok):
+            return pred
+        out = (64 * p + wt * (top - corner) + 32) >> 6
+    return out.astype(np.int32)
+
+
 def predict(ref: np.ndarray, size: int, mode: int,
-            n_modes: int = NUM_MODES) -> np.ndarray:
+            n_modes: int = NUM_MODES, pdpc: bool = False,
+            left_ok: bool = True, top_ok: bool = True) -> np.ndarray:
     """NumPy oracle: predict an (s, s) block from an (R,) ref vector."""
     ext = extend_refs(ref)
     w, shifts = stacked_weights(size, n_modes)
     sh = int(shifts[mode])
     p = (w[mode].astype(np.int64) @ ext + (1 << (sh - 1))) >> sh
-    return p.reshape(size, size).astype(np.int32)
+    p = p.reshape(size, size).astype(np.int32)
+    if pdpc:
+        p = apply_pdpc(p, np.asarray(ref), size, mode, n_modes,
+                       left_ok, top_ok)
+    return p

@@ -21,19 +21,20 @@ W, H, N = 128, 192, 6
 def rd_configs() -> dict[str, CodecConfig]:
     """Small-clip stand-ins for the five driver config shapes."""
     return {
-        "ai_hevc": CodecConfig(width=W, height=H, qp=32),
+        "ai_hevc": CodecConfig(width=W, height=H, qp=32, rdoq=True),
         "ai_vvc_mts": CodecConfig(width=W, height=H, qp=32,
-                                  profile=Profile.VVC, mts=True),
+                                  profile=Profile.VVC, mts=True,
+                                  rdoq=True),
         "lowdelay_p": CodecConfig(width=W, height=H, qp=32,
                                   intra_period=8, deblock=True,
-                                  sao=True),
+                                  sao=True, rdoq=True),
         "ra_gop4": CodecConfig(width=W, height=H, qp=32,
                                intra_period=8, gop_size=4,
-                               deblock=True, sao=True),
+                               deblock=True, sao=True, rdoq=True),
         "ra_gop4_tiled": CodecConfig(width=W, height=H, qp=32,
                                      intra_period=8, gop_size=4,
                                      deblock=True, sao=True,
-                                     tile_rows=1),
+                                     tile_rows=1, rdoq=True),
     }
 
 
