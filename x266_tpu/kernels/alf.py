@@ -104,9 +104,22 @@ def apply_alf(y, class_map, coeffs, ctb_flags, xp=jnp):
         ctb_flags = xp.asarray(ctb_flags)
     h, w = y.shape
     feats = _diff_planes(y, xp)                       # (12, H, W)
-    cls_px = xp.repeat(xp.repeat(class_map, 4, axis=0), 4, axis=1)
-    cpx = coeffs[cls_px]                              # (H, W, 12)
-    acc = xp.sum(cpx.transpose(2, 0, 1) * feats, axis=0)
+    if xp is np:
+        cls_px = np.repeat(np.repeat(class_map, 4, axis=0), 4, axis=1)
+        cpx = coeffs[cls_px]                          # (H, W, 12)
+        acc = np.sum(cpx.transpose(2, 0, 1) * feats, axis=0)
+    else:
+        # per-4x4-block coefficient lookup as a one-hot MXU matmul
+        # (a (H, W) gather into (25, 12) is the XLA-gather cliff);
+        # exact: one-hot rows select single int entries <= 511.
+        onehot = jax.nn.one_hot(class_map, NUM_CLASSES,
+                                dtype=jnp.float32)   # (H/4, W/4, 25)
+        cblk = jnp.einsum("hwc,ck->khw", onehot,
+                          coeffs.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(jnp.int32)        # (12, H/4, W/4)
+        cpx = jnp.repeat(jnp.repeat(cblk, 4, axis=1), 4, axis=2)
+        acc = jnp.sum(cpx * feats, axis=0)
     filt = xp.clip(y + ((acc + 64) >> COEF_BITS), 0, 255)
     on = xp.repeat(xp.repeat(ctb_flags, 64, axis=0), 64, axis=1)[:h, :w]
     return xp.where(on > 0, filt, y)

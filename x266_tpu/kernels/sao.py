@@ -88,13 +88,14 @@ def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp, ctb=64):
     offs_p = [_upsample_ctb(sao_off[..., i], h, w, xp, ctb)
               for i in range(4)]
 
-    # edge: select this pixel's class's category, then its offset
+    # edge: select this pixel's class's category, then its offset.
+    # 4-way select instead of take_along_axis: the (4, H, W) gather is
+    # an XLA-gather cliff on TPU (measured 207 ms of a 4K apply).
     is_edge = (type_p >= SAO_EO0) & (type_p <= SAO_EO0 + 3)
     cls = xp.clip(type_p - SAO_EO0, 0, 3)
-    if xp is np:
-        cat = np.take_along_axis(cats, cls[None], axis=0)[0]
-    else:
-        cat = jnp.take_along_axis(cats, cls[None], axis=0)[0]
+    cat = xp.zeros_like(y)
+    for c in range(4):
+        cat = xp.where(cls == c, cats[c], cat)
     edge_off = xp.zeros_like(y)
     for i in range(4):
         edge_off = xp.where(cat == i + 1, offs_p[i], edge_off)
