@@ -41,6 +41,7 @@ CFGS = [
     CodecConfig(width=64, height=64, qp=22, max_cu_size=16),
     CodecConfig(width=128, height=64, qp=30, profile=Profile.VVC,
                 mts=True, pdpc=True, rdoq=True),
+    CodecConfig(width=104, height=72, qp=30, transform_skip=True),
 ]
 
 
@@ -48,6 +49,7 @@ CFGS = [
     f"{c.width}x{c.height}-qp{c.qp}"
     f"{'-mts' if c.mts else ''}{'-ll' if c.lossless else ''}"
     f"{'-pdpc' if c.pdpc else ''}{'-rdoq' if c.rdoq else ''}"
+    f"{'-ts' if c.transform_skip else ''}"
     f"-cu{c.max_cu_size}"))
 def test_encode_matches_scan(cfg):
     y, cb, cr = _frame(cfg.width, cfg.height, seed=7)

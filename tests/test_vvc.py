@@ -120,6 +120,69 @@ def test_rdoq_roundtrip_and_gain():
             > np.mean(base.psnr_y(W, H)) - 0.15)
 
 
+def test_transform_skip_roundtrip_and_selection():
+    """C10 transform skip: screen-like content selects TS for most CUs,
+    the stream round-trips bit-exactly, and TS wins rate there."""
+    from x266_tpu.core.yuv import Frame
+
+    rng = np.random.default_rng(12)
+    W, H = 128, 96
+    y = np.full((H, W), 200, np.uint8)
+    for _ in range(40):   # text-like strokes on a flat background
+        x0, y0 = rng.integers(0, W - 10), rng.integers(0, H - 10)
+        y[y0:y0 + 8, x0:x0 + 2] = 20
+        y[y0:y0 + 2, x0:x0 + 8] = 20
+    fr = Frame(y, np.full((H // 2, W // 2), 128, np.uint8),
+               np.full((H // 2, W // 2), 128, np.uint8))
+
+    def run(**kw):
+        cfg = CodecConfig(width=W, height=H, qp=30, **kw)
+        res = Encoder(cfg).encode([fr])
+        cfg2, dec = Decoder().decode(res.bitstream)
+        assert frame_md5(res.recon[0]) == frame_md5(dec[0])
+        return res, cfg2
+
+    res_ts, cfg2 = run(transform_skip=True)
+    assert cfg2.transform_skip
+    res_base, _ = run()
+    # TS must strictly help on this content in RD terms: lower cost
+    # D + lambda*R at the coding lambda (it trades PSNR for a large
+    # rate cut on sparse stroke residuals; both moves are on the
+    # encoder's own objective)
+    lam = CodecConfig(width=W, height=H, qp=30).lambda_mode
+
+    def rd(res):
+        d = np.sum((res.recon[0].y.astype(np.int64)
+                    - fr.y.astype(np.int64)) ** 2)
+        return float(d) + lam * sum(res.frame_bits)
+
+    assert sum(res_ts.frame_bits) < sum(res_base.frame_bits)
+    assert rd(res_ts) < rd(res_base)
+
+
+def test_transform_skip_syntax_native_parity():
+    if not native_bind.available():
+        pytest.skip("no native toolchain")
+    cfg = CodecConfig(width=96, height=64, profile=Profile.VVC,
+                      mts=True, transform_skip=True)
+    rng = np.random.default_rng(13)
+    sm, mm, cy, ccb, ccr = random_maps(cfg, rng, 0.25, 20)
+    mm = (mm * 66 // 34).astype(np.int32)
+    # values 0..5: MTS combos and transform skip
+    mts = rng.integers(0, 6, size=sm.shape).astype(np.int32)
+    py = SyntaxEncoder(cfg, sm, mm, cy, ccb, ccr,
+                       mts_map=mts).encode_segment(0, cfg.ctus_y)
+    nat = native_bind.encode_segment(cfg, sm, mm, cy, ccb, ccr, 0,
+                                     cfg.ctus_y, None, mts)
+    assert nat == py
+    dec = SyntaxDecoder(cfg)
+    native_bind.decode_segment(cfg, dec.size_map, dec.mode_map,
+                               dec.coef["y"], dec.coef["cb"],
+                               dec.coef["cr"], 0, cfg.ctus_y, nat,
+                               mts_map=dec.mts_map)
+    assert (dec.coef["y"] == cy).all()
+
+
 def test_mts_syntax_native_parity():
     if not native_bind.available():
         pytest.skip("no native toolchain")

@@ -26,7 +26,8 @@ SKIP = 78          # 1: cu_skip_flag (P/B slices)
 PRED_MODE = 79     # 1: intra (1) vs inter (0), P/B slices
 MVD_GT0 = 80       # 2: mvd component != 0 (x, y)
 BLIST = 82         # 2: [bi-pred flag, L1 flag] (B slices)
-NUM_CONTEXTS = 84
+TS_FLAG = 84       # 1: transform_skip_flag (C10, luma TUs)
+NUM_CONTEXTS = 85
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

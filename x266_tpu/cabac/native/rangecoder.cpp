@@ -39,7 +39,8 @@ constexpr int CTX_SKIP = 78;
 constexpr int CTX_PRED_MODE = 79;
 constexpr int CTX_MVD_GT0 = 80;
 constexpr int CTX_BLIST = 82;
-constexpr int NUM_CONTEXTS = 84;
+constexpr int CTX_TS_FLAG = 84;   // transform_skip_flag (C10)
+constexpr int NUM_CONTEXTS = 85;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -278,7 +279,7 @@ struct Picture {
   int32_t* coef_y;
   int32_t* coef_cb;
   int32_t* coef_cr;
-  int has_mts = 0;                 // cfg.mts flag
+  int has_mts = 0;                 // bit 0: cfg.mts; bit 1: cfg.transform_skip
   int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
   int is_p = 0;                    // P or B slice
   int is_b = 0;                    // B slice (L1/bi kinds allowed)
@@ -513,8 +514,10 @@ struct SegEncoder {
     enc.encode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1), cbf_y);
     enc.encode_bin(ctxs, CTX_CBF_C + 0, cbf_cb);
     enc.encode_bin(ctxs, CTX_CBF_C + 1, cbf_cr);
-    if (pic.has_mts && cbf_y) {
-      int mts = pic.mts_map[uy * pic.ux_n + ux];
+    int mts = pic.mts_map[uy * pic.ux_n + ux];
+    if ((pic.has_mts & 2) && cbf_y)
+      enc.encode_bin(ctxs, CTX_TS_FLAG, mts == 5);
+    if ((pic.has_mts & 1) && cbf_y && mts != 5) {
       enc.encode_bin(ctxs, CTX_MTS, mts > 0);
       if (mts > 0) enc.encode_bypass_bits((uint32_t)(mts - 1), 2);
     }
@@ -775,8 +778,13 @@ struct SegDecoder {
     int cbf_cr = dec.decode_bin(ctxs, CTX_CBF_C + 1);
     if (pic.has_mts && cbf_y) {
       int mts = 0;
-      if (dec.decode_bin(ctxs, CTX_MTS))
-        mts = 1 + (int)dec.decode_bypass_bits(2);
+      int ts = (pic.has_mts & 2) && dec.decode_bin(ctxs, CTX_TS_FLAG);
+      if (ts) {
+        mts = 5;
+      } else if (pic.has_mts & 1) {
+        if (dec.decode_bin(ctxs, CTX_MTS))
+          mts = 1 + (int)dec.decode_bypass_bits(2);
+      }
       for (int j = 0; j < u; j++)
         for (int i = 0; i < u; i++)
           pic.mts_map[(uy + j) * pic.ux_n + ux + i] = mts;

@@ -275,8 +275,10 @@ class SyntaxEncoder(_Walker):
                             cbf_y)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 0, cbf_cb)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 1, cbf_cr)
-        if self.cfg.mts and cbf_y:
-            mts = int(self.mts_map[uy, ux])
+        mts = int(self.mts_map[uy, ux])
+        if self.cfg.transform_skip and cbf_y:
+            self.enc.encode_bin(self.ctxs, cx.TS_FLAG, int(mts == 5))
+        if self.cfg.mts and cbf_y and mts != 5:
             self.enc.encode_bin(self.ctxs, cx.MTS, int(mts > 0))
             if mts > 0:
                 self.enc.encode_bypass_bits(mts - 1, 2)
@@ -497,10 +499,15 @@ class SyntaxDecoder(_Walker):
                                     cx.CBF_Y + (0 if s >= 16 else 1))
         cbf_cb = self.dec.decode_bin(self.ctxs, cx.CBF_C + 0)
         cbf_cr = self.dec.decode_bin(self.ctxs, cx.CBF_C + 1)
-        if self.cfg.mts and cbf_y:
+        if (self.cfg.mts or self.cfg.transform_skip) and cbf_y:
             mts = 0
-            if self.dec.decode_bin(self.ctxs, cx.MTS):
-                mts = 1 + self.dec.decode_bypass_bits(2)
+            ts = (self.cfg.transform_skip
+                  and self.dec.decode_bin(self.ctxs, cx.TS_FLAG))
+            if ts:
+                mts = 5
+            elif self.cfg.mts:
+                if self.dec.decode_bin(self.ctxs, cx.MTS):
+                    mts = 1 + self.dec.decode_bypass_bits(2)
             self.mts_map[uy:uy + u, ux:ux + u] = mts
         if cbf_y:
             self.coef["y"][y:y + s, x:x + s] = self._residual(s, False)

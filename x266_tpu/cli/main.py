@@ -50,7 +50,8 @@ def cmd_encode(args) -> int:
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
         sao_chroma=args.sao_chroma,
         alf=args.alf, alf_chroma=args.alf_chroma,
-        mts=args.mts, pdpc=args.pdpc, rdoq=args.rdoq,
+        mts=args.mts, transform_skip=args.transform_skip,
+        pdpc=args.pdpc, rdoq=args.rdoq,
         tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
@@ -141,6 +142,8 @@ def main(argv=None) -> int:
     e.add_argument("--alf-chroma", action="store_true",
                    help="chroma ALF 5x5 diamond (requires --alf)")
     e.add_argument("--mts", action="store_true")
+    e.add_argument("--transform-skip", action="store_true",
+                   help="per-TU transform skip (screen content)")
     e.add_argument("--pdpc", action="store_true",
                    help="PDPC intra blend (requires --profile vvc)")
     e.add_argument("--rdoq", action="store_true",

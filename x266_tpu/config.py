@@ -67,6 +67,10 @@ class CodecConfig:
     alf: bool = False               # C15 (VVC, luma)
     alf_chroma: bool = False        # C15 chroma 5x5 diamond (requires alf)
     mts: bool = False               # C10 VVC MTS (requires profile=VVC)
+    # C10 transform skip: per-TU flag (luma) coding the residual in the
+    # spatial domain (scaled by 2^transform_shift); selected by the
+    # encoder's transform-select stage alongside the MTS candidates.
+    transform_skip: bool = False
     # C6 VVC PDPC: position-dependent blend of the intra prediction with
     # the unfiltered references for planar/DC/H/V on luma (FORMAT.md §8).
     pdpc: bool = False              # requires profile=VVC

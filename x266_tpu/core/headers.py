@@ -31,6 +31,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.alf)
     w.flag(cfg.alf_chroma)
     w.flag(cfg.mts)
+    w.flag(cfg.transform_skip)
     w.flag(cfg.pdpc)
     w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
@@ -56,6 +57,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     alf = r.flag()
     alf_chroma = r.flag()
     mts = r.flag()
+    transform_skip = r.flag()
     pdpc = r.flag()
     ctx_init = r.flag()
     rows_per_segment = r.ue()
@@ -68,6 +70,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        max_cu_size=max_cu, lossless=lossless,
                        deblock=deblock, sao=sao, sao_chroma=sao_chroma,
                        alf=alf, alf_chroma=alf_chroma, mts=mts,
+                       transform_skip=transform_skip,
                        pdpc=pdpc, ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,

@@ -448,6 +448,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
     lossless = cfg.lossless
     n_modes = cfg.n_intra_modes
     use_mts = cfg.mts
+    use_ts = cfg.transform_skip
     # NOTE: an apparent RDOQ-on-inter quality collapse (-1.7 dB on the
     # lowdelay_p RD clip) was actually the optimistic skip proxy being
     # tickled by perturbed references (_inter_cost docstring); with the
@@ -501,15 +502,16 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                     rec = jnp.where(skip, pred, orig)
                     return jnp.clip(rec, 0, 255), lev
                 res = orig - pred
-                lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam)
+                lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam,
+                               use_ts)
                 lev = jnp.where(skip, 0, lev)
-                rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
+                rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
                 return jnp.clip(pred + rres, 0, 255), lev
             else:
                 lev = jax.lax.dynamic_slice(coefp, (y, x), (s, s))
                 if lossless:
                     return jnp.clip(pred + lev, 0, 255), lev
-                rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
+                rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
                 return jnp.clip(pred + rres, 0, 255), lev
 
         def make_branch(s):
@@ -524,7 +526,8 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 y = uy * 8
                 mode = mode_map[uy, ux]
                 kind = pred_map[uy, ux]
-                mts_idx = mts_map[uy, ux] if use_mts else None
+                mts_idx = (mts_map[uy, ux] if (use_mts or use_ts)
+                           else None)
                 skip = kind == PRED_SKIP
                 dx, dy = derive_mv(ux, uy)
                 mvx = jnp.where(skip, dx, mvx_map[uy, ux])

@@ -248,13 +248,20 @@ def make_mode_decision(cfg: CodecConfig):
 
 @functools.cache
 def make_mts_select_raw(cfg: CodecConfig):
-    """Per-CU MTS transform-set choice (encoder-only, staged after the
-    mode decision as in VTM: the winning mode is fixed, the 5 transform
-    pairs compete on the same RD surrogate).  Returns the un-jitted
-    f(plane, size_map, mode_map) -> mts_map (units, int32 in 0..4)."""
+    """Per-CU transform choice (encoder-only, staged after the mode
+    decision as in VTM: the winning mode is fixed, the transform
+    candidates compete on the same RD surrogate).  Candidates are the
+    5 MTS pairs (cfg.mts) and/or transform skip (cfg.transform_skip,
+    mts_map value TS_IDX=5).  Returns the un-jitted
+    f(plane, size_map, mode_map) -> mts_map (units, int32)."""
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
     n_modes = cfg.n_intra_modes
+    combos = ktx.MTS_COMBOS if cfg.mts else ktx.MTS_COMBOS[:1]
+    # choice index -> signalled mts_map value
+    vals = list(range(len(combos)))
+    if cfg.transform_skip:
+        vals.append(5)                       # engine.recon.TS_IDX
 
     def eval_size(plane, size_map, mode_map, s):
         w, h = cfg.width, cfg.height
@@ -280,7 +287,7 @@ def make_mts_select_raw(cfg: CodecConfig):
         res = orig - pred                               # (B, s, s)
 
         costs = []
-        for (tv, th) in ktx.MTS_COMBOS:
+        for (tv, th) in combos:
             coefs = ktx.forward_transform(res, s, tv, th)
             levels = kquant.quantize(coefs, cfg.qp, s)
             rate = kcost.rate_estimate_levels(levels)
@@ -288,7 +295,16 @@ def make_mts_select_raw(cfg: CodecConfig):
             rres = ktx.inverse_transform(deq, s, tv, th)
             recon = jnp.clip(pred + rres, 0, 255)
             costs.append(kcost.sse(recon, orig) + lam * (rate + 2.0))
+        if cfg.transform_skip:
+            tsh = 7 - (s.bit_length() - 1)
+            levels = kquant.quantize(res << tsh, cfg.qp, s)
+            rate = kcost.rate_estimate_levels(levels)
+            deq = kquant.dequantize(levels, cfg.qp, s)
+            rres = (deq + (1 << (tsh - 1))) >> tsh
+            recon = jnp.clip(pred + rres, 0, 255)
+            costs.append(kcost.sse(recon, orig) + lam * (rate + 1.0))
         choice = jnp.argmin(jnp.stack(costs, axis=1), axis=1)
+        choice = jnp.asarray(np.asarray(vals, np.int32))[choice]
         return choice.reshape(gy, gx).astype(jnp.int32)
 
     def run(plane, size_map, mode_map):

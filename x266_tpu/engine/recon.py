@@ -40,41 +40,65 @@ def _gather_ref(plane, x, y, s):
     return jnp.concatenate([row, col])
 
 
-def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None):
-    """Forward transform + quant with per-TU MTS selection (luma).
+# mts_map value signalling transform skip (C10); stable across profiles
+# (the branch index is remapped per the active candidate list below).
+TS_IDX = 5
+
+
+def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
+             use_ts=False):
+    """Forward transform + quant with per-TU MTS/TS selection (luma).
     rdoq_lam: pixel-domain lambda enabling RDOQ (encoder-only), or None
-    for the hard deadzone quantizer."""
+    for the hard deadzone quantizer.  use_ts adds the transform-skip
+    branch (mts_idx == TS_IDX): coef = res << transform_shift."""
     def q(coefs):
         if rdoq_lam is not None:
             return kquant.rd_quantize(coefs, qp, s, rdoq_lam)
         return kquant.quantize(coefs, qp, s)
 
-    if not use_mts:
+    if not use_mts and not use_ts:
         return q(ktx.forward_transform(res[None], s))[0]
+    combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
     branches = [
         (lambda r, tv=tv, th=th:
          q(ktx.forward_transform(r[None], s, tv, th))[0])
-        for (tv, th) in ktx.MTS_COMBOS]
-    return jax.lax.switch(mts_idx, branches, res)
+        for (tv, th) in combos]
+    idx = mts_idx
+    if use_ts:
+        tsh = 7 - (s.bit_length() - 1)
+        branches.append(lambda r: q((r << tsh)[None])[0])
+        idx = jnp.where(mts_idx == TS_IDX, len(branches) - 1,
+                        jnp.minimum(mts_idx, len(branches) - 2))
+    return jax.lax.switch(idx, branches, res)
 
 
-def _inv_mts(lev, s, qp, mts_idx, use_mts):
-    if not use_mts:
+def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False):
+    if not use_mts and not use_ts:
         return ktx.inverse_transform(
             kquant.dequantize(lev[None], qp, s), s)[0]
+    combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
     branches = [
         (lambda lv, tv=tv, th=th:
          ktx.inverse_transform(
              kquant.dequantize(lv[None], qp, s), s, tv, th)[0])
-        for (tv, th) in ktx.MTS_COMBOS]
-    return jax.lax.switch(mts_idx, branches, lev)
+        for (tv, th) in combos]
+    idx = mts_idx
+    if use_ts:
+        tsh = 7 - (s.bit_length() - 1)
+        branches.append(
+            lambda lv: (kquant.dequantize(lv[None], qp, s)[0]
+                        + (1 << (tsh - 1))) >> tsh)
+        idx = jnp.where(mts_idx == TS_IDX, len(branches) - 1,
+                        jnp.minimum(mts_idx, len(branches) - 2))
+    return jax.lax.switch(idx, branches, lev)
 
 
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
-        n_modes, mts_idx=None, pdpc=False, rdoq_lam=None):
+        n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
+        use_mts=False, use_ts=False):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
-    mts_idx: traced scalar MTS candidate (luma TUs, cfg.mts) or None."""
-    use_mts = mts_idx is not None
+    mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
+    or cfg.transform_skip; TS_IDX selects transform skip) or None."""
     ref = _gather_ref(plane, x, y, s)
     pred = kintra.predict_mode(ref, mode, s, n_modes, pdpc=pdpc,
                                left_ok=x > 0, top_ok=y > 0)
@@ -83,14 +107,14 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         if lossless:
             return orig, orig - pred
         res = orig - pred
-        lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam)
-        rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
+        lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam, use_ts)
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
         return jnp.clip(pred + rres, 0, 255), lev
     else:
         lev = jax.lax.dynamic_slice(coef, (y, x), (s, s))
         if lossless:
             return jnp.clip(pred + lev, 0, 255), lev
-        rres = _inv_mts(lev, s, qp, mts_idx, use_mts)
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
         return jnp.clip(pred + rres, 0, 255), lev
 
 
@@ -115,6 +139,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
 
     use_mts = cfg.mts
+    use_ts = cfg.transform_skip
 
     def run(a, b, c, size_map, mode_map, mts_map):
         # Inputs may arrive in narrow dtypes (uint8 pixels / int16 levels)
@@ -143,10 +168,12 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 x = ux * 8
                 y = uy * 8
                 mode = mode_map[uy, ux]
-                mts_idx = mts_map[uy, ux] if use_mts else None
+                mts_idx = (mts_map[uy, ux] if (use_mts or use_ts)
+                           else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
-                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam)
+                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
+                               use_mts=use_mts, use_ts=use_ts)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2

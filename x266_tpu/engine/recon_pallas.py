@@ -524,13 +524,20 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
 
                 pred2d = predbuf[0:s, 0:s]
 
-            # transform matrices for this TU's combo
+            # transform matrices for this TU's combo; transform skip
+            # (C10, mts == 5 on luma) clamps the table index and selects
+            # the shifted-residual path after the (still computed)
+            # matmuls — branchless under the sequential grid.
             nct = ncombo if (s in sizes and cfg.mts) else 1
             tslot = max(s, 8)
             txr = txrefs[s]
+            use_ts = cfg.transform_skip and luma
+            tsh = 7 - log2s
+            is_ts = (mts == 5) if use_ts else None
+            cmb = jnp.minimum(mts, nct - 1) if use_ts else mts
 
             def txmat(role):
-                off = role * nct * tslot + mts * tslot
+                off = role * nct * tslot + cmb * tslot
                 m = txr[pl.ds(pl.multiple_of(off, 8), tslot), :]
                 return m[0:s, 0:s]
 
@@ -542,7 +549,10 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                 t = _limb_mm_rhs(txmat(2), d)
                 t = jnp.clip(_rshift_round(t, 7), -32768, 32767)
                 r = _limb_mm_lhs(t, txmat(3))
-                return jnp.clip(_rshift_round(r, 12), -32768, 32767)
+                r = jnp.clip(_rshift_round(r, 12), -32768, 32767)
+                if use_ts:
+                    r = jnp.where(is_ts, (d + (1 << (tsh - 1))) >> tsh, r)
+                return r
 
             if encode:
                 dblk = _read_rows(data_ref, y, s, realign)
@@ -556,12 +566,15 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                         rec = jnp.clip(jnp.where(skip, pred2d, orig),
                                        0, 255)
                 else:
-                    res = (orig - pred2d).astype(F32)
+                    res_i = orig - pred2d
+                    res = res_i.astype(F32)
                     t = _mm(txmat(0), res).astype(I32)
                     t = _rshift_round(t, log2s - 1)
                     co = _limb_mm_lhs(t, txmat(1))
                     co = jnp.clip(_rshift_round(co, log2s + 6),
                                   -32768, 32767)
+                    if use_ts:
+                        co = jnp.where(is_ts, res_i << tsh, co)
                     aco = jnp.abs(co)
                     if cfg.rdoq:
                         # mirrors kernels.quant.rd_quantize exactly (the
@@ -897,7 +910,8 @@ def _pack_attrs(cfg: CodecConfig, size_map, mode_map, mts_map):
     code = ((sz == 16).astype(jnp.int32)
             + 2 * (sz == 32).astype(jnp.int32))
     mode = mode_map[uyc, uxc]
-    mts = mts_map[uyc, uxc] if cfg.mts else jnp.zeros_like(mode)
+    mts = (mts_map[uyc, uxc] if (cfg.mts or cfg.transform_skip)
+           else jnp.zeros_like(mode))
     return active | (code << 1) | (mts << 3) | (mode << 6)
 
 

@@ -161,10 +161,11 @@ def _process_component(plane, src, coefp, xs, ys, modes, szs, mtss,
 def make_recon_wave_raw(cfg: CodecConfig, encode: bool):
     """Wavefront implementation of make_recon_pass_raw (same signature
     and bit-identical results; see engine.recon)."""
-    if cfg.pdpc or cfg.rdoq:
+    if cfg.pdpc or cfg.rdoq or cfg.transform_skip:
         raise NotImplementedError(
-            "the wavefront recon study implementation predates PDPC/RDOQ; "
-            "use the scan or Pallas paths (X266T_WAVE_RECON unset)")
+            "the wavefront recon study implementation predates "
+            "PDPC/RDOQ/transform-skip; use the scan or Pallas paths "
+            "(X266T_WAVE_RECON unset)")
     w, h = cfg.width, cfg.height
     cw, ch = w // 2, h // 2
     ux_n, uy_n = cfg.units_x, cfg.units_y
