@@ -19,11 +19,13 @@ class EncodeResult:
     frame_bits: list[int] = field(default_factory=list)
     sse: list = field(default_factory=list)   # per-frame (3,) SSE
 
-    def psnr_y(self, width: int, height: int) -> list[float]:
+    def psnr_y(self, width: int, height: int,
+               max_val: int = 255) -> list[float]:
         """Device-accounted luma PSNR per frame (no recon download)."""
         import numpy as np
         n = float(width * height)
-        return [float(10 * np.log10(255.0 ** 2 * n / max(s[0], 1e-9)))
+        return [float(10 * np.log10(float(max_val) ** 2 * n
+                                    / max(s[0], 1e-9)))
                 for s in self.sse]
 
     @property

@@ -44,7 +44,7 @@ def cmd_encode(args) -> int:
         w, h = _parse_size(args.size)
         frames = None
     cfg = CodecConfig(
-        width=w, height=h, qp=args.qp,
+        width=w, height=h, qp=args.qp, bit_depth=args.bit_depth,
         profile=Profile.VVC if args.profile == "vvc" else
         Profile.HEVC_SUBSET,
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
@@ -56,7 +56,8 @@ def cmd_encode(args) -> int:
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
     if frames is None:
-        frames = read_yuv420(args.input, w, h, args.frames)
+        frames = read_yuv420(args.input, w, h, args.frames,
+                             bit_depth=args.bit_depth)
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
@@ -131,6 +132,9 @@ def main(argv=None) -> int:
                    help="WxH, e.g. 416x240 (raw YUV input; inferred "
                         "from the header for .y4m)")
     e.add_argument("--qp", type=int, default=32)
+    e.add_argument("--bit-depth", type=int, default=8,
+                   choices=(8, 10),
+                   help="sample depth (10-bit raw input = uint16 LE)")
     e.add_argument("--frames", type=int, default=None)
     e.add_argument("--profile", choices=["hevc", "vvc"], default="hevc")
     e.add_argument("--lossless", action="store_true")

@@ -100,8 +100,8 @@ class CodecConfig:
     def __post_init__(self) -> None:
         if self.width % 8 or self.height % 8:
             raise ValueError("v1 requires width/height multiples of 8")
-        if self.bit_depth != 8:
-            raise ValueError("v1 supports bit_depth=8 only")
+        if self.bit_depth not in (8, 10):
+            raise ValueError("bit_depth must be 8 or 10")
         if self.ctu_size != 64:
             raise ValueError("v1 supports ctu_size=64 only")
         if self.max_cu_size not in (8, 16, 32):
@@ -178,6 +178,24 @@ class CodecConfig:
     def n_intra_modes(self) -> int:
         """35 (HEVC subset) or 67 (VVC) intra prediction modes (C6)."""
         return 67 if self.profile == Profile.VVC else 35
+
+    # ---- sample range (C2 bit_depth) ---------------------------------------
+
+    @property
+    def mid_val(self) -> int:
+        """Mid-gray: the x266t unavailable-reference value (FORMAT.md §7)."""
+        return 1 << (self.bit_depth - 1)
+
+    @property
+    def max_val(self) -> int:
+        return (1 << self.bit_depth) - 1
+
+    @property
+    def pixel_dtype(self):
+        """numpy dtype of picture samples (and the packed device I/O)."""
+        import numpy as _np
+
+        return _np.uint8 if self.bit_depth == 8 else _np.uint16
 
     # ---- rate-distortion --------------------------------------------------
 

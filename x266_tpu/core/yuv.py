@@ -36,29 +36,33 @@ class Frame:
             mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
             if mse == 0:
                 return float("inf")
-            return 10.0 * np.log10(255.0 * 255.0 / mse)
+            maxv = 255.0 if a.dtype != np.uint16 else 1023.0
+            return 10.0 * np.log10(maxv * maxv / mse)
 
         return (_psnr(self.y, other.y), _psnr(self.cb, other.cb),
                 _psnr(self.cr, other.cr))
 
 
 def read_yuv420(path_or_file, width: int, height: int,
-                num_frames: int | None = None) -> list[Frame]:
-    """Read raw planar I420 frames."""
+                num_frames: int | None = None,
+                bit_depth: int = 8) -> list[Frame]:
+    """Read raw planar I420 frames (bit_depth > 8: uint16 LE samples)."""
     f = (open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes))
          else path_or_file)
     close = isinstance(path_or_file, (str, bytes))
+    dt = np.uint8 if bit_depth == 8 else np.dtype("<u2")
+    bs = dt.itemsize if bit_depth > 8 else 1
     try:
         frames = []
         ysz, csz = width * height, (width // 2) * (height // 2)
         while num_frames is None or len(frames) < num_frames:
-            raw = f.read(ysz + 2 * csz)
-            if len(raw) < ysz + 2 * csz:
+            raw = f.read((ysz + 2 * csz) * bs)
+            if len(raw) < (ysz + 2 * csz) * bs:
                 break
-            y = np.frombuffer(raw, np.uint8, ysz).reshape(height, width)
-            cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(
+            y = np.frombuffer(raw, dt, ysz).reshape(height, width)
+            cb = np.frombuffer(raw, dt, csz, ysz * bs).reshape(
                 height // 2, width // 2)
-            cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(
+            cr = np.frombuffer(raw, dt, csz, (ysz + csz) * bs).reshape(
                 height // 2, width // 2)
             frames.append(Frame(y.copy(), cb.copy(), cr.copy()))
         return frames
@@ -68,17 +72,36 @@ def read_yuv420(path_or_file, width: int, height: int,
 
 
 def write_yuv420(path_or_file, frames: list[Frame]) -> None:
+    """Write raw planar I420; sample width follows the frame dtype
+    (uint16 frames are written as uint16 LE)."""
     f = (open(path_or_file, "wb") if isinstance(path_or_file, (str, bytes))
          else path_or_file)
     close = isinstance(path_or_file, (str, bytes))
     try:
         for fr in frames:
-            f.write(fr.y.astype(np.uint8).tobytes())
-            f.write(fr.cb.astype(np.uint8).tobytes())
-            f.write(fr.cr.astype(np.uint8).tobytes())
+            dt = (np.dtype("<u2") if fr.y.dtype == np.uint16
+                  else np.uint8)
+            f.write(fr.y.astype(dt).tobytes())
+            f.write(fr.cb.astype(dt).tobytes())
+            f.write(fr.cr.astype(dt).tobytes())
     finally:
         if close:
             f.close()
+
+
+def to_bit_depth(frame: Frame, bit_depth: int) -> Frame:
+    """8-bit Frame -> bit_depth Frame by bit replication (the standard
+    depth-promotion that preserves full range: v' = (v << (bd-8)) |
+    (v >> (16-bd)))."""
+    if bit_depth == 8:
+        return frame
+    sh = bit_depth - 8
+
+    def conv(p):
+        p16 = p.astype(np.uint16)
+        return ((p16 << sh) | (p16 >> (8 - sh))).astype(np.uint16)
+
+    return Frame(conv(frame.y), conv(frame.cb), conv(frame.cr))
 
 
 # ---- Y4M container (SURVEY.md §8 "Y4M") -------------------------------------

@@ -49,7 +49,7 @@ def pack_input(cfg: CodecConfig, frame: Frame) -> np.ndarray:
     _unpack_padded under the same jit as the encode step.
     """
     h, w = cfg.height, cfg.width
-    buf = np.empty((h + h // 2, w), dtype=np.uint8)
+    buf = np.empty((h + h // 2, w), dtype=cfg.pixel_dtype)
     buf[:h] = frame.y
     buf[h:, :w // 2] = frame.cb
     buf[h:, w // 2:] = frame.cr
@@ -64,7 +64,7 @@ def _unpack_padded(cfg: CodecConfig, packed):
     cr = packed[h:, w // 2:]
 
     def pad(img, hp, wp):
-        p = jnp.full((hp, wp), 128, packed.dtype)
+        p = jnp.full((hp, wp), cfg.mid_val, packed.dtype)
         return jax.lax.dynamic_update_slice(p, img, (1, 1))
 
     return (pad(y, hp_y, wp_y), pad(cb, hp_c, wp_c),
@@ -204,20 +204,26 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         pm, mx, my, cy = db_info if db_info else (None,) * 4
         y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
                                     xp=jnp, pred_map=pm, mvx=mx,
-                                    mvy=my, coef_y=cy)
+                                    mvy=my, coef_y=cy,
+                                    bit_depth=cfg.bit_depth)
     orig_y = yP[1:1 + h, 1:1 + w].astype(jnp.int32)
     orig_cb = cbP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
     orig_cr = crP[1:1 + h // 2, 1:1 + w // 2].astype(jnp.int32)
     zc = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
     zo = jnp.zeros((cfg.ctus_y, cfg.ctus_x, 4), jnp.int32)
+    bdv = cfg.bit_depth
     if cfg.sao:
-        sty, sby, soy = estimate_sao(orig_y, y, lam)
-        y = apply_sao(y, sty, sby, soy, xp=jnp)
+        sty, sby, soy = estimate_sao(orig_y, y, lam, bit_depth=bdv)
+        y = apply_sao(y, sty, sby, soy, xp=jnp, bit_depth=bdv)
         if cfg.sao_chroma:
-            stb, sbb, sob = estimate_sao(orig_cb, cb, lam, ctb=32)
-            cb = apply_sao(cb, stb, sbb, sob, xp=jnp, ctb=32)
-            str_, sbr, sor = estimate_sao(orig_cr, cr, lam, ctb=32)
-            cr = apply_sao(cr, str_, sbr, sor, xp=jnp, ctb=32)
+            stb, sbb, sob = estimate_sao(orig_cb, cb, lam, ctb=32,
+                                         bit_depth=bdv)
+            cb = apply_sao(cb, stb, sbb, sob, xp=jnp, ctb=32,
+                           bit_depth=bdv)
+            str_, sbr, sor = estimate_sao(orig_cr, cr, lam, ctb=32,
+                                          bit_depth=bdv)
+            cr = apply_sao(cr, str_, sbr, sor, xp=jnp, ctb=32,
+                           bit_depth=bdv)
         else:
             stb = str_ = sbb = sbr = zc
             sob = sor = zo
@@ -231,10 +237,13 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
     alf_ccoef = jnp.zeros((2, 6), jnp.int32)
     alf_cflag = jnp.zeros((2, cfg.ctus_y, cfg.ctus_x), jnp.int32)
     if cfg.alf:
-        alf_coef, alf_flag, y = kalf.estimate_alf(orig_y, y, lam)
+        alf_coef, alf_flag, y = kalf.estimate_alf(orig_y, y, lam,
+                                                  bit_depth=bdv)
         if cfg.alf_chroma:
-            ccb, fcb, cb = kalf.estimate_alf_chroma(orig_cb, cb, lam)
-            ccr, fcr, cr = kalf.estimate_alf_chroma(orig_cr, cr, lam)
+            ccb, fcb, cb = kalf.estimate_alf_chroma(orig_cb, cb, lam,
+                                                    bit_depth=bdv)
+            ccr, fcr, cr = kalf.estimate_alf_chroma(orig_cr, cr, lam,
+                                                    bit_depth=bdv)
             alf_ccoef = jnp.stack([ccb, ccr])
             alf_cflag = jnp.stack([fcb, fcr])
     else:
@@ -263,7 +272,7 @@ def _pyr_target(h: int, w: int) -> tuple[int, int]:
     return hp, wp
 
 
-def _build_pyramids_device(y, cb, cr):
+def _build_pyramids_device(y, cb, cr, max_val: int = 255):
     from x266_tpu.kernels import interp as kinterp
 
     def pad_out(p, h, w):
@@ -273,11 +282,13 @@ def _build_pyramids_device(y, cb, cr):
 
     h, w = y.shape
     py = pad_out(kinterp.build_pyramid(
-        kinterp.pad_ref(y.astype(jnp.int32)), False), h, w)
+        kinterp.pad_ref(y.astype(jnp.int32)), False, max_val), h, w)
     pcb = pad_out(kinterp.build_pyramid(
-        kinterp.pad_ref(cb.astype(jnp.int32)), True), h // 2, w // 2)
+        kinterp.pad_ref(cb.astype(jnp.int32)), True, max_val),
+        h // 2, w // 2)
     pcr = pad_out(kinterp.build_pyramid(
-        kinterp.pad_ref(cr.astype(jnp.int32)), True), h // 2, w // 2)
+        kinterp.pad_ref(cr.astype(jnp.int32)), True, max_val),
+        h // 2, w // 2)
     return py, pcb, pcr
 
 
@@ -295,14 +306,16 @@ def _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps_list, sse,
     flat = jnp.concatenate([m.astype(jnp.int16).ravel()
                             for m in maps_list])
     out = (coef, flat, sse)
+    pdt = jnp.uint8 if cfg.bit_depth == 8 else jnp.uint16
     if with_recon:
-        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-        rec = rec.at[:h].set(y.astype(jnp.uint8))
-        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+        rec = jnp.zeros((h + h // 2, w), pdt)
+        rec = rec.at[:h].set(y.astype(pdt))
+        rec = rec.at[h:, :w // 2].set(cb.astype(pdt))
+        rec = rec.at[h:, w // 2:].set(cr.astype(pdt))
         out = out + (rec,)
     if with_pyramids:
-        out = out + (_build_pyramids_device(y, cb, cr),)
+        out = out + (_build_pyramids_device(y, cb, cr,
+                                            (1 << cfg.bit_depth) - 1),)
     return out
 
 
@@ -545,38 +558,47 @@ def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
     y = y8.astype(jnp.int32)
     cb = cb8.astype(jnp.int32)
     cr = cr8.astype(jnp.int32)
+    bdv = cfg.bit_depth
     if cfg.deblock:
         # BS from the SAME inputs the encoder used: coded kinds, the
         # scan's final (incl. derived-skip) MVs, parsed luma levels
         y, cb, cr = deblock_picture(
             y, cb, cr, size_map, cfg.qp, xp=jnp, pred_map=pred_map,
             mvx=mvx_fin.astype(jnp.int32),
-            mvy=mvy_fin.astype(jnp.int32), coef_y=cY.astype(jnp.int32))
+            mvy=mvy_fin.astype(jnp.int32), coef_y=cY.astype(jnp.int32),
+            bit_depth=bdv)
     if cfg.sao:
         st = get(flat, "sao_type", (3, cyn, cxn))
         sb = get(flat, "sao_band", (3, cyn, cxn))
         so = get(flat, "sao_off", (3, cyn, cxn, 4))
-        y = apply_sao(y, st[0], sb[0], so[0], xp=jnp)
+        y = apply_sao(y, st[0], sb[0], so[0], xp=jnp, bit_depth=bdv)
         if cfg.sao_chroma:
-            cb = apply_sao(cb, st[1], sb[1], so[1], xp=jnp, ctb=32)
-            cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32)
+            cb = apply_sao(cb, st[1], sb[1], so[1], xp=jnp, ctb=32,
+                           bit_depth=bdv)
+            cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32,
+                           bit_depth=bdv)
     if cfg.alf:
         from x266_tpu.kernels import alf as kalf
         y = kalf.apply_alf(y, kalf.classify(y),
                            get(flat, "alf_coef", (25, 12)),
-                           get(flat, "alf_flag", (cyn, cxn)))
+                           get(flat, "alf_flag", (cyn, cxn)),
+                           bit_depth=bdv)
         if cfg.alf_chroma:
             acc = get(flat, "alf_ccoef", (2, 6))
             acf = get(flat, "alf_cflag", (2, cyn, cxn))
-            cb = kalf.apply_alf_chroma(cb, acc[0], acf[0])
-            cr = kalf.apply_alf_chroma(cr, acc[1], acf[1])
-    rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-    rec = rec.at[:h].set(y.astype(jnp.uint8))
-    rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-    rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+            cb = kalf.apply_alf_chroma(cb, acc[0], acf[0],
+                                       bit_depth=bdv)
+            cr = kalf.apply_alf_chroma(cr, acc[1], acf[1],
+                                       bit_depth=bdv)
+    pdt = jnp.uint8 if bdv == 8 else jnp.uint16
+    rec = jnp.zeros((h + h // 2, w), pdt)
+    rec = rec.at[:h].set(y.astype(pdt))
+    rec = rec.at[h:, :w // 2].set(cb.astype(pdt))
+    rec = rec.at[h:, w // 2:].set(cr.astype(pdt))
     out = (rec,)
     if with_pyramids:
-        out = out + (_build_pyramids_device(y, cb, cr),)
+        out = out + (_build_pyramids_device(y, cb, cr,
+                                            (1 << bdv) - 1),)
     return out
 
 
@@ -680,33 +702,42 @@ def make_decode_step_i(cfg: CodecConfig, with_pyramids: bool):
         y = y8.astype(jnp.int32)
         cb = cb8.astype(jnp.int32)
         cr = cr8.astype(jnp.int32)
+        bdv = cfg.bit_depth
         if cfg.deblock:
             y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
-                                        xp=jnp)
+                                        xp=jnp, bit_depth=bdv)
         if cfg.sao:
             st = get(flat, "sao_type", (3, cyn, cxn))
             sb = get(flat, "sao_band", (3, cyn, cxn))
             so = get(flat, "sao_off", (3, cyn, cxn, 4))
-            y = apply_sao(y, st[0], sb[0], so[0], xp=jnp)
+            y = apply_sao(y, st[0], sb[0], so[0], xp=jnp,
+                          bit_depth=bdv)
             if cfg.sao_chroma:
-                cb = apply_sao(cb, st[1], sb[1], so[1], xp=jnp, ctb=32)
-                cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32)
+                cb = apply_sao(cb, st[1], sb[1], so[1], xp=jnp, ctb=32,
+                               bit_depth=bdv)
+                cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32,
+                               bit_depth=bdv)
         if cfg.alf:
             from x266_tpu.kernels import alf as kalf
             y = kalf.apply_alf(y, kalf.classify(y),
                                get(flat, "alf_coef", (25, 12)),
-                               get(flat, "alf_flag", (cyn, cxn)))
+                               get(flat, "alf_flag", (cyn, cxn)),
+                               bit_depth=bdv)
             if cfg.alf_chroma:
                 acc = get(flat, "alf_ccoef", (2, 6))
                 acf = get(flat, "alf_cflag", (2, cyn, cxn))
-                cb = kalf.apply_alf_chroma(cb, acc[0], acf[0])
-                cr = kalf.apply_alf_chroma(cr, acc[1], acf[1])
-        rec = jnp.zeros((h + h // 2, w), jnp.uint8)
-        rec = rec.at[:h].set(y.astype(jnp.uint8))
-        rec = rec.at[h:, :w // 2].set(cb.astype(jnp.uint8))
-        rec = rec.at[h:, w // 2:].set(cr.astype(jnp.uint8))
+                cb = kalf.apply_alf_chroma(cb, acc[0], acf[0],
+                                           bit_depth=bdv)
+                cr = kalf.apply_alf_chroma(cr, acc[1], acf[1],
+                                           bit_depth=bdv)
+        pdt = jnp.uint8 if bdv == 8 else jnp.uint16
+        rec = jnp.zeros((h + h // 2, w), pdt)
+        rec = rec.at[:h].set(y.astype(pdt))
+        rec = rec.at[h:, :w // 2].set(cb.astype(pdt))
+        rec = rec.at[h:, w // 2:].set(cr.astype(pdt))
         if with_pyramids:
-            return rec, _build_pyramids_device(y, cb, cr)
+            return rec, _build_pyramids_device(y, cb, cr,
+                                               (1 << bdv) - 1)
         return rec
 
     return jax.jit(run)

@@ -123,12 +123,14 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size, warped=None):
         # proven pixel-exact at decision time: disallow under lossless
         cost_s = jnp.full_like(dist_s, jnp.inf)
     else:
-        coefs = ktx.forward_transform(res.reshape(nb, s, s), s)
-        levels = kquant.quantize(coefs, cfg.qp, s)
+        bdp = cfg.bit_depth
+        coefs = ktx.forward_transform(res.reshape(nb, s, s), s,
+                                      bit_depth=bdp)
+        levels = kquant.quantize(coefs, cfg.qp, s, bdp)
         rate = kcost.rate_estimate_levels(levels)
-        deq = kquant.dequantize(levels, cfg.qp, s)
-        rres = ktx.inverse_transform(deq, s)
-        recon = jnp.clip(pred + rres, 0, 255)
+        deq = kquant.dequantize(levels, cfg.qp, s, bdp)
+        rres = ktx.inverse_transform(deq, s, bit_depth=bdp)
+        recon = jnp.clip(pred + rres, 0, cfg.max_val)
         dist = kcost.sse(recon, orig)
         cost_i = dist + lam * (rate + mv_bits + 3.0)
         cost_s = dist_s + lam * 2.0
@@ -149,7 +151,7 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
     """
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
-    pallas = kme.use_pallas_me(use_pallas)
+    pallas = kme.use_pallas_me(use_pallas) and cfg.bit_depth == 8
 
     def _rep2(g, by, bx):
         """2x2-replicate the even-index subgrid back to (by, bx)."""
@@ -266,12 +268,14 @@ def _bi_cost(cfg, plane, pyr0, pyr1, g0, g1, size, warped=None):
         rate = kcost.rate_estimate_levels(res)
         cost = lam * (rate + bits + 6.0)
     else:
-        coefs = ktx.forward_transform(res.reshape(nb, s, s), s)
-        levels = kquant.quantize(coefs, cfg.qp, s)
+        bdp = cfg.bit_depth
+        coefs = ktx.forward_transform(res.reshape(nb, s, s), s,
+                                      bit_depth=bdp)
+        levels = kquant.quantize(coefs, cfg.qp, s, bdp)
         rate = kcost.rate_estimate_levels(levels)
-        deq = kquant.dequantize(levels, cfg.qp, s)
-        rres = ktx.inverse_transform(deq, s)
-        recon = jnp.clip(pred + rres, 0, 255)
+        deq = kquant.dequantize(levels, cfg.qp, s, bdp)
+        rres = ktx.inverse_transform(deq, s, bit_depth=bdp)
+        recon = jnp.clip(pred + rres, 0, cfg.max_val)
         cost = kcost.sse(recon, orig) + lam * (rate + bits + 6.0)
 
     return (cost.reshape(gy, gx),
@@ -293,7 +297,7 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
     """
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
-    pallas = kme.use_pallas_me(use_pallas)
+    pallas = kme.use_pallas_me(use_pallas) and cfg.bit_depth == 8
 
     def _rep2(g, by, bx):
         r = jnp.repeat(jnp.repeat(g[0::2, 0::2], 2, axis=0), 2, axis=1)
@@ -413,7 +417,7 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
     flag = os.environ.get("X266T_PALLAS")
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
-    if use_pallas:
+    if use_pallas and cfg.bit_depth == 8:   # 10-bit: XLA scan (C2 note)
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
         return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)
@@ -469,9 +473,12 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
         else:
             coefY, coefCb, coefCr = a, b, c
             srcY = srcCb = srcCr = None
-        yP = jnp.full((1 + h + PAD, 1 + w + PAD), 128, jnp.int32)
-        cbP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
-        crP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
+        yP = jnp.full((1 + h + PAD, 1 + w + PAD), cfg.mid_val,
+                      jnp.int32)
+        cbP = jnp.full((1 + ch + PAD, 1 + cw + PAD), cfg.mid_val,
+                       jnp.int32)
+        crP = jnp.full((1 + ch + PAD, 1 + cw + PAD), cfg.mid_val,
+                       jnp.int32)
         mvx_st = jnp.zeros((uy_n, ux_n), jnp.int32)
         mvy_st = jnp.zeros((uy_n, ux_n), jnp.int32)
 
@@ -493,6 +500,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
         mvx_st_ref = [mvx_st]
         mvy_st_ref = [mvy_st]
 
+        maxv = cfg.max_val
+        bdv = cfg.bit_depth
+
         def residual_path(pred, src, coefp, x, y, s, mts_idx, skip):
             """Shared lossy/lossless residual handling for one block."""
             if encode:
@@ -500,19 +510,21 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 if lossless:
                     lev = jnp.where(skip, 0, orig - pred)
                     rec = jnp.where(skip, pred, orig)
-                    return jnp.clip(rec, 0, 255), lev
+                    return jnp.clip(rec, 0, maxv), lev
                 res = orig - pred
                 lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam,
-                               use_ts)
+                               use_ts, bdv)
                 lev = jnp.where(skip, 0, lev)
-                rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
-                return jnp.clip(pred + rres, 0, 255), lev
+                rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts,
+                                bdv)
+                return jnp.clip(pred + rres, 0, maxv), lev
             else:
                 lev = jax.lax.dynamic_slice(coefp, (y, x), (s, s))
                 if lossless:
-                    return jnp.clip(pred + lev, 0, 255), lev
-                rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
-                return jnp.clip(pred + rres, 0, 255), lev
+                    return jnp.clip(pred + lev, 0, maxv), lev
+                rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts,
+                                bdv)
+                return jnp.clip(pred + rres, 0, maxv), lev
 
         def make_branch(s):
             cs = s // 2

@@ -35,17 +35,18 @@ MODE_SIGNAL_BITS = 6.0   # flat estimate for coding one luma mode
 SPLIT_BITS = 2.0         # estimate for quadtree split signalling
 
 
-def pad_plane(img: np.ndarray) -> np.ndarray:
-    """(H, W) samples -> (1+H+PAD, 1+W+PAD) uint8 plane, border = 128.
+def pad_plane(img: np.ndarray, mid: int = 128) -> np.ndarray:
+    """(H, W) samples -> (1+H+PAD, 1+W+PAD) plane, border = mid-gray.
 
-    uint8 keeps the host->device upload small (4x vs int32 — transfers
-    dominate on remote-attached chips); device passes upcast to int32 on
-    entry.  Layout: image pixel (y, x) lives at plane[y+1, x+1]; row/col 0
-    are the out-of-picture reference positions (always 128 per the x266t
-    availability rule).
+    uint8/uint16 keeps the host->device upload small (vs int32 —
+    transfers dominate on remote-attached chips); device passes upcast
+    to int32 on entry.  Layout: image pixel (y, x) lives at
+    plane[y+1, x+1]; row/col 0 are the out-of-picture reference
+    positions (always mid-gray per the x266t availability rule).
     """
     h, w = img.shape
-    plane = np.full((1 + h + PAD, 1 + w + PAD), 128, dtype=np.uint8)
+    dt = np.uint8 if mid <= 128 else np.uint16
+    plane = np.full((1 + h + PAD, 1 + w + PAD), mid, dtype=dt)
     plane[1:1 + h, 1:1 + w] = img
     return plane
 
@@ -125,7 +126,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     refs = _gather_refs(plane, gy, gx, s)                     # (B, R)
     mask = jnp.asarray(
         avail.ref_availability_masks(w, h, s).reshape(nb, -1))
-    refs = jnp.where(mask, refs, 128)
+    refs = jnp.where(mask, refs, cfg.mid_val)
 
     preds = kintra.predict_all_modes(
         refs, s, cfg.n_intra_modes, pdpc=cfg.pdpc,
@@ -159,12 +160,15 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
         rate = kcost.rate_estimate_levels(res_k)
         cost = lam * (rate + MODE_SIGNAL_BITS)
     else:
-        coefs = ktx.forward_transform(res_k.reshape(nb * k, s, s), s)
-        levels = kquant.quantize(coefs, cfg.qp, s)
+        bd = cfg.bit_depth
+        coefs = ktx.forward_transform(res_k.reshape(nb * k, s, s), s,
+                                      bit_depth=bd)
+        levels = kquant.quantize(coefs, cfg.qp, s, bd)
         rate = kcost.rate_estimate_levels(levels).reshape(nb, k)
-        deq = kquant.dequantize(levels, cfg.qp, s)
-        rres = ktx.inverse_transform(deq, s).reshape(nb, k, s, s)
-        recon = jnp.clip(pred_k + rres, 0, 255)
+        deq = kquant.dequantize(levels, cfg.qp, s, bd)
+        rres = ktx.inverse_transform(deq, s, bit_depth=bd
+                                     ).reshape(nb, k, s, s)
+        recon = jnp.clip(pred_k + rres, 0, cfg.max_val)
         dist = kcost.sse(recon, orig)
         cost = dist + lam * (rate + MODE_SIGNAL_BITS)
 
@@ -275,7 +279,7 @@ def make_mts_select_raw(cfg: CodecConfig):
         refs = _gather_refs(plane, gy, gx, s)
         mask = jnp.asarray(
             avail.ref_availability_masks(w, h, s).reshape(nb, -1))
-        refs = jnp.where(mask, refs, 128)
+        refs = jnp.where(mask, refs, cfg.mid_val)
         modes = mode_map[oy, ox]                        # (B,)
         preds = kintra.predict_all_modes(
             refs, s, n_modes, pdpc=cfg.pdpc,
@@ -287,21 +291,22 @@ def make_mts_select_raw(cfg: CodecConfig):
         res = orig - pred                               # (B, s, s)
 
         costs = []
+        bd = cfg.bit_depth
         for (tv, th) in combos:
-            coefs = ktx.forward_transform(res, s, tv, th)
-            levels = kquant.quantize(coefs, cfg.qp, s)
+            coefs = ktx.forward_transform(res, s, tv, th, bd)
+            levels = kquant.quantize(coefs, cfg.qp, s, bd)
             rate = kcost.rate_estimate_levels(levels)
-            deq = kquant.dequantize(levels, cfg.qp, s)
-            rres = ktx.inverse_transform(deq, s, tv, th)
-            recon = jnp.clip(pred + rres, 0, 255)
+            deq = kquant.dequantize(levels, cfg.qp, s, bd)
+            rres = ktx.inverse_transform(deq, s, tv, th, bd)
+            recon = jnp.clip(pred + rres, 0, cfg.max_val)
             costs.append(kcost.sse(recon, orig) + lam * (rate + 2.0))
         if cfg.transform_skip:
-            tsh = 7 - (s.bit_length() - 1)
-            levels = kquant.quantize(res << tsh, cfg.qp, s)
+            tsh = 15 - bd - (s.bit_length() - 1)
+            levels = kquant.quantize(res << tsh, cfg.qp, s, bd)
             rate = kcost.rate_estimate_levels(levels)
-            deq = kquant.dequantize(levels, cfg.qp, s)
-            rres = (deq + (1 << (tsh - 1))) >> tsh
-            recon = jnp.clip(pred + rres, 0, 255)
+            deq = kquant.dequantize(levels, cfg.qp, s, bd)
+            rres = (deq + ((1 << (tsh - 1)) if tsh > 0 else 0)) >> tsh
+            recon = jnp.clip(pred + rres, 0, cfg.max_val)
             costs.append(kcost.sse(recon, orig) + lam * (rate + 1.0))
         choice = jnp.argmin(jnp.stack(costs, axis=1), axis=1)
         choice = jnp.asarray(np.asarray(vals, np.int32))[choice]

@@ -46,48 +46,51 @@ TS_IDX = 5
 
 
 def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
-             use_ts=False):
+             use_ts=False, bd=8):
     """Forward transform + quant with per-TU MTS/TS selection (luma).
     rdoq_lam: pixel-domain lambda enabling RDOQ (encoder-only), or None
     for the hard deadzone quantizer.  use_ts adds the transform-skip
     branch (mts_idx == TS_IDX): coef = res << transform_shift."""
     def q(coefs):
         if rdoq_lam is not None:
-            return kquant.rd_quantize(coefs, qp, s, rdoq_lam)
-        return kquant.quantize(coefs, qp, s)
+            return kquant.rd_quantize(coefs, qp, s, rdoq_lam, bd)
+        return kquant.quantize(coefs, qp, s, bd)
 
     if not use_mts and not use_ts:
-        return q(ktx.forward_transform(res[None], s))[0]
+        return q(ktx.forward_transform(res[None], s, bit_depth=bd))[0]
     combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
     branches = [
         (lambda r, tv=tv, th=th:
-         q(ktx.forward_transform(r[None], s, tv, th))[0])
+         q(ktx.forward_transform(r[None], s, tv, th, bd))[0])
         for (tv, th) in combos]
     idx = mts_idx
     if use_ts:
-        tsh = 7 - (s.bit_length() - 1)
+        tsh = 15 - bd - (s.bit_length() - 1)
         branches.append(lambda r: q((r << tsh)[None])[0])
         idx = jnp.where(mts_idx == TS_IDX, len(branches) - 1,
                         jnp.minimum(mts_idx, len(branches) - 2))
     return jax.lax.switch(idx, branches, res)
 
 
-def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False):
+def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8):
     if not use_mts and not use_ts:
         return ktx.inverse_transform(
-            kquant.dequantize(lev[None], qp, s), s)[0]
+            kquant.dequantize(lev[None], qp, s, bd), s,
+            bit_depth=bd)[0]
     combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
     branches = [
         (lambda lv, tv=tv, th=th:
          ktx.inverse_transform(
-             kquant.dequantize(lv[None], qp, s), s, tv, th)[0])
+             kquant.dequantize(lv[None], qp, s, bd), s, tv, th,
+             bd)[0])
         for (tv, th) in combos]
     idx = mts_idx
     if use_ts:
-        tsh = 7 - (s.bit_length() - 1)
+        tsh = 15 - bd - (s.bit_length() - 1)
+        rnd = (1 << (tsh - 1)) if tsh > 0 else 0
         branches.append(
-            lambda lv: (kquant.dequantize(lv[None], qp, s)[0]
-                        + (1 << (tsh - 1))) >> tsh)
+            lambda lv: (kquant.dequantize(lv[None], qp, s, bd)[0]
+                        + rnd) >> tsh)
         idx = jnp.where(mts_idx == TS_IDX, len(branches) - 1,
                         jnp.minimum(mts_idx, len(branches) - 2))
     return jax.lax.switch(idx, branches, lev)
@@ -95,10 +98,11 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False):
 
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
-        use_mts=False, use_ts=False):
+        use_mts=False, use_ts=False, bd=8):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
     or cfg.transform_skip; TS_IDX selects transform skip) or None."""
+    maxv = (1 << bd) - 1
     ref = _gather_ref(plane, x, y, s)
     pred = kintra.predict_mode(ref, mode, s, n_modes, pdpc=pdpc,
                                left_ok=x > 0, top_ok=y > 0)
@@ -107,15 +111,16 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         if lossless:
             return orig, orig - pred
         res = orig - pred
-        lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam, use_ts)
-        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
-        return jnp.clip(pred + rres, 0, 255), lev
+        lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam, use_ts,
+                       bd)
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd)
+        return jnp.clip(pred + rres, 0, maxv), lev
     else:
         lev = jax.lax.dynamic_slice(coef, (y, x), (s, s))
         if lossless:
-            return jnp.clip(pred + lev, 0, 255), lev
-        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts)
-        return jnp.clip(pred + rres, 0, 255), lev
+            return jnp.clip(pred + lev, 0, maxv), lev
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd)
+        return jnp.clip(pred + rres, 0, maxv), lev
 
 
 @functools.cache
@@ -137,6 +142,8 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     lossless = cfg.lossless
     n_modes = cfg.n_intra_modes
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
+    bd = cfg.bit_depth
+    mid = cfg.mid_val
 
     use_mts = cfg.mts
     use_ts = cfg.transform_skip
@@ -156,9 +163,9 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
         else:
             coefY, coefCb, coefCr = a, b, c
             srcY = srcCb = srcCr = None
-        yP = jnp.full((1 + h + PAD, 1 + w + PAD), 128, jnp.int32)
-        cbP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
-        crP = jnp.full((1 + ch + PAD, 1 + cw + PAD), 128, jnp.int32)
+        yP = jnp.full((1 + h + PAD, 1 + w + PAD), mid, jnp.int32)
+        cbP = jnp.full((1 + ch + PAD, 1 + cw + PAD), mid, jnp.int32)
+        crP = jnp.full((1 + ch + PAD, 1 + cw + PAD), mid, jnp.int32)
 
         def make_branch(s):
             cs = s // 2
@@ -173,19 +180,19 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
                                pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
-                               use_mts=use_mts, use_ts=use_ts)
+                               use_mts=use_mts, use_ts=use_ts, bd=bd)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, cs, qp,
                                  encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam)
+                                 rdoq_lam=rdoq_lam, bd=bd)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, cs, qp,
                                  encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam)
+                                 rdoq_lam=rdoq_lam, bd=bd)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
                 cCr2 = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))
@@ -227,12 +234,13 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
 
         carry = (yP, cbP, crP, coefY, coefCb, coefCr)
         carry, _ = jax.lax.scan(ctu_body, carry, jnp.arange(n_ctu))
-        # Narrow + slice ON DEVICE: recon as unpadded uint8 pictures,
-        # levels as int16 (they fit by the quant clamp) — ~3x smaller
-        # downloads, which dominates wall clock on remote-attached chips.
-        y8 = carry[0][1:1 + h, 1:1 + w].astype(jnp.uint8)
-        cb8 = carry[1][1:1 + ch, 1:1 + cw].astype(jnp.uint8)
-        cr8 = carry[2][1:1 + ch, 1:1 + cw].astype(jnp.uint8)
+        # Narrow + slice ON DEVICE: recon as unpadded uint8/uint16
+        # pictures, levels as int16 (they fit by the quant clamp) — ~3x
+        # smaller downloads, which dominate on remote-attached chips.
+        pdt = jnp.uint8 if bd == 8 else jnp.uint16
+        y8 = carry[0][1:1 + h, 1:1 + w].astype(pdt)
+        cb8 = carry[1][1:1 + ch, 1:1 + cw].astype(pdt)
+        cr8 = carry[2][1:1 + ch, 1:1 + cw].astype(pdt)
         return (y8, cb8, cr8, carry[3].astype(jnp.int16),
                 carry[4].astype(jnp.int16), carry[5].astype(jnp.int16))
 
@@ -266,7 +274,9 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     flag = os.environ.get("X266T_PALLAS")
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
-    if use_pallas:
+    # the Pallas kernel's VMEM tables/windows are 8-bit; 10-bit rides
+    # the XLA scan (SURVEY §8 capability first, kernel depth later)
+    if use_pallas and cfg.bit_depth == 8:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)

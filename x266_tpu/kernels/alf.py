@@ -90,7 +90,8 @@ def _diff_planes(y, xp=jnp):
     return xp.stack(feats)
 
 
-def apply_alf(y, class_map, coeffs, ctb_flags, xp=jnp):
+def apply_alf(y, class_map, coeffs, ctb_flags, xp=jnp,
+              bit_depth: int = 8):
     """Normative ALF application.
 
     y (H, W) int32 (post-SAO recon); class_map (H/4, W/4); coeffs
@@ -120,7 +121,8 @@ def apply_alf(y, class_map, coeffs, ctb_flags, xp=jnp):
                           ).astype(jnp.int32)        # (12, H/4, W/4)
         cpx = jnp.repeat(jnp.repeat(cblk, 4, axis=1), 4, axis=2)
         acc = jnp.sum(cpx * feats, axis=0)
-    filt = xp.clip(y + ((acc + 64) >> COEF_BITS), 0, 255)
+    filt = xp.clip(y + ((acc + 64) >> COEF_BITS), 0,
+                   (1 << bit_depth) - 1)
     on = xp.repeat(xp.repeat(ctb_flags, 64, axis=0), 64, axis=1)[:h, :w]
     return xp.where(on > 0, filt, y)
 
@@ -150,7 +152,8 @@ def _diff_planes_chroma(c, xp=jnp):
     return xp.stack(feats)
 
 
-def apply_alf_chroma(c, coeffs, ctb_flags, xp=jnp):
+def apply_alf_chroma(c, coeffs, ctb_flags, xp=jnp,
+                     bit_depth: int = 8):
     """Normative chroma ALF: c (H, W) int32 chroma plane (post-SAO),
     coeffs (6,) int32, ctb_flags (Cy, Cx) over the luma CTU grid
     (32x32 chroma samples per CTB at 4:2:0)."""
@@ -161,12 +164,14 @@ def apply_alf_chroma(c, coeffs, ctb_flags, xp=jnp):
     h, w = c.shape
     feats = _diff_planes_chroma(c, xp)                # (6, H, W)
     acc = xp.sum(coeffs[:, None, None] * feats, axis=0)
-    filt = xp.clip(c + ((acc + 64) >> COEF_BITS), 0, 255)
+    filt = xp.clip(c + ((acc + 64) >> COEF_BITS), 0,
+                   (1 << bit_depth) - 1)
     on = xp.repeat(xp.repeat(ctb_flags, 32, axis=0), 32, axis=1)[:h, :w]
     return xp.where(on > 0, filt, c)
 
 
-def estimate_alf_chroma(orig, recon, lam: float):
+def estimate_alf_chroma(orig, recon, lam: float,
+                        bit_depth: int = 8):
     """Encoder: Wiener 5x5 diamond for one chroma plane + per-CTB flags.
 
     Returns (coeffs (6,) int32, flags (Cy, Cx) int32, filtered int32).
@@ -186,7 +191,8 @@ def estimate_alf_chroma(orig, recon, lam: float):
 
     cy, cx = -(-h // 32), -(-w // 32)
     all_on = jnp.ones((cy, cx), jnp.int32)
-    filt = apply_alf_chroma(recon, coeffs, all_on)
+    filt = apply_alf_chroma(recon, coeffs, all_on,
+                            bit_depth=bit_depth)
 
     def ctb_sse(a):
         d = (a - orig).astype(jnp.float32) ** 2
@@ -195,11 +201,12 @@ def estimate_alf_chroma(orig, recon, lam: float):
 
     gain = ctb_sse(filt) - ctb_sse(recon)
     flags = (gain + lam * 1.5 < 0).astype(jnp.int32)
-    final = apply_alf_chroma(recon, coeffs, flags)
+    final = apply_alf_chroma(recon, coeffs, flags,
+                             bit_depth=bit_depth)
     return coeffs, flags, final
 
 
-def estimate_alf(orig, recon, lam: float):
+def estimate_alf(orig, recon, lam: float, bit_depth: int = 8):
     """Encoder: derive per-class Wiener filters + per-CTB on/off flags.
 
     Returns (coeffs (25, 12) int32, ctb_flags (Cy, Cx) int32,
@@ -227,7 +234,7 @@ def estimate_alf(orig, recon, lam: float):
                       ).astype(jnp.int32)
 
     all_on = jnp.ones(((h + 63) // 64, (w + 63) // 64), jnp.int32)
-    filt = apply_alf(recon, cls, coeffs, all_on)
+    filt = apply_alf(recon, cls, coeffs, all_on, bit_depth=bit_depth)
     # per-CTB RD: filter iff it reduces SSE (+ flag cost)
     cy, cx = all_on.shape
 
@@ -238,5 +245,5 @@ def estimate_alf(orig, recon, lam: float):
 
     gain = ctb_sse(filt) - ctb_sse(recon)
     flags = (gain + lam * 1.5 < 0).astype(jnp.int32)
-    final = apply_alf(recon, cls, coeffs, flags)
+    final = apply_alf(recon, cls, coeffs, flags, bit_depth=bit_depth)
     return coeffs, flags, final

@@ -94,7 +94,7 @@ def luma_edge_mask(size_map: np.ndarray) -> np.ndarray:
     return mask
 
 
-def _filter_luma_dir(y, edge_mask_units, beta, tc, xp):
+def _filter_luma_dir(y, edge_mask_units, beta, tc, xp, maxv=255):
     """One direction of luma deblocking over vertical edges.
 
     y: (H, W) int32; edge_mask_units: (H//8, W//8) bool (True = edge at
@@ -165,13 +165,13 @@ def _filter_luma_dir(y, edge_mask_units, beta, tc, xp):
     delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
     mag_ok = xp.abs(delta0) < 10 * tc
     delta = xp.clip(delta0, -tc, tc)
-    np0 = xp.clip(p0 + delta, 0, 255)
-    nq0 = xp.clip(q0 - delta, 0, 255)
+    np0 = xp.clip(p0 + delta, 0, maxv)
+    nq0 = xp.clip(q0 - delta, 0, maxv)
     half = tc >> 1
     dp1 = xp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1, -half, half)
     dq1 = xp.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1, -half, half)
-    np1 = xp.clip(p1 + dp1, 0, 255)
-    nq1 = xp.clip(q1 + dq1, 0, 255)
+    np1 = xp.clip(p1 + dp1, 0, maxv)
+    nq1 = xp.clip(q1 + dq1, 0, maxv)
 
     norm_app = normal_l & mag_ok
     out_p0 = xp.where(strong_l, sp0, xp.where(norm_app, np0, p0))
@@ -195,7 +195,7 @@ def _filter_luma_dir(y, edge_mask_units, beta, tc, xp):
     return y
 
 
-def _filter_chroma_dir(c, edge_mask_units, tc, xp):
+def _filter_chroma_dir(c, edge_mask_units, tc, xp, maxv=255):
     """Chroma deblocking, vertical edges on the 8-chroma-sample grid.
     edge_mask_units indexed by luma units; chroma edge at chroma column
     8*m corresponds to luma unit column 2*m (16 luma samples)."""
@@ -211,8 +211,8 @@ def _filter_chroma_dir(c, edge_mask_units, tc, xp):
     p1, p0 = c[:, ecols - 2], c[:, ecols - 1]
     q0, q1 = c[:, ecols], c[:, ecols + 1]
     delta = xp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
-    np0 = xp.clip(p0 + delta, 0, 255)
-    nq0 = xp.clip(q0 - delta, 0, 255)
+    np0 = xp.clip(p0 + delta, 0, maxv)
+    nq0 = xp.clip(q0 - delta, 0, maxv)
     out_p0 = xp.where(edge_lines, np0, p0)
     out_q0 = xp.where(edge_lines, nq0, q0)
     if xp is np:
@@ -226,7 +226,8 @@ def _filter_chroma_dir(c, edge_mask_units, tc, xp):
 
 
 def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp,
-                    pred_map=None, mvx=None, mvy=None, coef_y=None):
+                    pred_map=None, mvx=None, mvy=None, coef_y=None,
+                    bit_depth: int = 8):
     """Full normative deblock: vertical then horizontal, luma + chroma.
 
     y: (H, W) int32, cb/cr: (H/2, W/2) int32, size_map: (Uy, Ux).
@@ -238,8 +239,12 @@ def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp,
     if xp is not np:
         y, cb, cr = (xp.asarray(a, dtype=xp.int32) for a in (y, cb, cr))
         size_map = xp.asarray(size_map)
-    beta = beta_of(qp)
-    tc_c = tc_of(qp, bs=2)
+    # HEVC-shaped depth scaling [STD]: thresholds grow with the sample
+    # range (beta/tc tables are defined at 8-bit)
+    dsh = bit_depth - 8
+    maxv = (1 << bit_depth) - 1
+    beta = beta_of(qp) << dsh
+    tc_c = tc_of(qp, bs=2) << dsh
 
     def vmask_of(sm):
         uy, ux = sm.shape
@@ -255,7 +260,7 @@ def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp,
     hm = vmask_of(smT)
 
     if pred_map is None:
-        tc_v = tc_h = tc_of(qp)          # BS=2 everywhere (all-intra)
+        tc_v = tc_h = tc_of(qp) << dsh   # BS=2 everywhere (all-intra)
         vm_c, hm_c = vm, hm
     else:
         cbf = cbf_units(coef_y, xp)
@@ -265,7 +270,8 @@ def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp,
 
         def tc_of_bs(bs):
             return xp.where(bs > 0,
-                            tct[xp.clip(qp + 2 * (bs - 1), 0, 53)], 0)
+                            tct[xp.clip(qp + 2 * (bs - 1), 0, 53)]
+                            << dsh, 0)
 
         tc_v, tc_h = tc_of_bs(bs_v), tc_of_bs(bs_hT)
         vm = vm & (bs_v > 0)
@@ -273,12 +279,12 @@ def deblock_picture(y, cb, cr, size_map, qp: int, xp=jnp,
         vm_c = vm & (bs_v == 2)          # chroma filters at BS=2 only
         hm_c = hm & (bs_hT == 2)
 
-    y = _filter_luma_dir(y, vm, beta, tc_v, xp)
-    y = _filter_luma_dir(y.T, hm, beta, tc_h, xp).T
-    cb = _filter_chroma_dir(cb, vm_c, tc_c, xp)
-    cb = _filter_chroma_dir(cb.T, hm_c, tc_c, xp).T
-    cr = _filter_chroma_dir(cr, vm_c, tc_c, xp)
-    cr = _filter_chroma_dir(cr.T, hm_c, tc_c, xp).T
+    y = _filter_luma_dir(y, vm, beta, tc_v, xp, maxv)
+    y = _filter_luma_dir(y.T, hm, beta, tc_h, xp, maxv).T
+    cb = _filter_chroma_dir(cb, vm_c, tc_c, xp, maxv)
+    cb = _filter_chroma_dir(cb.T, hm_c, tc_c, xp, maxv).T
+    cr = _filter_chroma_dir(cr, vm_c, tc_c, xp, maxv)
+    cr = _filter_chroma_dir(cr.T, hm_c, tc_c, xp, maxv).T
     return y, cb, cr
 
 

@@ -64,21 +64,23 @@ def _filter_axis(p: jnp.ndarray, taps: np.ndarray, axis: int
     return acc
 
 
-def build_pyramid(plane: jnp.ndarray, chroma: bool = False
-                  ) -> jnp.ndarray:
-    """Padded reference plane (int32) -> (16, H', W') uint8 pyramid.
+def build_pyramid(plane: jnp.ndarray, chroma: bool = False,
+                  max_val: int = 255) -> jnp.ndarray:
+    """Padded reference plane (int32) -> (16, H', W') uint8/uint16
+    pyramid (dtype follows max_val).
 
     Index f = frac_y*4 + frac_x; plane 0 is the (clipped) integer plane.
     """
     filters = CHROMA_FILTERS if chroma else LUMA_FILTERS
+    dt = jnp.uint8 if max_val <= 255 else jnp.uint16
     p = plane.astype(jnp.int32)
     planes = []
     for fy in range(4):
         v = _filter_axis(p, filters[fy], axis=0)      # scale 64
         for fx in range(4):
             hv = _filter_axis(v, filters[fx], axis=1)  # scale 4096
-            out = jnp.clip((hv + 2048) >> 12, 0, 255)
-            planes.append(out.astype(jnp.uint8))
+            out = jnp.clip((hv + 2048) >> 12, 0, max_val)
+            planes.append(out.astype(dt))
     return jnp.stack(planes)
 
 
@@ -105,10 +107,12 @@ def make_pyramids(cfg):
     """jit: (recon_y u8, recon_cb u8, recon_cr u8) -> pyramids (device-
     resident DPB entry): luma (16, H+2P, W+2P), chroma 2x (16, ...)."""
 
+    mv = cfg.max_val
+
     def run(y, cb, cr):
-        py = build_pyramid(pad_ref(y.astype(jnp.int32)), False)
-        pcb = build_pyramid(pad_ref(cb.astype(jnp.int32)), True)
-        pcr = build_pyramid(pad_ref(cr.astype(jnp.int32)), True)
+        py = build_pyramid(pad_ref(y.astype(jnp.int32)), False, mv)
+        pcb = build_pyramid(pad_ref(cb.astype(jnp.int32)), True, mv)
+        pcr = build_pyramid(pad_ref(cr.astype(jnp.int32)), True, mv)
         return py, pcb, pcr
 
     return jax.jit(run)

@@ -13,8 +13,9 @@ from x266_tpu.specmodel.quant import (DEQUANT_SCALES, QUANT_SCALES,
                                       transform_shift)
 
 
-def quantize(coef: jnp.ndarray, qp: int, size: int) -> jnp.ndarray:
-    qbits = 14 + qp // 6 + transform_shift(size)
+def quantize(coef: jnp.ndarray, qp: int, size: int,
+             bit_depth: int = 8) -> jnp.ndarray:
+    qbits = 14 + qp // 6 + transform_shift(size, bit_depth)
     add = 171 << (qbits - 9)
     scale = int(QUANT_SCALES[qp % 6])
     # |coef| <= 32768, fQ <= 26214, add < 2^26  =>  fits int32 exactly.
@@ -24,15 +25,16 @@ def quantize(coef: jnp.ndarray, qp: int, size: int) -> jnp.ndarray:
     return (jnp.sign(c) * level).astype(jnp.int32)
 
 
-def dequantize(level: jnp.ndarray, qp: int, size: int) -> jnp.ndarray:
-    ishift = 6 - transform_shift(size)
+def dequantize(level: jnp.ndarray, qp: int, size: int,
+               bit_depth: int = 8) -> jnp.ndarray:
+    ishift = 6 - transform_shift(size, bit_depth)
     scale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
     c = (level.astype(jnp.int32) * scale + (1 << (ishift - 1))) >> ishift
     return jnp.clip(c, -32768, 32767)
 
 
 def rd_quantize(coef: jnp.ndarray, qp: int, size: int,
-                lam: float) -> jnp.ndarray:
+                lam: float, bit_depth: int = 8) -> jnp.ndarray:
     """Rate-distortion-optimized quantization (C11 "RDOQ", encoder-only).
 
     The quantizer is non-normative [STD, specmodel.quant docstring], so
@@ -48,7 +50,7 @@ def rd_quantize(coef: jnp.ndarray, qp: int, size: int,
     two by the HM shift schedule, specmodel.transforms docstring), so lam
     is the standard pixel-domain lambda (config.lambda_mode).
     """
-    tsh = transform_shift(size)
+    tsh = transform_shift(size, bit_depth)
     qbits = 14 + qp // 6 + tsh
     scale = int(QUANT_SCALES[qp % 6])
     ishift = 6 - tsh

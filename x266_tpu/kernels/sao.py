@@ -67,7 +67,8 @@ def _upsample_ctb(param, h, w, xp, ctb=64):
     return xp.repeat(xp.repeat(param, ctb, axis=0), ctb, axis=1)[:h, :w]
 
 
-def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp, ctb=64):
+def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp, ctb=64,
+              bit_depth: int = 8):
     """Apply per-CTB SAO to one plane (luma ctb=64, 4:2:0 chroma ctb=32
     — the parameter grid is the LUMA CTU grid either way).
 
@@ -101,15 +102,15 @@ def apply_sao(y, sao_type, sao_band, sao_off, xp=jnp, ctb=64):
         edge_off = xp.where(cat == i + 1, offs_p[i], edge_off)
     edge_off = xp.where(is_edge & (cat > 0), edge_off, 0)
 
-    # band: 4 consecutive bands from band_p
-    band = y >> 3
+    # band: 4 consecutive of 32 bands over the sample range
+    band = y >> (bit_depth - 5)
     rel = band - band_p
     band_off = xp.zeros_like(y)
     for i in range(4):
         band_off = xp.where(rel == i, offs_p[i], band_off)
     band_off = xp.where(type_p == SAO_BAND, band_off, 0)
 
-    return xp.clip(y + edge_off + band_off, 0, 255)
+    return xp.clip(y + edge_off + band_off, 0, (1 << bit_depth) - 1)
 
 
 # ---- encoder-side estimation (non-normative, float allowed) ---------------
@@ -122,7 +123,8 @@ def _ctb_block_sum(a, cy, cx, ctb=64):
     return a.reshape(cy, ctb, cx, ctb).sum(axis=(1, 3))
 
 
-def estimate_sao(orig, recon, lam: float, ctb=64):
+def estimate_sao(orig, recon, lam: float, ctb=64,
+                 bit_depth: int = 8):
     """Pick per-CTB SAO params minimizing D + lambda*R (jnp, batched).
 
     Returns (sao_type, sao_band, sao_off) as int32 arrays.
@@ -159,7 +161,7 @@ def estimate_sao(orig, recon, lam: float, ctb=64):
         edge_offsets.append(jnp.stack(offs, axis=-1))  # (Cy, Cx, 4)
 
     # ---- band candidate: best 4 consecutive of 32 bands ----
-    band = recon >> 3
+    band = recon >> (bit_depth - 5)
     e_b, n_b = [], []
     for b in range(32):
         e, n = stats_for(band == b)

@@ -68,15 +68,22 @@ def _exact_mm(data: jnp.ndarray, mat: jnp.ndarray, subs: str,
 
 def forward_transform(residual: jnp.ndarray, size: int,
                       tx_v: int = spec.TX_DCT2,
-                      tx_h: int = spec.TX_DCT2) -> jnp.ndarray:
-    """(B, s, s) int32 residual (|r| <= 255) -> (B, s, s) int32 coefs."""
+                      tx_h: int = spec.TX_DCT2,
+                      bit_depth: int = 8) -> jnp.ndarray:
+    """(B, s, s) int32 residual (|r| < 2^bd) -> (B, s, s) int32 coefs.
+
+    HM shift schedule: shift1 = log2s + bit_depth - 9, shift2 =
+    log2s + 6 (total gain 2^transform_shift over an orthonormal-scaled
+    basis regardless of depth).
+    """
     log2s = size.bit_length() - 1
     tv = jnp.asarray(_mat(tx_v, size))
     th = jnp.asarray(_mat(tx_h, size))
     x = residual.astype(jnp.int32)
-    # Vertical: T @ X; residual is 9-bit signed -> exact without limbs.
+    # Vertical: T @ X; residual is <= 11-bit signed -> exact without
+    # limbs (max |partial| = 255 * 2047 * 32 < 2^24).
     tmp = _exact_mm(x, tv, "bnm,kn->bkm", limb=False)
-    tmp = _rshift_round(tmp, log2s - 1)
+    tmp = _rshift_round(tmp, log2s + bit_depth - 9)
     coef = _exact_mm(tmp, th, "bkm,lm->bkl", limb=True)
     coef = _rshift_round(coef, log2s + 6)
     return jnp.clip(coef, -32768, 32767)
@@ -84,15 +91,17 @@ def forward_transform(residual: jnp.ndarray, size: int,
 
 def inverse_transform(coef: jnp.ndarray, size: int,
                       tx_v: int = spec.TX_DCT2,
-                      tx_h: int = spec.TX_DCT2) -> jnp.ndarray:
-    """Normative inverse: (B, s, s) int32 coefs -> int32 residual [STD]."""
+                      tx_h: int = spec.TX_DCT2,
+                      bit_depth: int = 8) -> jnp.ndarray:
+    """Normative inverse: (B, s, s) int32 coefs -> int32 residual [STD].
+    HM shifts: 7 then 20 - bit_depth."""
     tv = jnp.asarray(_mat(tx_v, size))
     th = jnp.asarray(_mat(tx_h, size))
     c = coef.astype(jnp.int32)
     tmp = _exact_mm(c, tv, "bkm,kn->bnm", limb=True)      # T^T @ C
     tmp = jnp.clip(_rshift_round(tmp, 7), -32768, 32767)
     res = _exact_mm(tmp, th, "bnm,ml->bnl", limb=True)    # tmp @ T
-    res = _rshift_round(res, 12)
+    res = _rshift_round(res, 20 - bit_depth)
     return jnp.clip(res, -32768, 32767)
 
 
