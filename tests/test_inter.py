@@ -79,3 +79,21 @@ def test_idr_refresh():
     # pocs 0, 2, 4 are IDR: bigger than their P successors
     assert res.frame_bits[0] > res.frame_bits[1]
     assert res.frame_bits[2] > res.frame_bits[3]
+
+
+def test_merge_cands_roundtrip():
+    """C7 merge list: skip CUs signal merge_idx over {derived, above};
+    encode/decode reconstruction stays bit-exact for P and B streams."""
+    from x266_tpu.core.yuv import synthetic_clip
+
+    W, H = 96, 64
+    frames = synthetic_clip(W, H, 5, kind="mixed", seed=31)
+    for kw in (dict(intra_period=8),
+               dict(intra_period=8, gop_size=4, deblock=True, sao=True)):
+        cfg = CodecConfig(width=W, height=H, qp=32, merge_cands=True,
+                          **kw)
+        res = Encoder(cfg).encode(frames)
+        cfg2, dec = Decoder().decode(res.bitstream)
+        assert cfg2.merge_cands
+        for a, b in zip(res.recon, dec):
+            assert frame_md5(a) == frame_md5(b)

@@ -81,11 +81,14 @@ PCFGS = [
     CodecConfig(width=112, height=80, qp=30, intra_period=8),
     CodecConfig(width=128, height=64, qp=35, intra_period=8,
                 lossless=False, max_cu_size=16),
+    CodecConfig(width=112, height=80, qp=30, intra_period=8,
+                merge_cands=True),
 ]
 
 
 @pytest.mark.parametrize("cfg", PCFGS, ids=lambda c: (
-    f"{c.width}x{c.height}-qp{c.qp}-cu{c.max_cu_size}"))
+    f"{c.width}x{c.height}-qp{c.qp}-cu{c.max_cu_size}"
+    f"{'-merge' if c.merge_cands else ''}"))
 def test_inter_matches_scan(cfg):
     """P-picture recon: Pallas kernel == XLA scan (incl. derived skip
     MVs, MC, and the final MV map outputs)."""

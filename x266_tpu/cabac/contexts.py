@@ -27,7 +27,8 @@ PRED_MODE = 79     # 1: intra (1) vs inter (0), P/B slices
 MVD_GT0 = 80       # 2: mvd component != 0 (x, y)
 BLIST = 82         # 2: [bi-pred flag, L1 flag] (B slices)
 TS_FLAG = 84       # 1: transform_skip_flag (C10, luma TUs)
-NUM_CONTEXTS = 85
+MERGE_IDX = 85     # 1: skip merge candidate index (C7, cfg.merge_cands)
+NUM_CONTEXTS = 86
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

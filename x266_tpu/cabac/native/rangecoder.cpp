@@ -40,7 +40,8 @@ constexpr int CTX_PRED_MODE = 79;
 constexpr int CTX_MVD_GT0 = 80;
 constexpr int CTX_BLIST = 82;
 constexpr int CTX_TS_FLAG = 84;   // transform_skip_flag (C10)
-constexpr int NUM_CONTEXTS = 85;
+constexpr int CTX_MERGE_IDX = 85; // skip merge candidate index (C7)
+constexpr int NUM_CONTEXTS = 86;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -279,7 +280,9 @@ struct Picture {
   int32_t* coef_y;
   int32_t* coef_cb;
   int32_t* coef_cr;
-  int has_mts = 0;                 // bit 0: cfg.mts; bit 1: cfg.transform_skip
+  int has_mts = 0;                 // tool bits: 0 cfg.mts,
+                                   // 1 cfg.transform_skip,
+                                   // 2 cfg.merge_cands
   int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
   int is_p = 0;                    // P or B slice
   int is_b = 0;                    // B slice (L1/bi kinds allowed)
@@ -306,6 +309,17 @@ struct Picture {
     if (is_p && pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA)
       return DC_MODE;
     return mode_map[(uy - 1) * ux_n + ux];
+  }
+  // Merge candidate 1 (C7): the above rule alone.
+  void mv_above(int ux, int uy, int* px, int* py) const {
+    if (uy > 0 && (uy & 7) != 0 &&
+        pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA) {
+      *px = mvx_map[(uy - 1) * ux_n + ux];
+      *py = mvy_map[(uy - 1) * ux_n + ux];
+      return;
+    }
+    *px = 0;
+    *py = 0;
   }
   // Skip/MVD predictor; mirrors engine.inter.mv_predictor_np.
   void mv_predictor(int ux, int uy, int* px, int* py) const {
@@ -457,7 +471,16 @@ struct SegEncoder {
     if (pic.is_p) {
       int kind = pic.pred_map[uy * pic.ux_n + ux];
       enc.encode_bin(ctxs, CTX_SKIP, kind == PRED_SKIP);
-      if (kind == PRED_SKIP) return;
+      if (kind == PRED_SKIP) {
+        if (pic.has_mts & 4) {
+          int px, py;
+          pic.mv_predictor(ux, uy, &px, &py);
+          int midx = (pic.mvx_map[uy * pic.ux_n + ux] != px ||
+                      pic.mvy_map[uy * pic.ux_n + ux] != py);
+          enc.encode_bin(ctxs, CTX_MERGE_IDX, midx);
+        }
+        return;
+      }
       enc.encode_bin(ctxs, CTX_PRED_MODE, kind == PRED_INTRA);
       if (kind != PRED_INTRA) {
         if (pic.is_b) {
@@ -712,6 +735,8 @@ struct SegDecoder {
       if (dec.decode_bin(ctxs, CTX_SKIP)) {
         int px, py;
         pic.mv_predictor(ux, uy, &px, &py);
+        if ((pic.has_mts & 4) && dec.decode_bin(ctxs, CTX_MERGE_IDX))
+          pic.mv_above(ux, uy, &px, &py);
         fill_pred(ux, uy, u, PRED_SKIP, px, py);
         return;
       }

@@ -92,6 +92,13 @@ class _Walker:
             return int(mx[uy - 1, ux]), int(my[uy - 1, ux])
         return 0, 0
 
+    def _mv_above(self, ux, uy):
+        """Merge candidate 1 (C7): the above rule alone."""
+        pm, mx, my = self.pred_map, self.mvx_map, self.mvy_map
+        if uy > 0 and (uy & 7) != 0 and pm[uy - 1, ux] != PRED_INTRA:
+            return int(mx[uy - 1, ux]), int(my[uy - 1, ux])
+        return 0, 0
+
     # -- neighbor mode derivation (line-buffer-free rule [STD-shaped]) -----
     def _neighbor_modes(self, mode_map, ux, uy):
         """Non-intra neighbors count as DC [STD]: in P slices the
@@ -230,6 +237,15 @@ class SyntaxEncoder(_Walker):
             self.enc.encode_bin(self.ctxs, cx.SKIP,
                                 int(kind == PRED_SKIP))
             if kind == PRED_SKIP:
+                if self.cfg.merge_cands:
+                    # merge_idx derived by comparing the scan's FINAL
+                    # MV against candidate 0 (identical rule both
+                    # sides; equal candidates resolve to index 0)
+                    c0 = self._mv_predictor(ux, uy)
+                    mv = (int(self.mvx_map[uy, ux]),
+                          int(self.mvy_map[uy, ux]))
+                    self.enc.encode_bin(self.ctxs, cx.MERGE_IDX,
+                                        int(mv != c0))
                 return   # derived MV, no residual, nothing else coded
             self.enc.encode_bin(self.ctxs, cx.PRED_MODE,
                                 int(kind == PRED_INTRA))
@@ -450,6 +466,9 @@ class SyntaxDecoder(_Walker):
             self.size_map[uy:uy + u, ux:ux + u] = s
             if self.dec.decode_bin(self.ctxs, cx.SKIP):
                 px, py = self._mv_predictor(ux, uy)
+                if self.cfg.merge_cands and self.dec.decode_bin(
+                        self.ctxs, cx.MERGE_IDX):
+                    px, py = self._mv_above(ux, uy)
                 self.pred_map[uy:uy + u, ux:ux + u] = PRED_SKIP
                 self.mvx_map[uy:uy + u, ux:ux + u] = px
                 self.mvy_map[uy:uy + u, ux:ux + u] = py

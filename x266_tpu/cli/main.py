@@ -52,6 +52,7 @@ def cmd_encode(args) -> int:
         alf=args.alf, alf_chroma=args.alf_chroma,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
+        merge_cands=args.merge_cands,
         tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
@@ -152,6 +153,8 @@ def main(argv=None) -> int:
                    help="PDPC intra blend (requires --profile vvc)")
     e.add_argument("--rdoq", action="store_true",
                    help="RD-optimized quantization (encoder-only)")
+    e.add_argument("--merge", action="store_true", dest="merge_cands",
+                   help="2-candidate skip merge list (C7)")
     e.add_argument("--tile-rows", type=int, default=0)
     e.add_argument("--gop", type=int, default=1,
                    help="intra period: 1 = all-intra, N = IDR every N "

@@ -78,6 +78,9 @@ class CodecConfig:
     # non-normative [STD]): per-coefficient D + lambda*R level decision
     # (kernels.quant.rd_quantize) instead of the fixed deadzone.
     rdoq: bool = False
+    # C7 merge candidate list: skip CUs signal merge_idx over the
+    # 2-candidate list {derived (left-first), above} (FORMAT.md §7).
+    merge_cands: bool = False
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the

@@ -33,6 +33,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.mts)
     w.flag(cfg.transform_skip)
     w.flag(cfg.pdpc)
+    w.flag(cfg.merge_cands)
     w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
@@ -59,6 +60,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     mts = r.flag()
     transform_skip = r.flag()
     pdpc = r.flag()
+    merge_cands = r.flag()
     ctx_init = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
@@ -71,7 +73,8 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        deblock=deblock, sao=sao, sao_chroma=sao_chroma,
                        alf=alf, alf_chroma=alf_chroma, mts=mts,
                        transform_skip=transform_skip,
-                       pdpc=pdpc, ctx_init=ctx_init,
+                       pdpc=pdpc, merge_cands=merge_cands,
+                       ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)

@@ -112,9 +112,21 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size, warped=None):
     res = orig - pred
     mv_bits = jnp.sum(2.0 + 2.0 * jnp.log2(
         jnp.abs(mv - mvl).astype(jnp.float32) + 1.0), axis=1)
-    dist_s = jnp.maximum(
-        jnp.maximum(kcost.sse(pred_skl, orig), kcost.sse(pred_ska, orig)),
-        kcost.sse(pred_zero, orig))
+    sse_l = kcost.sse(pred_skl, orig)
+    sse_a = kcost.sse(pred_ska, orig)
+    sse_z = kcost.sse(pred_zero, orig)
+    if cfg.merge_cands:
+        # merge list (C7): candidate 0 derives left-first (worst case
+        # over all three derivable shapes), candidate 1 is the above
+        # rule (worst case over {above, zero}); the encoder signals the
+        # better index per skip CU.
+        d_c0 = jnp.maximum(jnp.maximum(sse_l, sse_a), sse_z)
+        d_c1 = jnp.maximum(sse_a, sse_z)
+        midx = (d_c1 < d_c0).astype(jnp.int32)
+        dist_s = jnp.minimum(d_c0, d_c1)
+    else:
+        midx = jnp.zeros(sse_l.shape, jnp.int32)
+        dist_s = jnp.maximum(jnp.maximum(sse_l, sse_a), sse_z)
     if cfg.lossless:
         rate = kcost.rate_estimate_levels(res)
         cost_i = lam * (rate + mv_bits + 3.0)
@@ -136,7 +148,8 @@ def _inter_cost(cfg, plane, pyr_y, mv_grid, size, warped=None):
         cost_s = dist_s + lam * 2.0
 
     return (cost_i.reshape(gy, gx), mv[:, 0].reshape(gy, gx),
-            mv[:, 1].reshape(gy, gx), cost_s.reshape(gy, gx))
+            mv[:, 1].reshape(gy, gx), cost_s.reshape(gy, gx),
+            midx.reshape(gy, gx))
 
 
 @functools.cache
@@ -185,9 +198,8 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
                 continue
             cost_intra, mode_intra = _eval_size(plane, s, cfg,
                                                 inter_slice=True)
-            c_int, mvx, mvy, c_skip = _inter_cost(cfg, plane, pyr_y,
-                                                  mv_grid, s,
-                                                  warp.get(s))
+            c_int, mvx, mvy, c_skip, midx = _inter_cost(
+                cfg, plane, pyr_y, mv_grid, s, warp.get(s))
             valid = jnp.isfinite(cost_intra)
             c_int = jnp.where(valid, c_int, jnp.inf)
             c_skip = jnp.where(valid, c_skip, jnp.inf)
@@ -196,6 +208,11 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
                 c_skip <= jnp.minimum(cost_intra, c_int), PRED_SKIP,
                 jnp.where(c_int < cost_intra, PRED_INTER, PRED_INTRA)
             ).astype(jnp.int32)
+            if cfg.merge_cands:
+                # skip CUs carry merge_idx in the mvx map slot (the
+                # explicit MV is unused there; FORMAT.md §7)
+                mvx = jnp.where(kind == PRED_SKIP, midx, mvx)
+                mvy = jnp.where(kind == PRED_SKIP, 0, mvy)
             per_size[s] = (best, mode_intra, kind, mvx, mvy)
 
         size_map = jnp.full((uy, ux), 8, jnp.int32)
@@ -339,10 +356,11 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
             cost_intra, mode_intra = _eval_size(plane, s, cfg,
                                                 inter_slice=True)
             w0 = warp0.get(s)
-            c0, x0, y0, c_skip = _inter_cost(cfg, plane, pyr0_y, g0, s,
-                                             w0)
+            c0, x0, y0, c_skip, midx = _inter_cost(cfg, plane, pyr0_y,
+                                                   g0, s, w0)
             w1 = ((warp1[s],) * 3 if s in warp1 else None)
-            c1, x1, y1, _ = _inter_cost(cfg, plane, pyr1_y, g1, s, w1)
+            c1, x1, y1, _, _ = _inter_cost(cfg, plane, pyr1_y, g1, s,
+                                           w1)
             wb = ((w0[0], warp1[s]) if (w0 and s in warp1) else None)
             cb_, bx0, by0, bx1, by1 = _bi_cost(cfg, plane, pyr0_y,
                                                pyr1_y, g0, g1, s, wb)
@@ -362,6 +380,10 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
                 jnp.where(c_expl < cost_intra, kind_expl, PRED_INTRA)
             ).astype(jnp.int32)
             best = jnp.minimum(jnp.minimum(cost_intra, c_expl), c_skip)
+            if cfg.merge_cands:
+                # skip carries merge_idx in the primary-MV x slot
+                x0 = jnp.where(kind == PRED_SKIP, midx, x0)
+                y0 = jnp.where(kind == PRED_SKIP, 0, y0)
             # primary MV: L0 for INTER/SKIP/BI, L1's for PRED_L1
             pmx = jnp.where(kind == PRED_L1, x1,
                             jnp.where(kind == PRED_BI, bx0, x0))
@@ -542,6 +564,23 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                            else None)
                 skip = kind == PRED_SKIP
                 dx, dy = derive_mv(ux, uy)
+                if cfg.merge_cands:
+                    if encode:
+                        # candidate 1: the above rule; merge_idx rides
+                        # the (otherwise unused) skip mvx slot
+                        uyl = jnp.maximum(uy - 1, 0)
+                        a_ok = ((uy > 0) & ((uy & 7) != 0)
+                                & (pred_map[uyl, ux] != PRED_INTRA))
+                        ax = jnp.where(a_ok, mvx_st_ref[0][uyl, ux], 0)
+                        ay = jnp.where(a_ok, mvy_st_ref[0][uyl, ux], 0)
+                        use1 = mvx_map[uy, ux] == 1
+                        dx = jnp.where(use1, ax, dx)
+                        dy = jnp.where(use1, ay, dy)
+                    else:
+                        # decode: the entropy walker already resolved
+                        # the candidate into the MV maps
+                        dx = mvx_map[uy, ux]
+                        dy = mvy_map[uy, ux]
                 mvx = jnp.where(skip, dx, mvx_map[uy, ux])
                 mvy = jnp.where(skip, dy, mvy_map[uy, ux])
                 is_inter = kind != PRED_INTRA

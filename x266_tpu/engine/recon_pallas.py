@@ -669,6 +669,20 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                     skip = kind == PRED_SKIP
                     is_inter = kind != PRED_INTRA
                     dmx, dmy = derive_mv(zx, zy)
+                    if cfg.merge_cands and encode:
+                        # merge candidate 1 (above rule); merge_idx
+                        # arrives in the skip CU's mvx attr slot
+                        arow = jnp.maximum(zy - 1, 0)
+                        a_ok = (zy > 0) & (int_s[arow, zx] == 1)
+                        ax = jnp.where(a_ok, mvx_s[arow, zx], 0)
+                        ay = jnp.where(a_ok, mvy_s[arow, zx], 0)
+                        use1 = amvx == 1
+                        dmx = jnp.where(use1, ax, dmx)
+                        dmy = jnp.where(use1, ay, dmy)
+                    elif cfg.merge_cands:
+                        # decode: the walker resolved the candidate
+                        # into the MV maps already
+                        dmx, dmy = amvx, amvy
                     mvx = jnp.where(skip, dmx, amvx)
                     mvy = jnp.where(skip, dmy, amvy)
                     if b_mode:
