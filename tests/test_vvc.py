@@ -204,3 +204,49 @@ def test_mts_syntax_native_parity():
                                mts_map=dec.mts_map)
     assert (dec.mode_map == mm).all()
     assert (dec.coef["y"] == cy).all()
+
+
+def test_cclm_roundtrip_and_gain():
+    """C6 CCLM: per-CU chroma linear-model prediction.  On colorized-
+    luminance content (chroma = linear in luma) it must win both rate
+    and chroma quality; streams round-trip bit-exactly incl. with MTS
+    and in GOPs (I-slice CUs only)."""
+    from x266_tpu.core.yuv import Frame, synthetic_clip
+
+    W, H = 128, 96
+    base = synthetic_frame(W, H, kind="mixed", seed=7)
+    yd = base.y.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    cb = np.clip(40 + 0.6 * yd, 0, 255).astype(np.uint8)
+    cr = np.clip(200 - 0.5 * yd, 0, 255).astype(np.uint8)
+    fr = Frame(base.y, cb, cr)
+
+    def run(**kw):
+        cfg = CodecConfig(width=W, height=H, qp=32,
+                          profile=Profile.VVC, rdoq=True, **kw)
+        res = Encoder(cfg).encode([fr])
+        cfg2, dec = Decoder().decode(res.bitstream)
+        assert frame_md5(res.recon[0]) == frame_md5(dec[0])
+        return res, cfg2
+
+    res_d, _ = run()
+    res_c, cfg2 = run(cclm=True)
+    assert cfg2.cclm
+
+    def csse(res):
+        return (np.sum((res.recon[0].cb.astype(np.int64)
+                        - cb.astype(np.int64)) ** 2)
+                + np.sum((res.recon[0].cr.astype(np.int64)
+                          - cr.astype(np.int64)) ** 2))
+
+    assert sum(res_c.frame_bits) < sum(res_d.frame_bits)
+    assert csse(res_c) < csse(res_d)
+    run(cclm=True, mts=True, transform_skip=True)
+
+    # GOP stream: CCLM on the I pictures, P pictures untouched
+    frames = synthetic_clip(W, H, 3, kind="mixed", seed=7)
+    cfg = CodecConfig(width=W, height=H, qp=32, profile=Profile.VVC,
+                      cclm=True, intra_period=2, deblock=True)
+    res = Encoder(cfg).encode(frames)
+    _, dec = Decoder().decode(res.bitstream)
+    for a, b in zip(res.recon, dec):
+        assert frame_md5(a) == frame_md5(b)

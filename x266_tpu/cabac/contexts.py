@@ -28,7 +28,8 @@ MVD_GT0 = 80       # 2: mvd component != 0 (x, y)
 BLIST = 82         # 2: [bi-pred flag, L1 flag] (B slices)
 TS_FLAG = 84       # 1: transform_skip_flag (C10, luma TUs)
 MERGE_IDX = 85     # 1: skip merge candidate index (C7, cfg.merge_cands)
-NUM_CONTEXTS = 86
+CCLM_FLAG = 86     # 1: chroma CCLM vs DM (C6, cfg.cclm, I slices)
+NUM_CONTEXTS = 87
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

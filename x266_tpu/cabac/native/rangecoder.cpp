@@ -41,7 +41,8 @@ constexpr int CTX_MVD_GT0 = 80;
 constexpr int CTX_BLIST = 82;
 constexpr int CTX_TS_FLAG = 84;   // transform_skip_flag (C10)
 constexpr int CTX_MERGE_IDX = 85; // skip merge candidate index (C7)
-constexpr int NUM_CONTEXTS = 86;
+constexpr int CTX_CCLM = 86;      // chroma CCLM vs DM (C6, I slices)
+constexpr int NUM_CONTEXTS = 87;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -518,6 +519,9 @@ struct SegEncoder {
         if (mpm[i] < mode) rank--;
       enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
     }
+    if ((pic.has_mts & 8) && !pic.is_p)  // chroma CCLM flag (C6)
+      enc.encode_bin(ctxs, CTX_CCLM,
+                     (pic.mts_map[uy * pic.ux_n + ux] >> 3) & 1);
     leaf_residuals(x, y, s);
   }
 
@@ -537,7 +541,7 @@ struct SegEncoder {
     enc.encode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1), cbf_y);
     enc.encode_bin(ctxs, CTX_CBF_C + 0, cbf_cb);
     enc.encode_bin(ctxs, CTX_CBF_C + 1, cbf_cr);
-    int mts = pic.mts_map[uy * pic.ux_n + ux];
+    int mts = pic.mts_map[uy * pic.ux_n + ux] & 7;  // bit 3 is CCLM
     if ((pic.has_mts & 2) && cbf_y)
       enc.encode_bin(ctxs, CTX_TS_FLAG, mts == 5);
     if ((pic.has_mts & 1) && cbf_y && mts != 5) {
@@ -792,6 +796,12 @@ struct SegDecoder {
         pic.size_map[(uy + j) * pic.ux_n + ux + i] = s;
         pic.mode_map[(uy + j) * pic.ux_n + ux + i] = mode;
       }
+    if ((pic.has_mts & 8) && !pic.is_p) {   // chroma CCLM flag (C6)
+      int cc = dec.decode_bin(ctxs, CTX_CCLM);
+      for (int j = 0; j < u; j++)
+        for (int i = 0; i < u; i++)
+          pic.mts_map[(uy + j) * pic.ux_n + ux + i] |= cc << 3;
+    }
     leaf_residuals(x, y, s);
   }
 
@@ -812,7 +822,7 @@ struct SegDecoder {
       }
       for (int j = 0; j < u; j++)
         for (int i = 0; i < u; i++)
-          pic.mts_map[(uy + j) * pic.ux_n + ux + i] = mts;
+          pic.mts_map[(uy + j) * pic.ux_n + ux + i] |= mts;
     }
     int w = pic.width, cw = w / 2;
     if (cbf_y) residual(pic.coef_y, w, x, y, s, false);

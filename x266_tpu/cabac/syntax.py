@@ -277,6 +277,12 @@ class SyntaxEncoder(_Walker):
             self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
             rank = mode - sum(1 for m in mpms if m < mode)
             self.enc.encode_bypass_bits(rank, self.mode_bits)
+        if self.cfg.cclm and not self.is_p:
+            # chroma CCLM vs DM (C6); the in-scan decision rides mts
+            # bit 3 (engine.recon)
+            self.enc.encode_bin(
+                self.ctxs, cx.CCLM_FLAG,
+                (int(self.mts_map[uy, ux]) >> 3) & 1)
         self._leaf_residuals(x, y, s)
 
     def _leaf_residuals(self, x, y, s):
@@ -291,7 +297,7 @@ class SyntaxEncoder(_Walker):
                             cbf_y)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 0, cbf_cb)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 1, cbf_cr)
-        mts = int(self.mts_map[uy, ux])
+        mts = int(self.mts_map[uy, ux]) & 7     # bit 3 is CCLM
         if self.cfg.transform_skip and cbf_y:
             self.enc.encode_bin(self.ctxs, cx.TS_FLAG, int(mts == 5))
         if self.cfg.mts and cbf_y and mts != 5:
@@ -511,6 +517,9 @@ class SyntaxDecoder(_Walker):
                     mode += 1
         self.size_map[uy:uy + u, ux:ux + u] = s
         self.mode_map[uy:uy + u, ux:ux + u] = mode
+        if self.cfg.cclm and not self.is_p:
+            cc = self.dec.decode_bin(self.ctxs, cx.CCLM_FLAG)
+            self.mts_map[uy:uy + u, ux:ux + u] |= cc << 3
         self._leaf_residuals(x, y, s, u, ux, uy)
 
     def _leaf_residuals(self, x, y, s, u, ux, uy):
@@ -527,7 +536,7 @@ class SyntaxDecoder(_Walker):
             elif self.cfg.mts:
                 if self.dec.decode_bin(self.ctxs, cx.MTS):
                     mts = 1 + self.dec.decode_bypass_bits(2)
-            self.mts_map[uy:uy + u, ux:ux + u] = mts
+            self.mts_map[uy:uy + u, ux:ux + u] |= mts
         if cbf_y:
             self.coef["y"][y:y + s, x:x + s] = self._residual(s, False)
         if cbf_cb:

@@ -52,7 +52,7 @@ def cmd_encode(args) -> int:
         alf=args.alf, alf_chroma=args.alf_chroma,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
-        merge_cands=args.merge_cands,
+        merge_cands=args.merge_cands, cclm=args.cclm,
         tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
@@ -155,6 +155,8 @@ def main(argv=None) -> int:
                    help="RD-optimized quantization (encoder-only)")
     e.add_argument("--merge", action="store_true", dest="merge_cands",
                    help="2-candidate skip merge list (C7)")
+    e.add_argument("--cclm", action="store_true",
+                   help="chroma from luma (requires --profile vvc)")
     e.add_argument("--tile-rows", type=int, default=0)
     e.add_argument("--gop", type=int, default=1,
                    help="intra period: 1 = all-intra, N = IDR every N "

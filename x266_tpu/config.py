@@ -81,6 +81,10 @@ class CodecConfig:
     # C7 merge candidate list: skip CUs signal merge_idx over the
     # 2-candidate list {derived (left-first), above} (FORMAT.md §7).
     merge_cands: bool = False
+    # C6 CCLM: intra chroma prediction from the collocated reconstructed
+    # luma via a per-TU linear model (SPS-level: applies to every intra
+    # CU's chroma; requires profile=VVC; FORMAT.md §7).
+    cclm: bool = False
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
@@ -115,6 +119,8 @@ class CodecConfig:
             raise ValueError("MTS requires the VVC profile")
         if self.pdpc and self.profile != Profile.VVC:
             raise ValueError("PDPC requires the VVC profile")
+        if self.cclm and self.profile != Profile.VVC:
+            raise ValueError("CCLM requires the VVC profile")
         if self.sao_chroma and not self.sao:
             raise ValueError("sao_chroma requires sao")
         if self.alf_chroma and not self.alf:

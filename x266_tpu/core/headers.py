@@ -34,6 +34,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.transform_skip)
     w.flag(cfg.pdpc)
     w.flag(cfg.merge_cands)
+    w.flag(cfg.cclm)
     w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
@@ -61,6 +62,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     transform_skip = r.flag()
     pdpc = r.flag()
     merge_cands = r.flag()
+    cclm = r.flag()
     ctx_init = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
@@ -74,7 +76,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        alf=alf, alf_chroma=alf_chroma, mts=mts,
                        transform_skip=transform_skip,
                        pdpc=pdpc, merge_cands=merge_cands,
-                       ctx_init=ctx_init,
+                       cclm=cclm, ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)

@@ -336,8 +336,11 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
             mts_map = mts_sel(yP, size_map, mode_map)
         else:
             mts_map = jnp.zeros_like(size_map)
-        y8, cb8, cr8, cY, cCb, cCr = rp(yP, cbP, crP, size_map,
-                                        mode_map, mts_map)
+        out_rp = rp(yP, cbP, crP, size_map, mode_map, mts_map)
+        y8, cb8, cr8, cY, cCb, cCr = out_rp[:6]
+        if cfg.cclm:
+            # the scan's per-CU CCLM decisions ride mts bit 3
+            mts_map = out_rp[6]
         (y, cb, cr, (st, sb, so),
          (af, ac, acf, acc), sse) = _filters_and_stats(
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)

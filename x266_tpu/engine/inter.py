@@ -439,7 +439,7 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
     flag = os.environ.get("X266T_PALLAS")
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
-    if use_pallas and cfg.bit_depth == 8:   # 10-bit: XLA scan (C2 note)
+    if use_pallas and cfg.bit_depth == 8:   # 10-bit: XLA scan
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
         return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)

@@ -40,6 +40,48 @@ def _gather_ref(plane, x, y, s):
     return jnp.concatenate([row, col])
 
 
+def cclm_pred(yP, cP, xc, yc, cs, maxv):
+    """CCLM chroma prediction (C6, VVC-shaped; FORMAT.md §7).
+
+    yP: padded luma RECON plane with this CU's luma already written
+    (the luma TU precedes the chroma TUs in the scan); cP: padded
+    chroma recon plane; (xc, yc): chroma TU origin in picture coords;
+    cs: chroma TU size.  Model: 4 boundary (luma_ds, chroma) pairs
+    (2 top, 2 left at 1/4 and 3/4), alpha from the min/max-luma pair
+    in 6-bit fixed point via integer division (deterministic on both
+    sides — self-consistent, no VVC LUT), beta anchored at the min.
+    Out-of-picture neighbors read the mid-gray padding (the x266t
+    availability rule; dynamic_slice clamps negative starts).
+    """
+    lum = jax.lax.dynamic_slice(yP, (2 * yc + 1, 2 * xc + 1),
+                                (2 * cs, 2 * cs))
+    ds = (lum[0::2, 0::2] + lum[1::2, 0::2]
+          + lum[0::2, 1::2] + lum[1::2, 1::2] + 2) >> 2
+
+    def c_at(py, px):
+        return jax.lax.dynamic_slice(cP, (py, px), (1, 1))[0, 0]
+
+    def l_ds_at(py, px):
+        blk = jax.lax.dynamic_slice(yP, (py + 1, px + 1), (2, 2))
+        return (blk[0, 0] + blk[0, 1] + blk[1, 0] + blk[1, 1] + 2) >> 2
+
+    d0, d1 = cs // 4, (3 * cs) // 4
+    cands_c = jnp.stack([c_at(yc, xc + 1 + d0), c_at(yc, xc + 1 + d1),
+                         c_at(yc + 1 + d0, xc), c_at(yc + 1 + d1, xc)])
+    cands_l = jnp.stack([l_ds_at(2 * yc - 2, 2 * (xc + d0)),
+                         l_ds_at(2 * yc - 2, 2 * (xc + d1)),
+                         l_ds_at(2 * (yc + d0), 2 * xc - 2),
+                         l_ds_at(2 * (yc + d1), 2 * xc - 2)])
+    imin = jnp.argmin(cands_l)
+    imax = jnp.argmax(cands_l)
+    lmin, lmax = cands_l[imin], cands_l[imax]
+    cmin, cmax = cands_c[imin], cands_c[imax]
+    alpha = jnp.clip(((cmax - cmin) << 6)
+                     // jnp.maximum(lmax - lmin, 1), -512, 511)
+    beta = cmin - ((alpha * lmin + 32) >> 6)
+    return jnp.clip(((alpha * ds + 32) >> 6) + beta, 0, maxv)
+
+
 # mts_map value signalling transform skip (C10); stable across profiles
 # (the branch index is remapped per the active candidate list below).
 TS_IDX = 5
@@ -98,14 +140,19 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8):
 
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
-        use_mts=False, use_ts=False, bd=8):
+        use_mts=False, use_ts=False, bd=8, pred_override=None):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
-    or cfg.transform_skip; TS_IDX selects transform skip) or None."""
+    or cfg.transform_skip; TS_IDX selects transform skip) or None.
+    pred_override: (s, s) prediction replacing the mode predictor
+    (CCLM chroma)."""
     maxv = (1 << bd) - 1
-    ref = _gather_ref(plane, x, y, s)
-    pred = kintra.predict_mode(ref, mode, s, n_modes, pdpc=pdpc,
-                               left_ok=x > 0, top_ok=y > 0)
+    if pred_override is not None:
+        pred = pred_override
+    else:
+        ref = _gather_ref(plane, x, y, s)
+        pred = kintra.predict_mode(ref, mode, s, n_modes, pdpc=pdpc,
+                                   left_ok=x > 0, top_ok=y > 0)
     if encode:
         orig = jax.lax.dynamic_slice(src, (y + 1, x + 1), (s, s))
         if lossless:
@@ -144,6 +191,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
     bd = cfg.bit_depth
     mid = cfg.mid_val
+    maxv_c = cfg.max_val
 
     use_mts = cfg.mts
     use_ts = cfg.transform_skip
@@ -171,12 +219,18 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
             cs = s // 2
 
             def branch(args):
-                yP, cbP, crP, cY, cCb, cCr, ux, uy = args
+                if cfg.cclm and encode:
+                    yP, cbP, crP, cY, cCb, cCr, mmap, ux, uy = args
+                else:
+                    yP, cbP, crP, cY, cCb, cCr, ux, uy = args
+                    mmap = None
                 x = ux * 8
                 y = uy * 8
                 mode = mode_map[uy, ux]
-                mts_idx = (mts_map[uy, ux] if (use_mts or use_ts)
-                           else None)
+                # mts bit 3 carries the CCLM flag — mask it off the
+                # transform-candidate index
+                mts_idx = ((mts_map[uy, ux] & 7)
+                           if (use_mts or use_ts) else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
                                pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
@@ -184,26 +238,74 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2
+                pob = por = None
+                mts_out = None
+                if cfg.cclm:
+                    # per-CU chroma choice (C6 CCLM): DM vs the linear
+                    # model.  The ENCODER decides IN-SCAN by joint
+                    # Cb+Cr prediction SSE vs the source (sequential
+                    # encoders' chroma RDO, available here because the
+                    # scan holds both recon state and the original);
+                    # the flag rides bit 3 of the mts map so no new
+                    # plumbing or syntax arrays are needed.
+                    cc_b = cclm_pred(yP2, cbP, xc, yc, cs, maxv_c)
+                    cc_r = cclm_pred(yP2, crP, xc, yc, cs, maxv_c)
+                    dm_b = kintra.predict_mode(
+                        _gather_ref(cbP, xc, yc, cs), mode, cs, n_modes)
+                    dm_r = kintra.predict_mode(
+                        _gather_ref(crP, xc, yc, cs), mode, cs, n_modes)
+                    if encode:
+                        ob = jax.lax.dynamic_slice(
+                            srcCb, (yc + 1, xc + 1), (cs, cs))
+                        orr = jax.lax.dynamic_slice(
+                            srcCr, (yc + 1, xc + 1), (cs, cs))
+                        e_cc = (jnp.sum((cc_b - ob) ** 2)
+                                + jnp.sum((cc_r - orr) ** 2))
+                        e_dm = (jnp.sum((dm_b - ob) ** 2)
+                                + jnp.sum((dm_r - orr) ** 2))
+                        use_cc = e_cc < e_dm
+                        mts_out = (mts_map[uy, ux] & 7) | (
+                            use_cc.astype(jnp.int32) << 3)
+                    else:
+                        use_cc = ((mts_map[uy, ux] >> 3) & 1) == 1
+                    pob = jnp.where(use_cc, cc_b, dm_b)
+                    por = jnp.where(use_cc, cc_r, dm_r)
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, cs, qp,
                                  encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam, bd=bd)
+                                 rdoq_lam=rdoq_lam, bd=bd,
+                                 pred_override=pob)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, cs, qp,
                                  encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam, bd=bd)
+                                 rdoq_lam=rdoq_lam, bd=bd,
+                                 pred_override=por)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
                 cCr2 = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))
+                if cfg.cclm and encode:
+                    u = s // 8
+                    blk = jnp.broadcast_to(mts_out, (u, u)).astype(
+                        jnp.int32)
+                    mmap2 = jax.lax.dynamic_update_slice(
+                        mmap, blk, (uy, ux))
+                    return yP2, cbP2, crP2, cY2, cCb2, cCr2, mmap2
                 return yP2, cbP2, crP2, cY2, cCb2, cCr2
 
             return branch
 
         branches = [make_branch(8), make_branch(16), make_branch(32)]
 
+        cclm_carry = cfg.cclm and encode
+        n_carry = 7 if cclm_carry else 6
+
         def unit_body(z, carry):
-            yP, cbP, crP, cY, cCb, cCr, cx, cy = carry
+            if cclm_carry:
+                yP, cbP, crP, cY, cCb, cCr, mmap0, cx, cy = carry
+            else:
+                yP, cbP, crP, cY, cCb, cCr, cx, cy = carry
+                mmap0 = None
             zx = (z & 1) | (((z >> 2) & 1) << 1) | (((z >> 4) & 1) << 2)
             zy = ((z >> 1) & 1) | (((z >> 3) & 1) << 1) \
                 | (((z >> 5) & 1) << 2)
@@ -221,8 +323,12 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
             def do(ops):
                 return jax.lax.switch(code, branches, ops)
 
-            ops = (yP, cbP, crP, cY, cCb, cCr, uxc, uyc)
-            out = jax.lax.cond(inb & origin, do, lambda o: o[:6], ops)
+            if cclm_carry:
+                ops = (yP, cbP, crP, cY, cCb, cCr, mmap0, uxc, uyc)
+            else:
+                ops = (yP, cbP, crP, cY, cCb, cCr, uxc, uyc)
+            out = jax.lax.cond(inb & origin, do,
+                               lambda o: o[:n_carry], ops)
             return (*out, cx, cy)
 
         def ctu_body(carry, ctu_idx):
@@ -230,9 +336,11 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
             cx = ctu_idx % cx_n
             state = (*carry, cx, cy)
             state = jax.lax.fori_loop(0, 64, unit_body, state)
-            return state[:6], None
+            return state[:n_carry], None
 
         carry = (yP, cbP, crP, coefY, coefCb, coefCr)
+        if cclm_carry:
+            carry = carry + (mts_map.astype(jnp.int32),)
         carry, _ = jax.lax.scan(ctu_body, carry, jnp.arange(n_ctu))
         # Narrow + slice ON DEVICE: recon as unpadded uint8/uint16
         # pictures, levels as int16 (they fit by the quant clamp) — ~3x
@@ -241,8 +349,13 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
         y8 = carry[0][1:1 + h, 1:1 + w].astype(pdt)
         cb8 = carry[1][1:1 + ch, 1:1 + cw].astype(pdt)
         cr8 = carry[2][1:1 + ch, 1:1 + cw].astype(pdt)
-        return (y8, cb8, cr8, carry[3].astype(jnp.int16),
-                carry[4].astype(jnp.int16), carry[5].astype(jnp.int16))
+        out = (y8, cb8, cr8, carry[3].astype(jnp.int16),
+               carry[4].astype(jnp.int16), carry[5].astype(jnp.int16))
+        if cclm_carry:
+            # mts map with the in-scan CCLM decisions in bit 3 (the
+            # entropy layer and the decoder consume this version)
+            out = out + (carry[6],)
+        return out
 
     return run
 
@@ -274,9 +387,9 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     flag = os.environ.get("X266T_PALLAS")
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
-    # the Pallas kernel's VMEM tables/windows are 8-bit; 10-bit rides
-    # the XLA scan (SURVEY §8 capability first, kernel depth later)
-    if use_pallas and cfg.bit_depth == 8:
+    # the Pallas kernel's VMEM tables/windows are 8-bit and predate
+    # CCLM; 10-bit / CCLM ride the XLA scan (capability first)
+    if use_pallas and cfg.bit_depth == 8 and not cfg.cclm:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)
