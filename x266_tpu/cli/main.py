@@ -50,6 +50,7 @@ def cmd_encode(args) -> int:
         lossless=args.lossless, deblock=args.deblock, sao=args.sao,
         sao_chroma=args.sao_chroma,
         alf=args.alf, alf_chroma=args.alf_chroma,
+        alf_nonlinear=args.alf_nonlinear, ccalf=args.ccalf,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
         merge_cands=args.merge_cands, cclm=args.cclm,
@@ -122,7 +123,21 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def _force_platform() -> None:
+    """X266T_PLATFORM=cpu|tpu pins the jax backend via the config API
+    (the JAX_PLATFORMS env var is overridden by site customizations on
+    some deployments, so the CLI offers its own knob)."""
+    import os
+
+    plat = os.environ.get("X266T_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _force_platform()
     p = argparse.ArgumentParser(prog="x266t")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -146,6 +161,11 @@ def main(argv=None) -> int:
     e.add_argument("--alf", action="store_true")
     e.add_argument("--alf-chroma", action="store_true",
                    help="chroma ALF 5x5 diamond (requires --alf)")
+    e.add_argument("--alf-nonlinear", action="store_true",
+                   help="nonlinear ALF: clipping + geometric "
+                        "transposes (requires --alf)")
+    e.add_argument("--ccalf", action="store_true",
+                   help="cross-component ALF (requires --alf)")
     e.add_argument("--mts", action="store_true")
     e.add_argument("--transform-skip", action="store_true",
                    help="per-TU transform skip (screen content)")

@@ -66,6 +66,14 @@ class CodecConfig:
     sao_chroma: bool = False        # C14 chroma planes (requires sao)
     alf: bool = False               # C15 (VVC, luma)
     alf_chroma: bool = False        # C15 chroma 5x5 diamond (requires alf)
+    # C15 nonlinear ALF: geometric transposes (derived per 4x4 block, no
+    # signalling) + per-class clip level (2 bits each in the slice
+    # header) applied to every neighbor difference; chroma gets one
+    # plane-global clip level.  Requires alf.
+    alf_nonlinear: bool = False
+    # C15 CC-ALF: per-plane chroma correction from collocated SAO-stage
+    # luma (7-tap diamond, slice-header coefficients + per-CTB flags).
+    ccalf: bool = False             # requires alf
     mts: bool = False               # C10 VVC MTS (requires profile=VVC)
     # C10 transform skip: per-TU flag (luma) coding the residual in the
     # spatial domain (scaled by 2^transform_shift); selected by the
@@ -125,6 +133,10 @@ class CodecConfig:
             raise ValueError("sao_chroma requires sao")
         if self.alf_chroma and not self.alf:
             raise ValueError("alf_chroma requires alf")
+        if self.alf_nonlinear and not self.alf:
+            raise ValueError("alf_nonlinear requires alf")
+        if self.ccalf and not self.alf:
+            raise ValueError("ccalf requires alf")
         if self.gop_size > 1 and (self.gop_size
                                   & (self.gop_size - 1)) != 0:
             raise ValueError("gop_size must be a power of two (the "

@@ -30,6 +30,8 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.sao_chroma)
     w.flag(cfg.alf)
     w.flag(cfg.alf_chroma)
+    w.flag(cfg.alf_nonlinear)
+    w.flag(cfg.ccalf)
     w.flag(cfg.mts)
     w.flag(cfg.transform_skip)
     w.flag(cfg.pdpc)
@@ -58,6 +60,8 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     sao_chroma = r.flag()
     alf = r.flag()
     alf_chroma = r.flag()
+    alf_nonlinear = r.flag()
+    ccalf = r.flag()
     mts = r.flag()
     transform_skip = r.flag()
     pdpc = r.flag()
@@ -73,7 +77,8 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        profile=profile, ctu_size=ctu_size,
                        max_cu_size=max_cu, lossless=lossless,
                        deblock=deblock, sao=sao, sao_chroma=sao_chroma,
-                       alf=alf, alf_chroma=alf_chroma, mts=mts,
+                       alf=alf, alf_chroma=alf_chroma,
+                       alf_nonlinear=alf_nonlinear, ccalf=ccalf, mts=mts,
                        transform_skip=transform_skip,
                        pdpc=pdpc, merge_cands=merge_cands,
                        cclm=cclm, ctx_init=ctx_init,
@@ -114,6 +119,14 @@ class SliceHeader:
     # coefficients (se(v)) and per-plane per-CTB on/off bits.
     alf_ccoeffs: list[int] | None = None      # flattened 12 ints
     alf_cflags: list[int] | None = None       # 2*Cy*Cx bits
+    # nonlinear ALF (iff SPS alf_nonlinear): per-class 2-bit clip level
+    # (u(2)) and, iff alf_chroma too, one 2-bit level per chroma plane.
+    alf_clips: list[int] | None = None        # 25 ints in 0..3
+    alf_cclips: list[int] | None = None       # 2 ints in 0..3
+    # CC-ALF (iff SPS ccalf): 2 planes x 7 diamond coefficients (se(v))
+    # and per-plane per-CTB on/off bits.
+    ccalf_coeffs: list[int] | None = None     # flattened 14 ints
+    ccalf_flags: list[int] | None = None      # 2*Cy*Cx bits
 
 
 def write_slice_header(sh: SliceHeader) -> bytes:
@@ -129,10 +142,21 @@ def write_slice_header(sh: SliceHeader) -> bytes:
             w.se(int(c))
         for f in sh.alf_flags:
             w.flag(int(f))
+        if sh.alf_clips is not None:
+            for c in sh.alf_clips:
+                w.u(int(c), 2)
     if sh.alf_ccoeffs is not None:
         for c in sh.alf_ccoeffs:
             w.se(int(c))
         for f in sh.alf_cflags:
+            w.flag(int(f))
+        if sh.alf_cclips is not None:
+            for c in sh.alf_cclips:
+                w.u(int(c), 2)
+    if sh.ccalf_coeffs is not None:
+        for c in sh.ccalf_coeffs:
+            w.se(int(c))
+        for f in sh.ccalf_flags:
             w.flag(int(f))
     w.align()
     return w.bytes_value()
@@ -140,7 +164,9 @@ def write_slice_header(sh: SliceHeader) -> bytes:
 
 def parse_slice_header(rbsp: bytes, has_alf: bool = False,
                        num_ctbs: int = 0,
-                       has_alf_chroma: bool = False
+                       has_alf_chroma: bool = False,
+                       has_alf_nonlinear: bool = False,
+                       has_ccalf: bool = False
                        ) -> tuple[SliceHeader, int]:
     """Returns (header, payload_byte_offset_within_rbsp)."""
     r = BitReader(rbsp)
@@ -150,12 +176,22 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
     n = r.ue()
     entries = [r.ue() for _ in range(n)]
     alf_coeffs = alf_flags = alf_ccoeffs = alf_cflags = None
+    alf_clips = alf_cclips = ccalf_coeffs = ccalf_flags = None
     if has_alf:
         alf_coeffs = [r.se() for _ in range(25 * 12)]
         alf_flags = [int(r.flag()) for _ in range(num_ctbs)]
+        if has_alf_nonlinear:
+            alf_clips = [r.u(2) for _ in range(25)]
     if has_alf_chroma:
         alf_ccoeffs = [r.se() for _ in range(2 * 6)]
         alf_cflags = [int(r.flag()) for _ in range(2 * num_ctbs)]
+        if has_alf_nonlinear:
+            alf_cclips = [r.u(2) for _ in range(2)]
+    if has_ccalf:
+        ccalf_coeffs = [r.se() for _ in range(2 * 7)]
+        ccalf_flags = [int(r.flag()) for _ in range(2 * num_ctbs)]
     r.align()
     return SliceHeader(st, poc, qp, entries, alf_coeffs,
-                       alf_flags, alf_ccoeffs, alf_cflags), r.byte_position
+                       alf_flags, alf_ccoeffs, alf_cflags,
+                       alf_clips, alf_cclips, ccalf_coeffs,
+                       ccalf_flags), r.byte_position

@@ -82,7 +82,9 @@ def _maps_layout(cfg: CodecConfig):
              ("pred", u), ("mvx", u), ("mvy", u),
              ("mvx1", u), ("mvy1", u),
              ("alf_flag", c), ("alf_coef", 25 * 12),
-             ("alf_cflag", 2 * c), ("alf_ccoef", 2 * 6)]
+             ("alf_cflag", 2 * c), ("alf_ccoef", 2 * 6),
+             ("alf_clip", 25), ("alf_cclip", 2),
+             ("ccalf_coef", 2 * 7), ("ccalf_flag", 2 * c)]
     offs, pos = {}, 0
     for name, n in sizes:
         offs[name] = (pos, pos + n)
@@ -113,7 +115,11 @@ def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
             "alf_flag": get("alf_flag", (cy, cx)),
             "alf_coef": get("alf_coef", (25, 12)),
             "alf_cflag": get("alf_cflag", (2, cy, cx)),
-            "alf_ccoef": get("alf_ccoef", (2, 6))}
+            "alf_ccoef": get("alf_ccoef", (2, 6)),
+            "alf_clip": get("alf_clip", (25,)),
+            "alf_cclip": get("alf_cclip", (2,)),
+            "ccalf_coef": get("ccalf_coef", (2, 7)),
+            "ccalf_flag": get("ccalf_flag", (2, cy, cx))}
 
 
 def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
@@ -122,7 +128,8 @@ def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
     flat = np.zeros(total, dtype=np.int16)
     for name in ("size", "mode", "mts", "sao_type", "sao_band",
                  "sao_off", "pred", "mvx", "mvy", "mvx1", "mvy1",
-                 "alf_flag", "alf_coef", "alf_cflag", "alf_ccoef"):
+                 "alf_flag", "alf_coef", "alf_cflag", "alf_ccoef",
+                 "alf_clip", "alf_cclip", "ccalf_coef", "ccalf_flag"):
         a, b = offs[name]
         flat[a:b] = maps[name].astype(np.int16).ravel()
     return flat
@@ -236,16 +243,39 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         so = jnp.stack([zo, zo, zo])
     alf_ccoef = jnp.zeros((2, 6), jnp.int32)
     alf_cflag = jnp.zeros((2, cfg.ctus_y, cfg.ctus_x), jnp.int32)
+    alf_clip = jnp.zeros((25,), jnp.int32)
+    alf_cclip = jnp.zeros((2,), jnp.int32)
+    ccalf_coef = jnp.zeros((2, 7), jnp.int32)
+    ccalf_flag = jnp.zeros((2, cfg.ctus_y, cfg.ctus_x), jnp.int32)
     if cfg.alf:
-        alf_coef, alf_flag, y = kalf.estimate_alf(orig_y, y, lam,
-                                                  bit_depth=bdv)
+        y_sao = y                    # CC-ALF luma input (pre-ALF)
+        if cfg.alf_nonlinear:
+            alf_coef, alf_clip, alf_flag, y = kalf.estimate_alf_nonlinear(
+                orig_y, y, lam, bit_depth=bdv)
+        else:
+            alf_coef, alf_flag, y = kalf.estimate_alf(orig_y, y, lam,
+                                                      bit_depth=bdv)
         if cfg.alf_chroma:
-            ccb, fcb, cb = kalf.estimate_alf_chroma(orig_cb, cb, lam,
-                                                    bit_depth=bdv)
-            ccr, fcr, cr = kalf.estimate_alf_chroma(orig_cr, cr, lam,
-                                                    bit_depth=bdv)
+            if cfg.alf_nonlinear:
+                ccb, lcb, fcb, cb = kalf.estimate_alf_chroma_nl(
+                    orig_cb, cb, lam, bit_depth=bdv)
+                ccr, lcr, fcr, cr = kalf.estimate_alf_chroma_nl(
+                    orig_cr, cr, lam, bit_depth=bdv)
+                alf_cclip = jnp.stack([lcb, lcr])
+            else:
+                ccb, fcb, cb = kalf.estimate_alf_chroma(
+                    orig_cb, cb, lam, bit_depth=bdv)
+                ccr, fcr, cr = kalf.estimate_alf_chroma(
+                    orig_cr, cr, lam, bit_depth=bdv)
             alf_ccoef = jnp.stack([ccb, ccr])
             alf_cflag = jnp.stack([fcb, fcr])
+        if cfg.ccalf:
+            ccc_b, ccf_b, cb = kalf.estimate_ccalf(orig_cb, cb, y_sao,
+                                                   lam, bit_depth=bdv)
+            ccc_r, ccf_r, cr = kalf.estimate_ccalf(orig_cr, cr, y_sao,
+                                                   lam, bit_depth=bdv)
+            ccalf_coef = jnp.stack([ccc_b, ccc_r])
+            ccalf_flag = jnp.stack([ccf_b, ccf_r])
     else:
         alf_coef = jnp.zeros((25, 12), jnp.int32)
         alf_flag = jnp.zeros((cfg.ctus_y, cfg.ctus_x), jnp.int32)
@@ -254,7 +284,9 @@ def _filters_and_stats(cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         jnp.sum(((cb - orig_cb).astype(jnp.float32)) ** 2),
         jnp.sum(((cr - orig_cr).astype(jnp.float32)) ** 2)])
     return y, cb, cr, (st, sb, so), (alf_flag, alf_coef,
-                                      alf_cflag, alf_ccoef), sse
+                                     alf_cflag, alf_ccoef, alf_clip,
+                                     alf_cclip, ccalf_coef,
+                                     ccalf_flag), sse
 
 
 def _pyr_target(h: int, w: int) -> tuple[int, int]:
@@ -342,12 +374,13 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
             # the scan's per-CU CCLM decisions ride mts bit 3
             mts_map = out_rp[6]
         (y, cb, cr, (st, sb, so),
-         (af, ac, acf, acc), sse) = _filters_and_stats(
+         (af, ac, acf, acc, acl, accl, ccc, ccf),
+         sse) = _filters_and_stats(
             cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
         zero_u = jnp.zeros((uy, ux), jnp.int32)
         maps = [size_map, mode_map, mts_map, st, sb, so,
                 zero_u, zero_u, zero_u, zero_u, zero_u, af, ac,
-                acf, acc]
+                acf, acc, acl, accl, ccc, ccf]
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                              with_recon, with_pyramids)
 
@@ -387,7 +420,8 @@ def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
                             mts_map, pred_map, mvx_map, mvy_map,
                             pyr_y, pyr_cb, pyr_cr)
     (y, cb, cr, (st, sb, so),
-     (af, ac, acf, acc), sse) = _filters_and_stats(
+     (af, ac, acf, acc, acl, accl, ccc, ccf),
+     sse) = _filters_and_stats(
         cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         (pred_map, mvx_fin.astype(jnp.int32),
          mvy_fin.astype(jnp.int32), cY))
@@ -395,7 +429,7 @@ def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
     maps = [size_map, mode_map, mts_map, st, sb, so,
             pred_map, mvx_fin.astype(jnp.int32),
             mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac,
-            acf, acc]
+            acf, acc, acl, accl, ccc, ccf]
     return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                          with_recon, with_pyramids)
 
@@ -466,14 +500,15 @@ def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids):
                             p0y, p0cb, p0cr, p1y, p1cb, p1cr,
                             mvx1_map, mvy1_map)
     (y, cb, cr, (st, sb, so),
-     (af, ac, acf, acc), sse) = _filters_and_stats(
+     (af, ac, acf, acc, acl, accl, ccc, ccf),
+     sse) = _filters_and_stats(
         cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         (pred_map, mvx_fin.astype(jnp.int32),
          mvy_fin.astype(jnp.int32), cY))
     maps = [size_map, mode_map, mts_map, st, sb, so,
             pred_map, mvx_fin.astype(jnp.int32),
             mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac,
-            acf, acc]
+            acf, acc, acl, accl, ccc, ccf]
     return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
                          with_recon, with_pyramids)
 
@@ -581,18 +616,8 @@ def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
             cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32,
                            bit_depth=bdv)
     if cfg.alf:
-        from x266_tpu.kernels import alf as kalf
-        y = kalf.apply_alf(y, kalf.classify(y),
-                           get(flat, "alf_coef", (25, 12)),
-                           get(flat, "alf_flag", (cyn, cxn)),
-                           bit_depth=bdv)
-        if cfg.alf_chroma:
-            acc = get(flat, "alf_ccoef", (2, 6))
-            acf = get(flat, "alf_cflag", (2, cyn, cxn))
-            cb = kalf.apply_alf_chroma(cb, acc[0], acf[0],
-                                       bit_depth=bdv)
-            cr = kalf.apply_alf_chroma(cr, acc[1], acf[1],
-                                       bit_depth=bdv)
+        y, cb, cr = _apply_alf_decode(cfg, get, flat, y, cb, cr, bdv,
+                                      cyn, cxn)
     pdt = jnp.uint8 if bdv == 8 else jnp.uint16
     rec = jnp.zeros((h + h // 2, w), pdt)
     rec = rec.at[:h].set(y.astype(pdt))
@@ -603,6 +628,40 @@ def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
         out = out + (_build_pyramids_device(y, cb, cr,
                                             (1 << bdv) - 1),)
     return out
+
+
+def _apply_alf_decode(cfg, get, flat, y, cb, cr, bdv, cyn, cxn):
+    """Shared decode-side ALF chain: luma (linear or nonlinear +
+    transposed), chroma ALF, CC-ALF — from the slice-header maps."""
+    from x266_tpu.kernels import alf as kalf
+
+    y_sao = y                          # CC-ALF luma input (pre-ALF)
+    if cfg.alf_nonlinear:
+        cls, tr = kalf.classify_full(y)
+        y = kalf.apply_alf(y, cls, get(flat, "alf_coef", (25, 12)),
+                           get(flat, "alf_flag", (cyn, cxn)),
+                           bit_depth=bdv, transpose_map=tr,
+                           clip_idx=get(flat, "alf_clip", (25,)))
+    else:
+        y = kalf.apply_alf(y, kalf.classify(y),
+                           get(flat, "alf_coef", (25, 12)),
+                           get(flat, "alf_flag", (cyn, cxn)),
+                           bit_depth=bdv)
+    if cfg.alf_chroma:
+        acc = get(flat, "alf_ccoef", (2, 6))
+        acf = get(flat, "alf_cflag", (2, cyn, cxn))
+        accl = (get(flat, "alf_cclip", (2,))
+                if cfg.alf_nonlinear else (None, None))
+        cb = kalf.apply_alf_chroma(cb, acc[0], acf[0], bit_depth=bdv,
+                                   clip_lvl=accl[0])
+        cr = kalf.apply_alf_chroma(cr, acc[1], acf[1], bit_depth=bdv,
+                                   clip_lvl=accl[1])
+    if cfg.ccalf:
+        ccc = get(flat, "ccalf_coef", (2, 7))
+        ccf = get(flat, "ccalf_flag", (2, cyn, cxn))
+        cb = kalf.apply_ccalf(cb, y_sao, ccc[0], ccf[0], bit_depth=bdv)
+        cr = kalf.apply_ccalf(cr, y_sao, ccc[1], ccf[1], bit_depth=bdv)
+    return y, cb, cr
 
 
 @functools.cache
@@ -721,18 +780,8 @@ def make_decode_step_i(cfg: CodecConfig, with_pyramids: bool):
                 cr = apply_sao(cr, st[2], sb[2], so[2], xp=jnp, ctb=32,
                                bit_depth=bdv)
         if cfg.alf:
-            from x266_tpu.kernels import alf as kalf
-            y = kalf.apply_alf(y, kalf.classify(y),
-                               get(flat, "alf_coef", (25, 12)),
-                               get(flat, "alf_flag", (cyn, cxn)),
-                               bit_depth=bdv)
-            if cfg.alf_chroma:
-                acc = get(flat, "alf_ccoef", (2, 6))
-                acf = get(flat, "alf_cflag", (2, cyn, cxn))
-                cb = kalf.apply_alf_chroma(cb, acc[0], acf[0],
-                                           bit_depth=bdv)
-                cr = kalf.apply_alf_chroma(cr, acc[1], acf[1],
-                                           bit_depth=bdv)
+            y, cb, cr = _apply_alf_decode(cfg, get, flat, y, cb, cr,
+                                          bdv, cyn, cxn)
         pdt = jnp.uint8 if bdv == 8 else jnp.uint16
         rec = jnp.zeros((h + h // 2, w), pdt)
         rec = rec.at[:h].set(y.astype(pdt))

@@ -79,7 +79,9 @@ def tile_compute_async(cfg: CodecConfig, band: Frame,
         sao_params = ((maps["sao_type"], maps["sao_band"],
                        maps["sao_off"]) if cfg.sao else None)
         alf = ((maps["alf_flag"], maps["alf_coef"],
-                maps["alf_cflag"], maps["alf_ccoef"])
+                maps["alf_cflag"], maps["alf_ccoef"],
+                maps["alf_clip"], maps["alf_cclip"],
+                maps["ccalf_coef"], maps["ccalf_flag"])
                if cfg.alf else None)
         return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
                         recon, sao_params, maps["mts"], sse, alf)
@@ -111,7 +113,9 @@ def _finalize_one(cfg, out, with_recon) -> TileData:
     sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
                   if cfg.sao else None)
     alf = ((maps["alf_flag"], maps["alf_coef"],
-            maps["alf_cflag"], maps["alf_ccoef"]) if cfg.alf else None)
+            maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
+            maps["alf_cclip"], maps["ccalf_coef"],
+            maps["ccalf_flag"]) if cfg.alf else None)
     return TileData(cfg, maps["size"], maps["mode"], cy, ccb, ccr,
                     recon, sao_params, maps["mts"], sse, alf)
 
@@ -183,23 +187,36 @@ def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
     coeffs = flags = ccoeffs = cflags = None
+    clips = cclips = cc_coeffs = cc_flags = None
     if cfg.alf:
         zf = np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32)
         if alf is None:
             alf = (zf, np.zeros((25, 12), np.int32),
                    np.zeros((2,) + zf.shape, np.int32),
-                   np.zeros((2, 6), np.int32))
+                   np.zeros((2, 6), np.int32),
+                   np.zeros(25, np.int32), np.zeros(2, np.int32),
+                   np.zeros((2, 7), np.int32),
+                   np.zeros((2,) + zf.shape, np.int32))
         af, ac = alf[0], alf[1]
         coeffs = [int(v) for v in np.asarray(ac).ravel()]
         flags = [int(v) for v in np.asarray(af).ravel()]
+        if cfg.alf_nonlinear:
+            clips = [int(v) for v in np.asarray(alf[4]).ravel()]
         if cfg.alf_chroma:
             acf, acc = alf[2], alf[3]
             ccoeffs = [int(v) for v in np.asarray(acc).ravel()]
             cflags = [int(v) for v in np.asarray(acf).ravel()]
+            if cfg.alf_nonlinear:
+                cclips = [int(v) for v in np.asarray(alf[5]).ravel()]
+        if cfg.ccalf:
+            cc_coeffs = [int(v) for v in np.asarray(alf[6]).ravel()]
+            cc_flags = [int(v) for v in np.asarray(alf[7]).ravel()]
     sh = SliceHeader(slice_type, poc=poc, qp=cfg.qp,
                      entry_points=[int(e) for e in entry_points],
                      alf_coeffs=coeffs, alf_flags=flags,
-                     alf_ccoeffs=ccoeffs, alf_cflags=cflags)
+                     alf_ccoeffs=ccoeffs, alf_cflags=cflags,
+                     alf_clips=clips, alf_cclips=cclips,
+                     ccalf_coeffs=cc_coeffs, ccalf_flags=cc_flags)
     return write_slice_header(sh) + payload
 
 
@@ -254,17 +271,32 @@ def _alf_maps_from_header(cfg: CodecConfig, sh) -> dict:
     out = {"alf_flag": np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
            "alf_coef": np.zeros((25, 12), np.int32),
            "alf_cflag": np.zeros((2, cfg.ctus_y, cfg.ctus_x), np.int32),
-           "alf_ccoef": np.zeros((2, 6), np.int32)}
+           "alf_ccoef": np.zeros((2, 6), np.int32),
+           "alf_clip": np.zeros(25, np.int32),
+           "alf_cclip": np.zeros(2, np.int32),
+           "ccalf_coef": np.zeros((2, 7), np.int32),
+           "ccalf_flag": np.zeros((2, cfg.ctus_y, cfg.ctus_x),
+                                  np.int32)}
     if cfg.alf and sh is not None and sh.alf_coeffs is not None:
         out["alf_flag"] = np.asarray(sh.alf_flags, np.int32).reshape(
             cfg.ctus_y, cfg.ctus_x)
         out["alf_coef"] = np.asarray(sh.alf_coeffs, np.int32).reshape(
             25, 12)
+        if cfg.alf_nonlinear and sh.alf_clips is not None:
+            out["alf_clip"] = np.asarray(sh.alf_clips, np.int32)
     if cfg.alf_chroma and sh is not None and sh.alf_ccoeffs is not None:
         out["alf_cflag"] = np.asarray(sh.alf_cflags, np.int32).reshape(
             2, cfg.ctus_y, cfg.ctus_x)
         out["alf_ccoef"] = np.asarray(sh.alf_ccoeffs, np.int32).reshape(
             2, 6)
+        if cfg.alf_nonlinear and sh.alf_cclips is not None:
+            out["alf_cclip"] = np.asarray(sh.alf_cclips, np.int32)
+    if cfg.ccalf and sh is not None and sh.ccalf_coeffs is not None:
+        out["ccalf_coef"] = np.asarray(sh.ccalf_coeffs,
+                                       np.int32).reshape(2, 7)
+        out["ccalf_flag"] = np.asarray(sh.ccalf_flags,
+                                       np.int32).reshape(
+            2, cfg.ctus_y, cfg.ctus_x)
     return out
 
 
@@ -448,7 +480,9 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
                     for (r0, r1) in cfg.segment_ctu_rows()]
     st = SliceType.P if is_p else SliceType.I
     alf = ((maps["alf_flag"], maps["alf_coef"],
-            maps["alf_cflag"], maps["alf_ccoef"]) if cfg.alf else None)
+            maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
+            maps["alf_cclip"], maps["ccalf_coef"],
+            maps["ccalf_flag"]) if cfg.alf else None)
     rbsp = assemble_slice(cfg, poc, segments, st, alf)
     return rbsp, recon, sse, new_pyr, st
 
@@ -532,7 +566,9 @@ def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
         segments = [enc.encode_segment(r0, r1)
                     for (r0, r1) in cfg.segment_ctu_rows()]
     alf = ((maps["alf_flag"], maps["alf_coef"],
-            maps["alf_cflag"], maps["alf_ccoef"]) if cfg.alf else None)
+            maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
+            maps["alf_cclip"], maps["ccalf_coef"],
+            maps["ccalf_flag"]) if cfg.alf else None)
     rbsp = assemble_slice(cfg, poc, segments, SliceType.B, alf)
     return rbsp, recon, sse, new_pyr
 
