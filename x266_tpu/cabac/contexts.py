@@ -29,7 +29,9 @@ BLIST = 82         # 2: [bi-pred flag, L1 flag] (B slices)
 TS_FLAG = 84       # 1: transform_skip_flag (C10, luma TUs)
 MERGE_IDX = 85     # 1: skip merge candidate index (C7, cfg.merge_cands)
 CCLM_FLAG = 86     # 1: chroma CCLM vs DM (C6, cfg.cclm, I slices)
-NUM_CONTEXTS = 87
+BT_FLAG = 87       # 2: binary split present (C5 MTT): [size 32, size 16]
+BT_DIR = 89        # 1: split direction (1 = vertical line / side-by-side)
+NUM_CONTEXTS = 90
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

@@ -42,7 +42,9 @@ constexpr int CTX_BLIST = 82;
 constexpr int CTX_TS_FLAG = 84;   // transform_skip_flag (C10)
 constexpr int CTX_MERGE_IDX = 85; // skip merge candidate index (C7)
 constexpr int CTX_CCLM = 86;      // chroma CCLM vs DM (C6, I slices)
-constexpr int NUM_CONTEXTS = 87;
+constexpr int CTX_BT_FLAG = 87;   // MTT binary split (C5): [32, 16]
+constexpr int CTX_BT_DIR = 89;    // split direction (1 = BT-V)
+constexpr int NUM_CONTEXTS = 90;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -283,7 +285,8 @@ struct Picture {
   int32_t* coef_cr;
   int has_mts = 0;                 // tool bits: 0 cfg.mts,
                                    // 1 cfg.transform_skip,
-                                   // 2 cfg.merge_cands
+                                   // 2 cfg.merge_cands, 3 cfg.cclm,
+                                   // 4 cfg.mtt
   int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
   int is_p = 0;                    // P or B slice
   int is_b = 0;                    // B slice (L1/bi kinds allowed)
@@ -600,7 +603,51 @@ struct SegEncoder {
         return;
       }
     }
+    if ((pic.has_mts & 16) && s > 8 && !pic.is_p) {   // MTT (C5)
+      int bt = (pic.mts_map[uy * pic.ux_n + ux] >> 4) & 3;
+      enc.encode_bin(ctxs, CTX_BT_FLAG + (s == 32 ? 0 : 1), bt != 0);
+      if (bt) {
+        enc.encode_bin(ctxs, CTX_BT_DIR, bt == 2);
+        leaf_rect(x, y, s, bt);
+        return;
+      }
+    }
     leaf(x, y, s);
+  }
+
+  // Two rectangular MTT CUs (mirror of syntax.py _leaf_rect): bt=1
+  // BT-H (h=s/2, w=s, stacked), bt=2 BT-V (h=s, w=s/2, side by side);
+  // each codes one intra mode + its two square s/2 TUs in scan order.
+  void leaf_rect(int x, int y, int s, int bt) {
+    int t = s / 2;
+    for (int k = 0; k < 2; k++) {
+      int cux = x + (bt == 2 ? t * k : 0);
+      int cuy = y + (bt == 1 ? t * k : 0);
+      int ux = cux / 8, uy = cuy / 8;
+      int mode = pic.mode_map[uy * pic.ux_n + ux];
+      int mpm[3];
+      mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
+               pic.n_modes, mpm);
+      int idx = -1;
+      for (int i = 0; i < 3; i++)
+        if (mpm[i] == mode) { idx = i; break; }
+      if (idx >= 0) {
+        enc.encode_bin(ctxs, CTX_MPM_FLAG, 1);
+        enc.encode_bypass(idx == 0);
+        if (idx > 0) enc.encode_bypass(idx == 1);
+      } else {
+        enc.encode_bin(ctxs, CTX_MPM_FLAG, 0);
+        int rank = mode;
+        for (int i = 0; i < 3; i++)
+          if (mpm[i] < mode) rank--;
+        enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
+      }
+      for (int j = 0; j < 2; j++) {
+        int tx = cux + (bt == 1 ? t * j : 0);
+        int ty = cuy + (bt == 2 ? t * j : 0);
+        leaf_residuals(tx, ty, t);
+      }
+    }
   }
 };
 
@@ -878,7 +925,60 @@ struct SegDecoder {
         return;
       }
     }
+    if ((pic.has_mts & 16) && s > 8 && !pic.is_p) {   // MTT (C5)
+      if (dec.decode_bin(ctxs, CTX_BT_FLAG + (s == 32 ? 0 : 1))) {
+        int bt = dec.decode_bin(ctxs, CTX_BT_DIR) ? 2 : 1;
+        leaf_rect(x, y, s, bt);
+        return;
+      }
+    }
     leaf(x, y, s);
+  }
+
+  void leaf_rect(int x, int y, int s, int bt) {
+    int t = s / 2;
+    int us = s / 8, ut = t / 8;
+    int ux0 = x / 8, uy0 = y / 8;
+    for (int j = 0; j < us; j++)
+      for (int i = 0; i < us; i++) {
+        pic.size_map[(uy0 + j) * pic.ux_n + ux0 + i] = s;
+        pic.mts_map[(uy0 + j) * pic.ux_n + ux0 + i] |= bt << 4;
+      }
+    for (int k = 0; k < 2; k++) {
+      int cux = x + (bt == 2 ? t * k : 0);
+      int cuy = y + (bt == 1 ? t * k : 0);
+      int ux = cux / 8, uy = cuy / 8;
+      int mpm[3];
+      mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
+               pic.n_modes, mpm);
+      int mode;
+      if (dec.decode_bin(ctxs, CTX_MPM_FLAG)) {
+        if (dec.decode_bypass())
+          mode = mpm[0];
+        else if (dec.decode_bypass())
+          mode = mpm[1];
+        else
+          mode = mpm[2];
+      } else {
+        mode = (int)dec.decode_bypass_bits(pic.mode_bits);
+        int sorted[3] = {mpm[0], mpm[1], mpm[2]};
+        if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+        if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
+        if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+        for (int i = 0; i < 3; i++)
+          if (mode >= sorted[i]) mode++;
+      }
+      int cu_h = bt == 1 ? ut : us;
+      int cu_w = bt == 1 ? us : ut;
+      for (int j = 0; j < cu_h; j++)
+        for (int i = 0; i < cu_w; i++)
+          pic.mode_map[(uy + j) * pic.ux_n + ux + i] = mode;
+      for (int j = 0; j < 2; j++) {
+        int tx = cux + (bt == 1 ? t * j : 0);
+        int ty = cuy + (bt == 2 ? t * j : 0);
+        leaf_residuals(tx, ty, t);
+      }
+    }
   }
 };
 

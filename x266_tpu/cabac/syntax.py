@@ -215,7 +215,44 @@ class SyntaxEncoder(_Walker):
                     self._node(x + dx, y + dy, half)
                 return
         assert actual == s, (x, y, s, actual)
+        if self.cfg.mtt and s > 8 and not self.is_p:
+            bt = (int(self.mts_map[uy, ux]) >> 4) & 3
+            self.enc.encode_bin(self.ctxs,
+                                cx.BT_FLAG + (0 if s == 32 else 1),
+                                int(bt != 0))
+            if bt:
+                self.enc.encode_bin(self.ctxs, cx.BT_DIR,
+                                    int(bt == 2))
+                self._leaf_rect(x, y, s, bt)
+                return
         self._leaf(x, y, s)
+
+    def _leaf_rect(self, x, y, s, bt):
+        """Two rectangular MTT CUs (C5): bt=1 BT-H (h=s/2, w=s,
+        stacked), bt=2 BT-V (h=s, w=s/2, side by side); each codes one
+        intra mode + its two square s/2 TUs in scan order."""
+        t = s // 2
+        for k in range(2):
+            cux = x + (t * k if bt == 2 else 0)
+            cuy = y + (t * k if bt == 1 else 0)
+            ux, uy = cux // 8, cuy // 8
+            mode = int(self.mode_map[uy, ux])
+            left, above = self._neighbor_modes(self.mode_map, ux, uy)
+            mpms = mpm_list(left, above, self.n_modes)
+            if mode in mpms:
+                self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 1)
+                idx = mpms.index(mode)
+                self.enc.encode_bypass(int(idx == 0))
+                if idx > 0:
+                    self.enc.encode_bypass(int(idx == 1))
+            else:
+                self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
+                rank = mode - sum(1 for m in mpms if m < mode)
+                self.enc.encode_bypass_bits(rank, self.mode_bits)
+            for j in range(2):
+                tx = cux + (t * j if bt == 1 else 0)
+                ty = cuy + (t * j if bt == 2 else 0)
+                self._leaf_residuals(tx, ty, t)
 
     def _code_mvd(self, v, comp):
         self.enc.encode_bin(self.ctxs, cx.MVD_GT0 + comp, int(v != 0))
@@ -449,7 +486,49 @@ class SyntaxDecoder(_Walker):
                                  (half, half)):
                     self._node(x + dx, y + dy, half)
                 return
+        if self.cfg.mtt and s > 8 and not self.is_p:
+            if self.dec.decode_bin(self.ctxs,
+                                   cx.BT_FLAG + (0 if s == 32 else 1)):
+                bt = 2 if self.dec.decode_bin(self.ctxs, cx.BT_DIR) \
+                    else 1
+                self._leaf_rect(x, y, s, bt)
+                return
         self._leaf(x, y, s)
+
+    def _leaf_rect(self, x, y, s, bt):
+        """Decode mirror of SyntaxEncoder._leaf_rect."""
+        t = s // 2
+        us = s // 8
+        ut = t // 8
+        uy0, ux0 = y // 8, x // 8
+        self.size_map[uy0:uy0 + us, ux0:ux0 + us] = s
+        self.mts_map[uy0:uy0 + us, ux0:ux0 + us] |= bt << 4
+        for k in range(2):
+            cux = x + (t * k if bt == 2 else 0)
+            cuy = y + (t * k if bt == 1 else 0)
+            ux, uy = cux // 8, cuy // 8
+            left, above = self._neighbor_modes(self.mode_map, ux, uy)
+            mpms = mpm_list(left, above, self.n_modes)
+            if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
+                if self.dec.decode_bypass():
+                    mode = mpms[0]
+                elif self.dec.decode_bypass():
+                    mode = mpms[1]
+                else:
+                    mode = mpms[2]
+            else:
+                rank = self.dec.decode_bypass_bits(self.mode_bits)
+                mode = rank
+                for m in sorted(mpms):
+                    if mode >= m:
+                        mode += 1
+            cu_h = ut if bt == 1 else us
+            cu_w = us if bt == 1 else ut
+            self.mode_map[uy:uy + cu_h, ux:ux + cu_w] = mode
+            for j in range(2):
+                tx = cux + (t * j if bt == 1 else 0)
+                ty = cuy + (t * j if bt == 2 else 0)
+                self._leaf_residuals(tx, ty, t, ut, tx // 8, ty // 8)
 
     def _decode_mvd(self, comp):
         if not self.dec.decode_bin(self.ctxs, cx.MVD_GT0 + comp):

@@ -53,7 +53,7 @@ def cmd_encode(args) -> int:
         alf_nonlinear=args.alf_nonlinear, ccalf=args.ccalf,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
-        merge_cands=args.merge_cands, cclm=args.cclm,
+        merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
         tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
@@ -177,6 +177,9 @@ def main(argv=None) -> int:
                    help="2-candidate skip merge list (C7)")
     e.add_argument("--cclm", action="store_true",
                    help="chroma from luma (requires --profile vvc)")
+    e.add_argument("--mtt", action="store_true",
+                   help="multi-type tree: binary splits into "
+                        "rectangular CUs (requires --profile vvc)")
     e.add_argument("--tile-rows", type=int, default=0)
     e.add_argument("--gop", type=int, default=1,
                    help="intra period: 1 = all-intra, N = IDR every N "

@@ -93,6 +93,12 @@ class CodecConfig:
     # luma via a per-TU linear model (SPS-level: applies to every intra
     # CU's chroma; requires profile=VVC; FORMAT.md §7).
     cclm: bool = False
+    # C5 MTT: after the quadtree, a 16/32 leaf may binary-split into two
+    # rectangular CUs (BT-H: two s/2 x s, BT-V: two s x s/2), each with
+    # its own intra mode; the residual tiles as two square s/2 TUs
+    # predicted sequentially from reconstructed neighbors (HEVC-RQT /
+    # ISP-shaped).  Intra CUs only in v1 (P/B slices infer no-split).
+    mtt: bool = False               # requires profile=VVC
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
@@ -129,6 +135,13 @@ class CodecConfig:
             raise ValueError("PDPC requires the VVC profile")
         if self.cclm and self.profile != Profile.VVC:
             raise ValueError("CCLM requires the VVC profile")
+        if self.mtt and self.profile != Profile.VVC:
+            raise ValueError("MTT requires the VVC profile")
+        if self.mtt and self.cclm:
+            raise ValueError("mtt + cclm is not supported in v1 (the "
+                             "in-scan CCLM decision is per square CU)")
+        if self.mtt and self.lossless:
+            raise ValueError("mtt + lossless is not supported in v1")
         if self.sao_chroma and not self.sao:
             raise ValueError("sao_chroma requires sao")
         if self.alf_chroma and not self.alf:

@@ -363,20 +363,30 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
 
     def step(packed):
         yP, cbP, crP = _unpack_padded(cfg, packed)
-        size_map, mode_map = md(yP)
+        if cfg.mtt:
+            size_map, mode_map, bt_map = md(yP)
+        else:
+            size_map, mode_map = md(yP)
+            bt_map = None
         if mts_sel is not None:
-            mts_map = mts_sel(yP, size_map, mode_map)
+            mts_map = mts_sel(yP, size_map, mode_map, bt_map)
         else:
             mts_map = jnp.zeros_like(size_map)
+        if cfg.mtt:
+            # bt rides mts_map bits 4-5 (FORMAT.md §5): one plane
+            # carries the whole TU-tree shape through entropy + decode
+            mts_map = mts_map | (bt_map << 4)
         out_rp = rp(yP, cbP, crP, size_map, mode_map, mts_map)
         y8, cb8, cr8, cY, cCb, cCr = out_rp[:6]
         if cfg.cclm:
             # the scan's per-CU CCLM decisions ride mts bit 3
             mts_map = out_rp[6]
+        eff_size = (jnp.where(bt_map > 0, size_map >> 1, size_map)
+                    if cfg.mtt else size_map)
         (y, cb, cr, (st, sb, so),
          (af, ac, acf, acc, acl, accl, ccc, ccf),
          sse) = _filters_and_stats(
-            cfg, y8, cb8, cr8, size_map, yP, cbP, crP)
+            cfg, y8, cb8, cr8, eff_size, yP, cbP, crP)
         zero_u = jnp.zeros((uy, ux), jnp.int32)
         maps = [size_map, mode_map, mts_map, st, sb, so,
                 zero_u, zero_u, zero_u, zero_u, zero_u, af, ac,
@@ -758,15 +768,20 @@ def make_decode_step_i(cfg: CodecConfig, with_pyramids: bool):
         cCb = coef[h:, :w // 2]
         cCr = coef[h:, w // 2:]
         size_map = get(flat, "size", (uy, ux))
+        mts_map = get(flat, "mts", (uy, ux))
         y8, cb8, cr8, *_ = rp(cY, cCb, cCr, size_map,
-                              get(flat, "mode", (uy, ux)),
-                              get(flat, "mts", (uy, ux)))
+                              get(flat, "mode", (uy, ux)), mts_map)
         y = y8.astype(jnp.int32)
         cb = cb8.astype(jnp.int32)
         cr = cr8.astype(jnp.int32)
         bdv = cfg.bit_depth
         if cfg.deblock:
-            y, cb, cr = deblock_picture(y, cb, cr, size_map, cfg.qp,
+            eff = size_map
+            if cfg.mtt:
+                # MTT leaves deblock on their TU grid (bt in mts 4-5)
+                eff = jnp.where(((mts_map >> 4) & 3) > 0,
+                                size_map >> 1, size_map)
+            y, cb, cr = deblock_picture(y, cb, cr, eff, cfg.qp,
                                         xp=jnp, bit_depth=bdv)
         if cfg.sao:
             st = get(flat, "sao_type", (3, cyn, cxn))

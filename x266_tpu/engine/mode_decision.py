@@ -184,6 +184,94 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     return best_cost.reshape(gy, gx), best_mode.reshape(gy, gx)
 
 
+def _eval_pair(plane: jnp.ndarray, t: int, cfg: CodecConfig,
+               vertical: bool):
+    """Shared-mode RD cost of rectangular CUs (C5 MTT): each CU is a
+    pair of adjacent t-sized TUs coding ONE intra mode.
+
+    vertical=False: pairs along x (CU h=t, w=2t — the BT-H leaf half);
+    vertical=True:  pairs along y (CU h=2t, w=t — BT-V).
+    Mode preselection ranks the JOINT SAD of the pair (the shared mode
+    must suit both TUs), then the full RD chain runs on the K
+    survivors for both TUs.  XLA CSEs the prediction/residual prefix
+    with _eval_size at the same t inside one jit.
+
+    Returns (cost (py, px) float32, mode (py, px) int32) on the pair
+    grid: (gy, gx/2) horizontal, (gy/2, gx) vertical.
+    """
+    w, h = cfg.width, cfg.height
+    lam = np.float32(cfg.lambda_mode)
+    xs_np, ys_np, gy, gx = _block_positions(w, h, t)
+    nb = xs_np.shape[0]
+
+    refs = _gather_refs(plane, gy, gx, t)
+    mask = jnp.asarray(
+        avail.ref_availability_masks(w, h, t).reshape(nb, -1))
+    refs = jnp.where(mask, refs, cfg.mid_val)
+    preds = kintra.predict_all_modes(
+        refs, t, cfg.n_intra_modes, pdpc=cfg.pdpc,
+        left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
+        top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
+    orig = _block_gather(plane, gy, gx, t)[:, None]
+    res = orig - preds                                # (B, nm, t, t)
+    nm = preds.shape[1]
+    sad = jnp.sum(jnp.abs(res), axis=(2, 3)).astype(jnp.float32)
+    sad = sad.reshape(gy, gx, nm)
+
+    rf = res.reshape(gy, gx, nm, t * t).astype(jnp.float32)
+    og = orig[:, 0].reshape(gy, gx, t * t)
+    # odd trailing blocks (picture not a multiple of 2t) pair with
+    # nothing: drop them — the enclosing leaf is boundary-split anyway
+    ge_y, ge_x = (gy // 2) * 2, (gx // 2) * 2
+    if vertical:
+        jsad = sad[0:ge_y:2] + sad[1:ge_y:2]          # (gy/2, gx, nm)
+        r0, r1 = rf[0:ge_y:2], rf[1:ge_y:2]
+        o0, o1 = og[0:ge_y:2], og[1:ge_y:2]
+    else:
+        jsad = sad[:, 0:ge_x:2] + sad[:, 1:ge_x:2]    # (gy, gx/2, nm)
+        r0, r1 = rf[:, 0:ge_x:2], rf[:, 1:ge_x:2]
+        o0, o1 = og[:, 0:ge_x:2], og[:, 1:ge_x:2]
+    py, px = jsad.shape[:2]
+    np_ = py * px
+    jsad = jsad.reshape(np_, nm)
+    r0 = r0.reshape(np_, nm, t * t)
+    r1 = r1.reshape(np_, nm, t * t)
+    o0 = o0.reshape(np_, 1, t * t)
+    o1 = o1.reshape(np_, 1, t * t)
+
+    k = min(_rd_modes() or nm, nm)
+    top = jax.lax.top_k(-jsad, k)[1].astype(jnp.int32)   # (P, K)
+    onehot = (top[:, :, None]
+              == jnp.arange(nm)[None, None, :]).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def rd(rk, ob):
+        """residuals (P, K, t*t) + originals (P, 1, t*t) -> (P, K)
+        D + lam*R with the same clipped-recon distortion as
+        _eval_size."""
+        rk = rk.astype(jnp.int32).reshape(np_ * k, t, t)
+        bd = cfg.bit_depth
+        coefs = ktx.forward_transform(rk, t, bit_depth=bd)
+        levels = kquant.quantize(coefs, cfg.qp, t, bd)
+        rate = kcost.rate_estimate_levels(levels).reshape(np_, k)
+        deq = kquant.dequantize(levels, cfg.qp, t, bd)
+        rres = ktx.inverse_transform(deq, t, bit_depth=bd)
+        ob = jnp.broadcast_to(ob, (np_, k, t * t)).reshape(
+            np_ * k, t, t)
+        recon = jnp.clip(ob - rk + rres, 0, cfg.max_val)
+        dist = kcost.sse(recon, ob).reshape(np_, k)
+        return dist + lam * rate
+
+    cost = (rd(jnp.einsum("bkm,bmp->bkp", onehot, r0, precision=hp), o0)
+            + rd(jnp.einsum("bkm,bmp->bkp", onehot, r1, precision=hp),
+                 o1)
+            + lam * (MODE_SIGNAL_BITS + 2.0))
+    best_k = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    best_mode = jnp.take_along_axis(top, best_k[:, None], axis=1)[:, 0]
+    best_cost = jnp.min(cost, axis=1)
+    return (best_cost.reshape(py, px), best_mode.reshape(py, px))
+
+
 def _pad_to(a: jnp.ndarray, shape, fill) -> jnp.ndarray:
     return jnp.pad(a, ((0, shape[0] - a.shape[0]),
                        (0, shape[1] - a.shape[1])), constant_values=fill)
@@ -204,7 +292,9 @@ def _upsample(a: jnp.ndarray, f: int, gy: int, gx: int) -> jnp.ndarray:
 def make_mode_decision_raw(cfg: CodecConfig):
     """Un-jitted Pass A (for composition under outer jit/shard_map):
     padded orig luma plane -> (size_map, mode_map), (units_y, units_x)
-    int32."""
+    int32.  With cfg.mtt also returns bt_map (0 none / 1 BT-H / 2 BT-V
+    per unit): each 16/32 leaf additionally competes against its two
+    binary splits (shared-mode rectangular CUs, _eval_pair)."""
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
 
@@ -213,30 +303,74 @@ def make_mode_decision_raw(cfg: CodecConfig):
         cost8, mode8 = _eval_size(plane, 8, cfg)
         size_map = jnp.full((uy, ux), 8, dtype=jnp.int32)
         mode_map = mode8.astype(jnp.int32)
+        bt_map = jnp.zeros((uy, ux), dtype=jnp.int32)
         best = cost8
 
-        if cfg.max_cu_size >= 16:
-            cost16, mode16 = _eval_size(plane, 16, cfg)
-            g16 = cost16.shape
-            child16 = _sum_children(best, *g16) + lam * SPLIT_BITS
-            use16 = cost16 <= child16                  # inf own -> split
-            best16 = jnp.where(use16, cost16, child16)
-            sel = _upsample(use16, 2, uy, ux)
-            size_map = jnp.where(sel, 16, size_map)
-            mode_map = jnp.where(sel, _upsample(mode16, 2, uy, ux),
-                                 mode_map)
-            best = best16
+        for s in (16, 32):
+            if cfg.max_cu_size < s:
+                continue
+            cost_s, mode_s = _eval_size(plane, s, cfg)
+            gs = cost_s.shape
+            child = _sum_children(best, *gs) + lam * SPLIT_BITS
+            f = s // 8
+            if cfg.mtt:
+                t = s // 2
+                ph_c, ph_m = _eval_pair(plane, t, cfg, vertical=False)
+                pv_c, pv_m = _eval_pair(plane, t, cfg, vertical=True)
+                # normalize pair grids to the leaf grid (boundary
+                # leaves never binary-split, so pads stay unselected)
+                ph_c = _pad_to(ph_c, (2 * gs[0], gs[1]), 1e18)
+                ph_m = _pad_to(ph_m, (2 * gs[0], gs[1]), 0)
+                pv_c = _pad_to(pv_c, (gs[0], 2 * gs[1]), 1e18)
+                pv_m = _pad_to(pv_m, (gs[0], 2 * gs[1]), 0)
+                # leaf BT costs: two stacked H-halves / two side-by-side
+                # V-halves (+ ~2 bins of bt signalling); only leaves
+                # fully inside the picture may binary-split (the walker
+                # force-splits boundary leaves)
+                valid = jnp.isfinite(cost_s)
+                bt_bits = lam * 2.0
+                bth = jnp.where(valid,
+                                ph_c[0::2] + ph_c[1::2] + bt_bits,
+                                jnp.inf)
+                btv = jnp.where(valid,
+                                pv_c[:, 0::2] + pv_c[:, 1::2] + bt_bits,
+                                jnp.inf)
+                best_s = jnp.minimum(jnp.minimum(cost_s, child),
+                                     jnp.minimum(bth, btv))
+                # choice: 0 square, 1 children, 2 BT-H, 3 BT-V
+                choice = jnp.where(
+                    cost_s <= best_s, 0,
+                    jnp.where(bth <= jnp.minimum(child, btv), 2,
+                              jnp.where(btv <= child, 3, 1)))
+                sel = _upsample(choice != 1, f, uy, ux)
+                chc = _upsample(choice, f, uy, ux)
+                size_map = jnp.where(sel, s, size_map)
+                bt_map = jnp.where(sel, jnp.where(chc == 2, 1,
+                                                  jnp.where(chc == 3,
+                                                            2, 0)),
+                                   bt_map)
+                # per-unit mode: square leaf -> mode_s; BT -> the
+                # winning half's shared mode (pair grids upsample with
+                # the split's anisotropy)
+                m_sq = _upsample(mode_s, f, uy, ux)
+                m_h = jnp.repeat(jnp.repeat(ph_m, f // 2, axis=0),
+                                 f, axis=1)[:uy, :ux]
+                m_v = jnp.repeat(jnp.repeat(pv_m, f, axis=0),
+                                 f // 2, axis=1)[:uy, :ux]
+                m_new = jnp.where(chc == 0, m_sq,
+                                  jnp.where(chc == 2, m_h, m_v))
+                mode_map = jnp.where(sel, m_new, mode_map)
+                best = best_s
+            else:
+                use = cost_s <= child                  # inf own -> split
+                sel = _upsample(use, f, uy, ux)
+                size_map = jnp.where(sel, s, size_map)
+                mode_map = jnp.where(sel, _upsample(mode_s, f, uy, ux),
+                                     mode_map)
+                best = jnp.where(use, cost_s, child)
 
-        if cfg.max_cu_size >= 32:
-            cost32, mode32 = _eval_size(plane, 32, cfg)
-            g32 = cost32.shape
-            child32 = _sum_children(best, *g32) + lam * SPLIT_BITS
-            use32 = cost32 <= child32
-            sel = _upsample(use32, 4, uy, ux)
-            size_map = jnp.where(sel, 32, size_map)
-            mode_map = jnp.where(sel, _upsample(mode32, 4, uy, ux),
-                                 mode_map)
-
+        if cfg.mtt:
+            return size_map, mode_map, bt_map
         return size_map, mode_map
 
     return run
@@ -312,15 +446,19 @@ def make_mts_select_raw(cfg: CodecConfig):
         choice = jnp.asarray(np.asarray(vals, np.int32))[choice]
         return choice.reshape(gy, gx).astype(jnp.int32)
 
-    def run(plane, size_map, mode_map):
+    def run(plane, size_map, mode_map, bt_map=None):
         plane = plane.astype(jnp.int32)
         mts_map = jnp.zeros((uy, ux), jnp.int32)
+        # MTT leaves tile as square s/2 TUs: the transform choice is
+        # made at the EFFECTIVE TU size (all TU origins are t-aligned)
+        eff = (jnp.where(bt_map > 0, size_map >> 1, size_map)
+               if bt_map is not None else size_map)
         for s in (8, 16, 32):
             if s > cfg.max_cu_size:
                 continue
             choice = eval_size(plane, size_map, mode_map, s)
             up = _upsample(choice, s // 8, uy, ux)
-            mts_map = jnp.where(size_map == s, up, mts_map)
+            mts_map = jnp.where(eff == s, up, mts_map)
         return mts_map
 
     return run

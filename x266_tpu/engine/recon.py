@@ -295,7 +295,59 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
 
             return branch
 
+        def make_branch_rect(s, vert):
+            """One rectangular MTT CU (C5): bt=1 (vert=False) is the
+            BT-H leaf half (h=t, w=s, TUs side by side); bt=2 is BT-V
+            (h=s, w=t, TUs stacked).  One mode, two square t-TUs coded
+            sequentially — the second TU's intra references include the
+            first TU's reconstruction (ISP-shaped)."""
+            t = s // 2
+            ct = t // 2
+
+            def branch(args):
+                yP, cbP, crP, cY, cCb, cCr, ux, uy = args
+                x = ux * 8
+                y = uy * 8
+                mode = mode_map[uy, ux]
+                for kidx in range(2):
+                    dx = 0 if vert else kidx * t
+                    dy = kidx * t if vert else 0
+                    xt, yt = x + dx, y + dy
+                    mts_idx = ((mts_map[uy + dy // 8, ux + dx // 8] & 7)
+                               if (use_mts or use_ts) else None)
+                    rec, lev = _tu(yP, srcY, cY, xt, yt, mode, t, qp,
+                                   encode, lossless, n_modes, mts_idx,
+                                   pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
+                                   use_mts=use_mts, use_ts=use_ts,
+                                   bd=bd)
+                    yP = jax.lax.dynamic_update_slice(
+                        yP, rec, (yt + 1, xt + 1))
+                    cY = jax.lax.dynamic_update_slice(cY, lev, (yt, xt))
+                    xc, yc = xt // 2, yt // 2
+                    recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, ct,
+                                     qp, encode, lossless, n_modes,
+                                     rdoq_lam=rdoq_lam, bd=bd)
+                    cbP = jax.lax.dynamic_update_slice(
+                        cbP, recb, (yc + 1, xc + 1))
+                    cCb = jax.lax.dynamic_update_slice(
+                        cCb, levb, (yc, xc))
+                    recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, ct,
+                                     qp, encode, lossless, n_modes,
+                                     rdoq_lam=rdoq_lam, bd=bd)
+                    crP = jax.lax.dynamic_update_slice(
+                        crP, recr, (yc + 1, xc + 1))
+                    cCr = jax.lax.dynamic_update_slice(
+                        cCr, levr, (yc, xc))
+                return yP, cbP, crP, cY, cCb, cCr
+
+            return branch
+
         branches = [make_branch(8), make_branch(16), make_branch(32)]
+        if cfg.mtt:
+            branches += [make_branch_rect(16, False),
+                         make_branch_rect(16, True),
+                         make_branch_rect(32, False),
+                         make_branch_rect(32, True)]
 
         cclm_carry = cfg.cclm and encode
         n_carry = 7 if cclm_carry else 6
@@ -316,9 +368,23 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
             uyc = jnp.minimum(uy, uy_n - 1)
             sz = size_map[uyc, uxc]
             units = sz >> 3                       # 1, 2 or 4
-            origin = ((ux & (units - 1)) == 0) & ((uy & (units - 1)) == 0)
-            code = (sz == 16).astype(jnp.int32) \
-                + 2 * (sz == 32).astype(jnp.int32)
+            if cfg.mtt:
+                bt = (mts_map[uyc, uxc] >> 4) & 3
+                ux_units = jnp.where(bt == 2, units >> 1, units)
+                uy_units = jnp.where(bt == 1, units >> 1, units)
+                origin = (((ux & (ux_units - 1)) == 0)
+                          & ((uy & (uy_units - 1)) == 0))
+                code = jnp.where(
+                    bt == 0,
+                    (sz == 16).astype(jnp.int32)
+                    + 2 * (sz == 32).astype(jnp.int32),
+                    jnp.where(sz == 16, 2 + bt, 4 + bt)
+                ).astype(jnp.int32)
+            else:
+                origin = (((ux & (units - 1)) == 0)
+                          & ((uy & (units - 1)) == 0))
+                code = (sz == 16).astype(jnp.int32) \
+                    + 2 * (sz == 32).astype(jnp.int32)
 
             def do(ops):
                 return jax.lax.switch(code, branches, ops)
@@ -388,8 +454,9 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
     # the Pallas kernel's VMEM tables/windows are 8-bit and predate
-    # CCLM; 10-bit / CCLM ride the XLA scan (capability first)
-    if use_pallas and cfg.bit_depth == 8 and not cfg.cclm:
+    # CCLM/MTT; 10-bit / CCLM / MTT ride the XLA scan (capability first)
+    if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
+            and not cfg.mtt:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)
