@@ -44,7 +44,8 @@ constexpr int CTX_MERGE_IDX = 85; // skip merge candidate index (C7)
 constexpr int CTX_CCLM = 86;      // chroma CCLM vs DM (C6, I slices)
 constexpr int CTX_BT_FLAG = 87;   // MTT binary split (C5): [32, 16]
 constexpr int CTX_BT_DIR = 89;    // split direction (1 = BT-V)
-constexpr int NUM_CONTEXTS = 90;
+constexpr int CTX_LFNST = 90;     // lfnst_idx > 0 (C10, I slices)
+constexpr int NUM_CONTEXTS = 91;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -286,7 +287,7 @@ struct Picture {
   int has_mts = 0;                 // tool bits: 0 cfg.mts,
                                    // 1 cfg.transform_skip,
                                    // 2 cfg.merge_cands, 3 cfg.cclm,
-                                   // 4 cfg.mtt
+                                   // 4 cfg.mtt, 5 cfg.lfnst
   int32_t* mts_map = nullptr;      // (Uy, Ux), 0..4
   int is_p = 0;                    // P or B slice
   int is_b = 0;                    // B slice (L1/bi kinds allowed)
@@ -550,6 +551,11 @@ struct SegEncoder {
     if ((pic.has_mts & 1) && cbf_y && mts != 5) {
       enc.encode_bin(ctxs, CTX_MTS, mts > 0);
       if (mts > 0) enc.encode_bypass_bits((uint32_t)(mts - 1), 2);
+    }
+    if ((pic.has_mts & 32) && !pic.is_p && cbf_y && mts == 0) {
+      int lf = (pic.mts_map[uy * pic.ux_n + ux] >> 6) & 3;
+      enc.encode_bin(ctxs, CTX_LFNST, lf > 0);
+      if (lf) enc.encode_bypass(lf == 2);
     }
     if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
     if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
@@ -858,8 +864,8 @@ struct SegDecoder {
     int cbf_y = dec.decode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1));
     int cbf_cb = dec.decode_bin(ctxs, CTX_CBF_C + 0);
     int cbf_cr = dec.decode_bin(ctxs, CTX_CBF_C + 1);
-    if (pic.has_mts && cbf_y) {
-      int mts = 0;
+    int mts = 0;
+    if ((pic.has_mts & 3) && cbf_y) {
       int ts = (pic.has_mts & 2) && dec.decode_bin(ctxs, CTX_TS_FLAG);
       if (ts) {
         mts = 5;
@@ -870,6 +876,14 @@ struct SegDecoder {
       for (int j = 0; j < u; j++)
         for (int i = 0; i < u; i++)
           pic.mts_map[(uy + j) * pic.ux_n + ux + i] |= mts;
+    }
+    if ((pic.has_mts & 32) && !pic.is_p && cbf_y && mts == 0) {
+      if (dec.decode_bin(ctxs, CTX_LFNST)) {
+        int lf = dec.decode_bypass() ? 2 : 1;
+        for (int j = 0; j < u; j++)
+          for (int i = 0; i < u; i++)
+            pic.mts_map[(uy + j) * pic.ux_n + ux + i] |= lf << 6;
+      }
     }
     int w = pic.width, cw = w / 2;
     if (cbf_y) residual(pic.coef_y, w, x, y, s, false);

@@ -341,6 +341,11 @@ class SyntaxEncoder(_Walker):
             self.enc.encode_bin(self.ctxs, cx.MTS, int(mts > 0))
             if mts > 0:
                 self.enc.encode_bypass_bits(mts - 1, 2)
+        if (self.cfg.lfnst and not self.is_p and cbf_y and mts == 0):
+            lf = (int(self.mts_map[uy, ux]) >> 6) & 3
+            self.enc.encode_bin(self.ctxs, cx.LFNST, int(lf > 0))
+            if lf:
+                self.enc.encode_bypass(int(lf == 2))
         if cbf_y:
             self._residual(by, s, chroma=False)
         if cbf_cb:
@@ -606,8 +611,8 @@ class SyntaxDecoder(_Walker):
                                     cx.CBF_Y + (0 if s >= 16 else 1))
         cbf_cb = self.dec.decode_bin(self.ctxs, cx.CBF_C + 0)
         cbf_cr = self.dec.decode_bin(self.ctxs, cx.CBF_C + 1)
+        mts = 0
         if (self.cfg.mts or self.cfg.transform_skip) and cbf_y:
-            mts = 0
             ts = (self.cfg.transform_skip
                   and self.dec.decode_bin(self.ctxs, cx.TS_FLAG))
             if ts:
@@ -616,6 +621,10 @@ class SyntaxDecoder(_Walker):
                 if self.dec.decode_bin(self.ctxs, cx.MTS):
                     mts = 1 + self.dec.decode_bypass_bits(2)
             self.mts_map[uy:uy + u, ux:ux + u] |= mts
+        if (self.cfg.lfnst and not self.is_p and cbf_y and mts == 0):
+            if self.dec.decode_bin(self.ctxs, cx.LFNST):
+                lf = 2 if self.dec.decode_bypass() else 1
+                self.mts_map[uy:uy + u, ux:ux + u] |= lf << 6
         if cbf_y:
             self.coef["y"][y:y + s, x:x + s] = self._residual(s, False)
         if cbf_cb:

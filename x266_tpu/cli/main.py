@@ -54,6 +54,7 @@ def cmd_encode(args) -> int:
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
         merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
+        lfnst=args.lfnst,
         tile_rows=args.tile_rows,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
@@ -180,6 +181,9 @@ def main(argv=None) -> int:
     e.add_argument("--mtt", action="store_true",
                    help="multi-type tree: binary splits into "
                         "rectangular CUs (requires --profile vvc)")
+    e.add_argument("--lfnst", action="store_true",
+                   help="secondary low-frequency transform "
+                        "(requires --profile vvc)")
     e.add_argument("--tile-rows", type=int, default=0)
     e.add_argument("--gop", type=int, default=1,
                    help="intra period: 1 = all-intra, N = IDR every N "

@@ -99,6 +99,11 @@ class CodecConfig:
     # predicted sequentially from reconstructed neighbors (HEVC-RQT /
     # ISP-shaped).  Intra CUs only in v1 (P/B slices infer no-split).
     mtt: bool = False               # requires profile=VVC
+    # C10 LFNST: per-TU secondary non-separable transform on the DCT2
+    # low 4x4 band, lfnst_idx in {0,1,2}; kernels are KLTs trained on
+    # this codec's own statistics (tools/train_lfnst.py).  Intra luma
+    # TUs of I slices in v1.
+    lfnst: bool = False             # requires profile=VVC
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
@@ -137,6 +142,10 @@ class CodecConfig:
             raise ValueError("CCLM requires the VVC profile")
         if self.mtt and self.profile != Profile.VVC:
             raise ValueError("MTT requires the VVC profile")
+        if self.lfnst and self.profile != Profile.VVC:
+            raise ValueError("LFNST requires the VVC profile")
+        if self.lfnst and self.lossless:
+            raise ValueError("lfnst + lossless is not supported")
         if self.mtt and self.cclm:
             raise ValueError("mtt + cclm is not supported in v1 (the "
                              "in-scan CCLM decision is per square CU)")

@@ -357,7 +357,8 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
     h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
     md = make_mode_decision_raw(cfg)
     mts_sel = (make_mts_select_raw(cfg)
-               if (cfg.mts or cfg.transform_skip) else None)
+               if (cfg.mts or cfg.transform_skip or cfg.lfnst)
+               else None)
     rp = select_recon_impl(cfg, encode=True)
     uy, ux = cfg.units_y, cfg.units_x
 

@@ -400,6 +400,8 @@ def make_mts_select_raw(cfg: CodecConfig):
     vals = list(range(len(combos)))
     if cfg.transform_skip:
         vals.append(5)                       # engine.recon.TS_IDX
+    if cfg.lfnst:
+        vals += [1 << 6, 2 << 6]             # lfnst_idx rides bits 6-7
 
     def eval_size(plane, size_map, mode_map, s):
         w, h = cfg.width, cfg.height
@@ -442,6 +444,22 @@ def make_mts_select_raw(cfg: CodecConfig):
             rres = (deq + ((1 << (tsh - 1)) if tsh > 0 else 0)) >> tsh
             recon = jnp.clip(pred + rres, 0, cfg.max_val)
             costs.append(kcost.sse(recon, orig) + lam * (rate + 1.0))
+        if cfg.lfnst:
+            from x266_tpu.kernels.lfnst import lfnst_fwd, lfnst_inv
+
+            # DCT2 primary (XLA CSEs this with the combo-0 candidate)
+            c0 = ktx.forward_transform(res, s, bit_depth=bd)
+            for kk in (1, 2):
+                li = jnp.full((nb,), kk, jnp.int32)
+                c2 = lfnst_fwd(c0, modes, li, n_modes)
+                levels = kquant.quantize(c2, cfg.qp, s, bd)
+                rate = kcost.rate_estimate_levels(levels)
+                deq = kquant.dequantize(levels, cfg.qp, s, bd)
+                d2 = lfnst_inv(deq, modes, li, n_modes)
+                rres = ktx.inverse_transform(d2, s, bit_depth=bd)
+                recon = jnp.clip(pred + rres, 0, cfg.max_val)
+                costs.append(kcost.sse(recon, orig)
+                             + lam * (rate + 2.0))
         choice = jnp.argmin(jnp.stack(costs, axis=1), axis=1)
         choice = jnp.asarray(np.asarray(vals, np.int32))[choice]
         return choice.reshape(gy, gx).astype(jnp.int32)

@@ -88,23 +88,33 @@ TS_IDX = 5
 
 
 def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
-             use_ts=False, bd=8):
+             use_ts=False, bd=8, lfnst=None):
     """Forward transform + quant with per-TU MTS/TS selection (luma).
     rdoq_lam: pixel-domain lambda enabling RDOQ (encoder-only), or None
     for the hard deadzone quantizer.  use_ts adds the transform-skip
-    branch (mts_idx == TS_IDX): coef = res << transform_shift."""
+    branch (mts_idx == TS_IDX): coef = res << transform_shift.
+    lfnst: (lfnst_idx, mode, n_modes) traced scalars applying the
+    secondary transform on the DCT2 branch's low 4x4 (C10)."""
     def q(coefs):
         if rdoq_lam is not None:
             return kquant.rd_quantize(coefs, qp, s, rdoq_lam, bd)
         return kquant.quantize(coefs, qp, s, bd)
 
+    def fwd0(r):
+        c = ktx.forward_transform(r[None], s, bit_depth=bd)
+        if lfnst is not None:
+            from x266_tpu.kernels.lfnst import lfnst_fwd
+            li, mode, n_modes = lfnst
+            c = lfnst_fwd(c[0], mode, li, n_modes)[None]
+        return q(c)[0]
+
     if not use_mts and not use_ts:
-        return q(ktx.forward_transform(res[None], s, bit_depth=bd))[0]
+        return fwd0(res)
     combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
-    branches = [
+    branches = [fwd0] + [
         (lambda r, tv=tv, th=th:
          q(ktx.forward_transform(r[None], s, tv, th, bd))[0])
-        for (tv, th) in combos]
+        for (tv, th) in combos[1:]]
     idx = mts_idx
     if use_ts:
         tsh = 15 - bd - (s.bit_length() - 1)
@@ -114,18 +124,25 @@ def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
     return jax.lax.switch(idx, branches, res)
 
 
-def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8):
+def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8,
+             lfnst=None):
+    def inv0(lv):
+        d = kquant.dequantize(lv[None], qp, s, bd)
+        if lfnst is not None:
+            from x266_tpu.kernels.lfnst import lfnst_inv
+            li, mode, n_modes = lfnst
+            d = lfnst_inv(d[0], mode, li, n_modes)[None]
+        return ktx.inverse_transform(d, s, bit_depth=bd)[0]
+
     if not use_mts and not use_ts:
-        return ktx.inverse_transform(
-            kquant.dequantize(lev[None], qp, s, bd), s,
-            bit_depth=bd)[0]
+        return inv0(lev)
     combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
-    branches = [
+    branches = [inv0] + [
         (lambda lv, tv=tv, th=th:
          ktx.inverse_transform(
              kquant.dequantize(lv[None], qp, s, bd), s, tv, th,
              bd)[0])
-        for (tv, th) in combos]
+        for (tv, th) in combos[1:]]
     idx = mts_idx
     if use_ts:
         tsh = 15 - bd - (s.bit_length() - 1)
@@ -140,12 +157,13 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8):
 
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
-        use_mts=False, use_ts=False, bd=8, pred_override=None):
+        use_mts=False, use_ts=False, bd=8, pred_override=None,
+        lfnst=None):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
     or cfg.transform_skip; TS_IDX selects transform skip) or None.
     pred_override: (s, s) prediction replacing the mode predictor
-    (CCLM chroma)."""
+    (CCLM chroma).  lfnst: (lfnst_idx, mode, n_modes) or None (C10)."""
     maxv = (1 << bd) - 1
     if pred_override is not None:
         pred = pred_override
@@ -159,14 +177,16 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
             return orig, orig - pred
         res = orig - pred
         lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam, use_ts,
-                       bd)
-        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd)
+                       bd, lfnst)
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd,
+                        lfnst)
         return jnp.clip(pred + rres, 0, maxv), lev
     else:
         lev = jax.lax.dynamic_slice(coef, (y, x), (s, s))
         if lossless:
             return jnp.clip(pred + lev, 0, maxv), lev
-        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd)
+        rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd,
+                        lfnst)
         return jnp.clip(pred + rres, 0, maxv), lev
 
 
@@ -231,10 +251,13 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 # transform-candidate index
                 mts_idx = ((mts_map[uy, ux] & 7)
                            if (use_mts or use_ts) else None)
+                lf = (((mts_map[uy, ux] >> 6) & 3, mode, n_modes)
+                      if cfg.lfnst else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
                                pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
-                               use_mts=use_mts, use_ts=use_ts, bd=bd)
+                               use_mts=use_mts, use_ts=use_ts, bd=bd,
+                               lfnst=lf)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2
@@ -313,13 +336,16 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     dx = 0 if vert else kidx * t
                     dy = kidx * t if vert else 0
                     xt, yt = x + dx, y + dy
-                    mts_idx = ((mts_map[uy + dy // 8, ux + dx // 8] & 7)
+                    mts_tu = mts_map[uy + dy // 8, ux + dx // 8]
+                    mts_idx = ((mts_tu & 7)
                                if (use_mts or use_ts) else None)
+                    lf = (((mts_tu >> 6) & 3, mode, n_modes)
+                          if cfg.lfnst else None)
                     rec, lev = _tu(yP, srcY, cY, xt, yt, mode, t, qp,
                                    encode, lossless, n_modes, mts_idx,
                                    pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
                                    use_mts=use_mts, use_ts=use_ts,
-                                   bd=bd)
+                                   bd=bd, lfnst=lf)
                     yP = jax.lax.dynamic_update_slice(
                         yP, rec, (yt + 1, xt + 1))
                     cY = jax.lax.dynamic_update_slice(cY, lev, (yt, xt))
@@ -454,9 +480,9 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
     # the Pallas kernel's VMEM tables/windows are 8-bit and predate
-    # CCLM/MTT; 10-bit / CCLM / MTT ride the XLA scan (capability first)
+    # CCLM/MTT/LFNST; those ride the XLA scan (capability first)
     if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
-            and not cfg.mtt:
+            and not cfg.mtt and not cfg.lfnst:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)
