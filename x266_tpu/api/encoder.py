@@ -140,7 +140,6 @@ class Encoder:
         (C16 DPB).  gop_size > 1 selects the random-access hierarchy
         (_encode_ra)."""
         from x266_tpu.core.nal import NalType as NT
-        from x266_tpu.engine.picture import encode_picture_gop
 
         if cfg.tile_rows:
             # tile-band inter path with reference-halo exchange (P4)
@@ -151,17 +150,24 @@ class Encoder:
             return encode_inter_tiled(cfg, frames, self.with_recon)
         if cfg.gop_size > 1:
             return self._encode_ra(cfg, frames, out)
+        from x266_tpu.engine.picture import encode_picture_gop_async
         recons: list[Frame] = []
         frame_bits: list[int] = []
         sses: list = []
         pyramids = None
         rc = self.rate_control
-        for poc, frame in enumerate(frames):
-            fcfg = cfg if rc is None else cfg.replace(qp=rc.qp)
-            rbsp, recon, sse, pyramids, st = encode_picture_gop(
-                fcfg, frame, poc, pyramids, self.with_recon)
-            nal_type = (NT.IDR if st.name == "I" else NT.TRAIL)
-            nal = write_nal(nal_type, rbsp)
+        # Pipeline (rc off): dispatch frame i+1 (its only dependency is
+        # the device-resident pyramids) before finalizing frame i, so
+        # downloads + host entropy overlap the next device step.  With
+        # rate control the loop stays serial (frame i's bits set frame
+        # i+1's QP).
+        pending: list[tuple] = []
+
+        def drain():
+            fin, st = pending.pop(0)
+            rbsp, recon, sse = fin()
+            nal = write_nal(NT.IDR if st.name == "I" else NT.TRAIL,
+                            rbsp)
             out.append(nal)
             if recon is not None:
                 recons.append(recon)
@@ -169,6 +175,16 @@ class Encoder:
             sses.append(sse)
             if rc is not None:
                 rc.update(8 * len(nal))
+
+        for poc, frame in enumerate(frames):
+            fcfg = cfg if rc is None else cfg.replace(qp=rc.qp)
+            fin, pyramids, st = encode_picture_gop_async(
+                fcfg, frame, poc, pyramids, self.with_recon)
+            pending.append((fin, st))
+            while len(pending) > (1 if rc is None else 0):
+                drain()
+        while pending:
+            drain()
         return EncodeResult(b"".join(out), recons, frame_bits,
                             sse=sses)
 
@@ -182,9 +198,10 @@ class Encoder:
         anchor)."""
         from x266_tpu.core.nal import NalType as NT
         from x266_tpu.engine.picture import (b_qp_offset,
-                                             encode_picture_b,
-                                             encode_picture_gop,
                                              gop_coding_order)
+
+        from x266_tpu.engine.picture import (encode_picture_b_async,
+                                             encode_picture_gop_async)
 
         if self.rate_control is not None:
             raise ValueError("rate control supports low-delay in v1")
@@ -192,6 +209,19 @@ class Encoder:
                                  cfg.gop_size)
         dpb: dict[int, tuple] = {}
         per_poc: dict[int, tuple] = {}
+        nal_slot: dict[int, int] = {}
+        # Pipeline: the next picture's dispatch depends only on device-
+        # resident DPB pyramids, so finalize (downloads + host entropy)
+        # trails one picture behind the device compute.
+        pending: list[tuple] = []
+
+        def drain():
+            poc, fin = pending.pop(0)
+            rbsp, recon, sse = fin()
+            nal = write_nal(nal_slot.pop(poc), rbsp)
+            out.append(nal)
+            per_poc[poc] = (nal, recon, sse)
+
         for poc, kind in order:
             if kind == "B":
                 l0 = max(p for p in dpb if p < poc)
@@ -200,25 +230,28 @@ class Encoder:
                 # of two): never referenced, so no pyramids/DPB entry
                 is_ref = poc % 2 == 0
                 bc = cfg.replace(qp=cfg.qp + b_qp_offset(cfg, poc))
-                rbsp, recon, sse, pyr = encode_picture_b(
+                fin, pyr = encode_picture_b_async(
                     bc, frames[poc], poc, dpb[l0], dpb[l1],
                     self.with_recon, with_pyramids=is_ref)
-                nal = write_nal(NalType.TRAIL, rbsp)
+                nal_slot[poc] = NalType.TRAIL
             else:
                 ref = (None if kind == "I"
                        else dpb[max(p for p in dpb if p < poc)])
-                rbsp, recon, sse, pyr, st = encode_picture_gop(
+                fin, pyr, st = encode_picture_gop_async(
                     cfg, frames[poc], poc, ref, self.with_recon)
-                nal = write_nal(NT.IDR if st.name == "I" else NT.TRAIL,
-                                rbsp)
+                nal_slot[poc] = (NT.IDR if st.name == "I"
+                                 else NT.TRAIL)
             if pyr is not None:
                 dpb[poc] = pyr
-            per_poc[poc] = (nal, recon, sse)
-            out.append(nal)
+            pending.append((poc, fin))
+            while len(pending) > 1:
+                drain()
             if kind != "B" and poc > 0:
                 # span (prev_anchor, poc] starts: evict older pyramids
                 for p in [p for p in dpb if p < poc - cfg.gop_size]:
                     del dpb[p]
+        while pending:
+            drain()
         recons = [per_poc[p][1] for p in sorted(per_poc)
                   if per_poc[p][1] is not None]
         frame_bits = [8 * len(per_poc[p][0]) for p in sorted(per_poc)]

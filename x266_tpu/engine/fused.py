@@ -92,34 +92,101 @@ def _maps_layout(cfg: CodecConfig):
     return offs, pos
 
 
-def unpack_maps(cfg: CodecConfig, flat: np.ndarray):
-    """flat int16 -> dict of int32 arrays with proper shapes."""
-    offs, _ = _maps_layout(cfg)
-    uy, ux = cfg.units_y, cfg.units_x
-    cy, cx = cfg.ctus_y, cfg.ctus_x
+# ---- compact wire format (encoder DOWNLOAD path) ---------------------------
+# The remote-attached chip's tunnel (~40 MB/s) makes downloaded bytes a
+# first-order e2e cost; every map rides one uint8 buffer with 1 byte for
+# the small-range maps and explicit little-endian int16 pairs only for
+# MVs / ALF coefficients.  MV maps are emitted by P/B steps only (intra
+# frames would download 4 planes of zeros otherwise).  The decoder
+# UPLOAD path keeps the int16 _maps_layout (pack_maps_host / _flat_get).
+_U8, _S8, _S16 = 0, 1, 2
 
-    def get(name, shape):
-        a, b = offs[name]
-        return np.ascontiguousarray(
-            flat[a:b].astype(np.int32).reshape(shape))
+_MAP_SHAPES = {
+    "size": lambda c: (c.units_y, c.units_x),
+    "mode": lambda c: (c.units_y, c.units_x),
+    "mts": lambda c: (c.units_y, c.units_x),
+    "pred": lambda c: (c.units_y, c.units_x),
+    "mvx": lambda c: (c.units_y, c.units_x),
+    "mvy": lambda c: (c.units_y, c.units_x),
+    "mvx1": lambda c: (c.units_y, c.units_x),
+    "mvy1": lambda c: (c.units_y, c.units_x),
+    "sao_type": lambda c: (3, c.ctus_y, c.ctus_x),
+    "sao_band": lambda c: (3, c.ctus_y, c.ctus_x),
+    "sao_off": lambda c: (3, c.ctus_y, c.ctus_x, 4),
+    "alf_flag": lambda c: (c.ctus_y, c.ctus_x),
+    "alf_coef": lambda c: (25, 12),
+    "alf_cflag": lambda c: (2, c.ctus_y, c.ctus_x),
+    "alf_ccoef": lambda c: (2, 6),
+    "alf_clip": lambda c: (25,),
+    "alf_cclip": lambda c: (2,),
+    "ccalf_coef": lambda c: (2, 7),
+    "ccalf_flag": lambda c: (2, c.ctus_y, c.ctus_x),
+}
 
-    return {"size": get("size", (uy, ux)), "mode": get("mode", (uy, ux)),
-            "mts": get("mts", (uy, ux)),
-            "sao_type": get("sao_type", (3, cy, cx)),
-            "sao_band": get("sao_band", (3, cy, cx)),
-            "sao_off": get("sao_off", (3, cy, cx, 4)),
-            "pred": get("pred", (uy, ux)), "mvx": get("mvx", (uy, ux)),
-            "mvy": get("mvy", (uy, ux)),
-            "mvx1": get("mvx1", (uy, ux)),
-            "mvy1": get("mvy1", (uy, ux)),
-            "alf_flag": get("alf_flag", (cy, cx)),
-            "alf_coef": get("alf_coef", (25, 12)),
-            "alf_cflag": get("alf_cflag", (2, cy, cx)),
-            "alf_ccoef": get("alf_ccoef", (2, 6)),
-            "alf_clip": get("alf_clip", (25,)),
-            "alf_cclip": get("alf_cclip", (2,)),
-            "ccalf_coef": get("ccalf_coef", (2, 7)),
-            "ccalf_flag": get("ccalf_flag", (2, cy, cx))}
+
+def _wire_spec(cfg: CodecConfig, inter: bool):
+    """[(name, count, kind, byte_off)] and total byte length."""
+    u = cfg.units_y * cfg.units_x
+    c = cfg.ctus_y * cfg.ctus_x
+    spec = [("size", u, _U8), ("mode", u, _U8), ("mts", u, _U8),
+            ("pred", u, _U8),
+            ("sao_type", 3 * c, _U8), ("sao_band", 3 * c, _U8),
+            ("sao_off", 12 * c, _S8),
+            ("alf_flag", c, _U8), ("alf_cflag", 2 * c, _U8),
+            ("ccalf_flag", 2 * c, _U8),
+            ("alf_clip", 25, _U8), ("alf_cclip", 2, _U8),
+            ("alf_coef", 25 * 12, _S16), ("alf_ccoef", 2 * 6, _S16),
+            ("ccalf_coef", 2 * 7, _S16)]
+    if inter:
+        spec += [("mvx", u, _S16), ("mvy", u, _S16),
+                 ("mvx1", u, _S16), ("mvy1", u, _S16)]
+    out, pos = [], 0
+    for name, n, kind in spec:
+        out.append((name, n, kind, pos))
+        pos += n * (2 if kind == _S16 else 1)
+    return out, pos
+
+
+def _pack_wire_device(cfg: CodecConfig, maps: dict,
+                      inter: bool) -> jnp.ndarray:
+    """maps dict (int32 device arrays) -> one uint8 wire buffer."""
+    spec, _ = _wire_spec(cfg, inter)
+    parts = []
+    for name, n, kind, _pos in spec:
+        v = maps[name].astype(jnp.int32).ravel()
+        if kind == _S16:
+            parts.append(jnp.stack(
+                [v & 0xFF, (v >> 8) & 0xFF],
+                axis=-1).ravel().astype(jnp.uint8))
+        else:
+            parts.append((v & 0xFF).astype(jnp.uint8))
+    return jnp.concatenate(parts)
+
+
+def unpack_maps(cfg: CodecConfig, flat: np.ndarray,
+                inter: bool = True):
+    """uint8 wire buffer -> dict of int32 arrays with proper shapes.
+
+    Maps absent from the wire (MVs on intra frames) come back zeroed.
+    """
+    spec, total = _wire_spec(cfg, inter)
+    assert flat.shape[-1] == total, (flat.shape, total)
+    out = {}
+    for name, n, kind, pos in spec:
+        shape = _MAP_SHAPES[name](cfg)
+        if kind == _S16:
+            b = flat[pos:pos + 2 * n].reshape(n, 2).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8)
+            v = (v ^ 0x8000) - 0x8000          # sign-extend 16-bit
+        elif kind == _S8:
+            v = flat[pos:pos + n].astype(np.int8).astype(np.int32)
+        else:
+            v = flat[pos:pos + n].astype(np.int32)
+        out[name] = np.ascontiguousarray(v.reshape(shape))
+    for name in _MAP_SHAPES:
+        if name not in out:
+            out[name] = np.zeros(_MAP_SHAPES[name](cfg), np.int32)
+    return out
 
 
 def pack_maps_host(cfg: CodecConfig, maps: dict) -> np.ndarray:
@@ -159,28 +226,87 @@ def unpack_recon(cfg, packed: np.ndarray) -> Frame:
                  np.ascontiguousarray(packed[h:, w // 2:]))
 
 
-def _pack_coefs_device(c16: jnp.ndarray):
-    """(Hc, W) int16 -> (low uint8 plane, high int8 plane, wide flag).
+def _esc_capacity(w: int) -> int:
+    """Per-row escape capacity for a w-wide coef plane.
 
-    Sort-free sparsity-aware readback: the host downloads only the low
-    byte plane (levels almost never exceed +-127 in lossy coding) and
-    fetches the high plane only when the wide flag says any level does.
-    low/high is an exact byte split: c16 == high*256 + low.
+    Measured escape rate (|level| > 7) on the synthetic RD corpus:
+    0.21% at qp22, 0.06% at qp32 — w/64 (1.56%) is ~7x headroom; the
+    full byte planes remain the overflow fallback (fetch_coefs)."""
+    return max(8, w // 64)
+
+
+def _pack_coefs_device(c16: jnp.ndarray):
+    """(Hc, W) int16 -> (nib u8 (Hc, W/2), esc (i16 vals (Hc, K),
+    i16 cols (Hc, K)), low u8, high i8, counts f32 (2,) =
+    [overflow, wide]).
+
+    Sparsity-aware readback for the ~40 MB/s tunnel: quantized levels
+    live in [-7, 7] almost everywhere, so the host downloads a packed
+    4-bit plane (half a byte per sample) plus, per plane row, the K
+    largest-|value| entries with their columns (lax.top_k — measured
+    ~15x cheaper than a jnp.nonzero compaction on TPU).  The host
+    scatters ALL (val, col) pairs over the un-nibbled plane: entries
+    that are not real escapes carry |v| <= 7 and rewrite the value the
+    nibble already holds, so no count or ordering is needed.  If any
+    row has more than K escapes the host falls back to the exact
+    low/high byte split (c16 == high*256 + low); no fallback plane is
+    transferred unless needed (they are jit outputs, fetched lazily).
     """
-    low = (c16.astype(jnp.int32) & 0xFF).astype(jnp.uint8)
+    c = c16.astype(jnp.int32)
+    esc_mask = (c > 7) | (c < -7)
+    nib = jnp.clip(c, -8, 7)
+    nibu = (nib & 0xF).astype(jnp.uint8)
+    packed = nibu[..., 0::2] | (nibu[..., 1::2] << 4)
+    k = _esc_capacity(c.shape[-1])
+    _, cols = jax.lax.top_k(jnp.abs(c), k)          # (Hc, K)
+    vals = jnp.take_along_axis(c16, cols, axis=-1)
+    overflow = jnp.any(jnp.sum(esc_mask, axis=-1) > k
+                       ).astype(jnp.float32)
+    low = (c & 0xFF).astype(jnp.uint8)
     high = (c16 >> 8).astype(jnp.int8)
-    # value fits int8 iff high equals the sign-extension of low
     sext = (low.astype(jnp.int8) >> 7)
     wide = jnp.any(high != sext).astype(jnp.float32)
-    return low, high, wide
+    return (packed, (vals, cols.astype(jnp.int16)), low, high,
+            jnp.stack([overflow, wide]))
 
 
 def reconstruct_coefs(low: np.ndarray, high: np.ndarray | None
                       ) -> np.ndarray:
-    """Host inverse of _pack_coefs_device -> int32 plane."""
+    """Host inverse of the low/high byte split -> int32 plane."""
     if high is None:
         return low.astype(np.int8).astype(np.int32)
     return (high.astype(np.int32) << 8) | low.astype(np.int32)
+
+
+def reconstruct_coefs_nib(nib: np.ndarray, vals: np.ndarray,
+                          cols: np.ndarray) -> np.ndarray:
+    """Host inverse of the nibble pack -> int32 plane (no overflow)."""
+    h, w2 = nib.shape
+    u = np.empty((h, 2 * w2), np.uint8)
+    u[:, 0::2] = nib & 0xF
+    u[:, 1::2] = nib >> 4
+    v = (u.astype(np.int32) ^ 8) - 8          # sign-extend 4-bit
+    v[np.arange(h)[:, None], cols.astype(np.int64)] = \
+        vals.astype(np.int32)
+    return v
+
+
+def fetch_coefs(cfg: CodecConfig, coef_out, stats: np.ndarray
+                ) -> np.ndarray:
+    """Download one frame's cheapest sufficient coef representation.
+
+    coef_out: the step's coef output (int16 plane when lossless, else
+    the (nib, (vals, cols), low, high) tuple); stats: the downloaded
+    (5,) stats vector ([sse x3, overflow, wide])."""
+    if cfg.lossless:
+        return np.asarray(coef_out).astype(np.int32)
+    nib, esc, low, high = coef_out
+    if stats[3] == 0:
+        return reconstruct_coefs_nib(np.asarray(nib),
+                                     np.asarray(esc[0]),
+                                     np.asarray(esc[1]))
+    hi = np.asarray(high) if stats[4] > 0 else None
+    return reconstruct_coefs(np.asarray(low), hi)
 
 
 def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
@@ -324,19 +450,18 @@ def _build_pyramids_device(y, cb, cr, max_val: int = 255):
     return py, pcb, pcr
 
 
-def _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps_list, sse,
-                  with_recon, with_pyramids):
+def _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
+                  with_recon, with_pyramids, inter=False):
     h, w = cfg.height, cfg.width
     coef = jnp.zeros((h + h // 2, w), jnp.int16)
     coef = coef.at[:h].set(cY)
     coef = coef.at[h:, :w // 2].set(cCb)
     coef = coef.at[h:, w // 2:].set(cCr)
     if not cfg.lossless:
-        low, high, wide = _pack_coefs_device(coef)
-        coef = (low, high)
-        sse = jnp.concatenate([sse, wide[None]])
-    flat = jnp.concatenate([m.astype(jnp.int16).ravel()
-                            for m in maps_list])
+        nib, esc, low, high, counts = _pack_coefs_device(coef)
+        coef = (nib, esc, low, high)
+        sse = jnp.concatenate([sse, counts])
+    flat = _pack_wire_device(cfg, maps, inter)
     out = (coef, flat, sse)
     pdt = jnp.uint8 if cfg.bit_depth == 8 else jnp.uint16
     if with_recon:
@@ -389,11 +514,14 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
          sse) = _filters_and_stats(
             cfg, y8, cb8, cr8, eff_size, yP, cbP, crP)
         zero_u = jnp.zeros((uy, ux), jnp.int32)
-        maps = [size_map, mode_map, mts_map, st, sb, so,
-                zero_u, zero_u, zero_u, zero_u, zero_u, af, ac,
-                acf, acc, acl, accl, ccc, ccf]
+        maps = {"size": size_map, "mode": mode_map, "mts": mts_map,
+                "sao_type": st, "sao_band": sb, "sao_off": so,
+                "pred": zero_u, "alf_flag": af, "alf_coef": ac,
+                "alf_cflag": acf, "alf_ccoef": acc, "alf_clip": acl,
+                "alf_cclip": accl, "ccalf_coef": ccc,
+                "ccalf_flag": ccf}
         return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
-                             with_recon, with_pyramids)
+                             with_recon, with_pyramids, inter=False)
 
     return step
 
@@ -437,12 +565,16 @@ def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
         (pred_map, mvx_fin.astype(jnp.int32),
          mvy_fin.astype(jnp.int32), cY))
     zero_u = jnp.zeros_like(size_map)
-    maps = [size_map, mode_map, mts_map, st, sb, so,
-            pred_map, mvx_fin.astype(jnp.int32),
-            mvy_fin.astype(jnp.int32), zero_u, zero_u, af, ac,
-            acf, acc, acl, accl, ccc, ccf]
+    maps = {"size": size_map, "mode": mode_map, "mts": mts_map,
+            "sao_type": st, "sao_band": sb, "sao_off": so,
+            "pred": pred_map, "mvx": mvx_fin.astype(jnp.int32),
+            "mvy": mvy_fin.astype(jnp.int32),
+            "mvx1": zero_u, "mvy1": zero_u, "alf_flag": af,
+            "alf_coef": ac, "alf_cflag": acf, "alf_ccoef": acc,
+            "alf_clip": acl, "alf_cclip": accl, "ccalf_coef": ccc,
+            "ccalf_flag": ccf}
     return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
-                         with_recon, with_pyramids)
+                         with_recon, with_pyramids, inter=True)
 
 
 @functools.cache
@@ -516,12 +648,16 @@ def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids):
         cfg, y8, cb8, cr8, size_map, yP, cbP, crP,
         (pred_map, mvx_fin.astype(jnp.int32),
          mvy_fin.astype(jnp.int32), cY))
-    maps = [size_map, mode_map, mts_map, st, sb, so,
-            pred_map, mvx_fin.astype(jnp.int32),
-            mvy_fin.astype(jnp.int32), mvx1_map, mvy1_map, af, ac,
-            acf, acc, acl, accl, ccc, ccf]
+    maps = {"size": size_map, "mode": mode_map, "mts": mts_map,
+            "sao_type": st, "sao_band": sb, "sao_off": so,
+            "pred": pred_map, "mvx": mvx_fin.astype(jnp.int32),
+            "mvy": mvy_fin.astype(jnp.int32),
+            "mvx1": mvx1_map, "mvy1": mvy1_map, "alf_flag": af,
+            "alf_coef": ac, "alf_cflag": acf, "alf_ccoef": acc,
+            "alf_clip": acl, "alf_cclip": accl, "ccalf_coef": ccc,
+            "ccalf_flag": ccf}
     return _pack_outputs(cfg, y, cb, cr, cY, cCb, cCr, maps, sse,
-                         with_recon, with_pyramids)
+                         with_recon, with_pyramids, inter=True)
 
 
 @functools.cache

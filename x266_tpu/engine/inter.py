@@ -245,6 +245,156 @@ def make_mode_decision_p_raw(cfg: CodecConfig,
     return run
 
 
+def _satd_s(a, b, s: int):
+    """HM-style SATD8 over (B, s, s) blocks (8x8 Hadamard tiles)."""
+    if s == 8:
+        return kcost.satd(a, b)
+    f = s // 8
+    ar = a.reshape(-1, f, 8, f, 8).transpose(0, 1, 3, 2, 4)
+    br = b.reshape(-1, f, 8, f, 8).transpose(0, 1, 3, 2, 4)
+    return jnp.sum(kcost.satd(ar, br), axis=(1, 2))
+
+
+@functools.cache
+def _fwd_gain2(s: int, bit_depth: int) -> float:
+    """Energy gain of the exact-int forward DCT2: ||T(r)||^2 ~= g2 *
+    ||r||^2 (Parseval up to the integer-DCT row-norm scaling; constant
+    per size, measured once numerically).  Lets the transform-domain
+    quantization error rank candidates on the spatial-SSE scale."""
+    rng = np.random.default_rng(7)
+    r = rng.integers(-64, 64, (64, s, s)).astype(np.int32)
+    with jax.ensure_compile_time_eval():
+        c = np.asarray(ktx.forward_transform(jnp.asarray(r), s,
+                                             bit_depth=bit_depth))
+    return float(np.sum(c.astype(np.float64) ** 2)
+                 / np.sum(r.astype(np.float64) ** 2))
+
+
+def _b_candidates(cfg, plane, pyr0, pyr1, g0, g1, size,
+                  warp0=None, warp1=None):
+    """Explicit B-candidate (L0 / L1 / bi) + skip costs, all size-s
+    blocks, with ONE full residual chain.
+
+    TPU-first restructuring of the per-candidate RDO: the three MC
+    predictions are ranked by SATD + lambda*mv-bits (the HM preselect
+    metric) and only the winner runs the transform/quant/rate/recon
+    chain — 3x less MXU work than chaining every candidate, at a
+    sub-tolerance RD delta (gated by tests/test_rd.py).  Identical
+    math on the warp (Pallas) and gather paths, so decisions stay
+    backend-independent.
+
+    Returns (cost_expl, kind_expl, mv0x, mv0y, mv1x, mv1y,
+             cost_skip, midx) as (gy, gx) grids; kind_expl in
+    {PRED_INTER, PRED_L1, PRED_BI}.  For kind PRED_L1 the (mv0x, mv0y)
+    slots carry the L1 MV (the primary-MV convention of the maps).
+    """
+    w, h, s = cfg.width, cfg.height, size
+    lam = np.float32(cfg.lambda_mode)
+    xs_np, ys_np, gy, gx = _block_positions(w, h, s)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    nb = xs_np.shape[0]
+    m_y = (ys_np // kme.ME_BLOCK).astype(np.int32)
+    m_x = (xs_np // kme.ME_BLOCK).astype(np.int32)
+    mv0 = g0[m_y, m_x]
+    mv1 = g1[m_y, m_x]
+    mvl0 = g0[m_y, np.maximum(m_x - 1, 0)]
+    mvl1 = g1[m_y, np.maximum(m_x - 1, 0)]
+    mva0 = g0[np.maximum(m_y - 1, 0), m_x]
+
+    orig = _block_gather(plane, gy, gx, s)
+
+    if warp0 is not None:
+        p0 = _blockify(warp0[0], gy, gx, s)
+        p_skl = _blockify(warp0[1], gy, gx, s)
+        p_ska = _blockify(warp0[2], gy, gx, s)
+        p1 = _blockify(warp1, gy, gx, s)
+    else:
+        def mc(pyr):
+            return jax.vmap(lambda x, y, m: interp.mc_block(
+                pyr, x, y, m[0], m[1], s))
+
+        p0 = mc(pyr0)(xs, ys, mv0)
+        p_skl = mc(pyr0)(xs, ys, mvl0)
+        p_ska = mc(pyr0)(xs, ys, mva0)
+        p1 = mc(pyr1)(xs, ys, mv1)
+    pbi = (p0 + p1 + 1) >> 1
+    rp = interp.REF_PAD
+    p_zero = _blockify(pyr0[0, rp:rp + h, rp:rp + w], gy, gx, s)
+
+    def mvbits(mv, pred):
+        return jnp.sum(2.0 + 2.0 * jnp.log2(
+            jnp.abs(mv - pred).astype(jnp.float32) + 1.0), axis=1)
+
+    bits0 = mvbits(mv0, mvl0) + 3.0
+    bits1 = mvbits(mv1, mvl1) + 3.0
+    bitsbi = mvbits(mv0, mvl0) + mvbits(mv1, mvl1) + 6.0
+
+    # skip distortion: worst case over the derivable shapes (see
+    # _inter_cost docstring)
+    sse_l = kcost.sse(p_skl, orig)
+    sse_a = kcost.sse(p_ska, orig)
+    sse_z = kcost.sse(p_zero, orig)
+    if cfg.merge_cands:
+        d_c0 = jnp.maximum(jnp.maximum(sse_l, sse_a), sse_z)
+        d_c1 = jnp.maximum(sse_a, sse_z)
+        midx = (d_c1 < d_c0).astype(jnp.int32)
+        dist_s = jnp.minimum(d_c0, d_c1)
+    else:
+        midx = jnp.zeros(sse_l.shape, jnp.int32)
+        dist_s = jnp.maximum(jnp.maximum(sse_l, sse_a), sse_z)
+
+    bdp = cfg.bit_depth
+    if cfg.lossless:
+        # rate IS the cost: the per-candidate ranking is exact
+        rates = [kcost.rate_estimate_levels(orig - p)
+                 for p in (p0, p1, pbi)]
+        pre = jnp.stack([lam * (r + b) for r, b in
+                         zip(rates, (bits0, bits1, bitsbi))], axis=1)
+        kind_pre = jnp.argmin(pre, axis=1).astype(jnp.int32)
+        cost = jnp.min(pre, axis=1)
+        cost_s = jnp.full_like(dist_s, jnp.inf)
+    else:
+        # Transform-domain ranking: fwd + quant + rate for every
+        # candidate (exact rate; distortion = quantization error via
+        # Parseval / _fwd_gain2) — only the winner pays the inverse
+        # transform + reconstruction (the other ~half of the chain).
+        g2 = np.float32(_fwd_gain2(s, bdp))
+        cands = []
+        for p, b in ((p0, bits0), (p1, bits1), (pbi, bitsbi)):
+            res = (orig - p).reshape(nb, s, s)
+            coefs = ktx.forward_transform(res, s, bit_depth=bdp)
+            levels = kquant.quantize(coefs, cfg.qp, s, bdp)
+            rate = kcost.rate_estimate_levels(levels)
+            deq = kquant.dequantize(levels, cfg.qp, s, bdp)
+            dt = jnp.sum((coefs - deq).astype(jnp.float32) ** 2,
+                         axis=(-2, -1)) / g2
+            cands.append((deq, dt + lam * (rate + b), rate + b))
+        pre = jnp.stack([c[1] for c in cands], axis=1)     # (B, 3)
+        kind_pre = jnp.argmin(pre, axis=1).astype(jnp.int32)
+        sel3 = kind_pre[:, None, None]
+        deq = jnp.where(sel3 == 0, cands[0][0],
+                        jnp.where(sel3 == 1, cands[1][0], cands[2][0]))
+        rb = jnp.where(kind_pre == 0, cands[0][2],
+                       jnp.where(kind_pre == 1, cands[1][2],
+                                 cands[2][2]))
+        pred = jnp.where(sel3 == 0, p0, jnp.where(sel3 == 1, p1, pbi))
+        rres = ktx.inverse_transform(deq, s, bit_depth=bdp)
+        recon = jnp.clip(pred + rres, 0, cfg.max_val)
+        cost = kcost.sse(recon, orig) + lam * rb
+        cost_s = dist_s + lam * 2.0
+
+    kind_expl = jnp.where(kind_pre == 0, PRED_INTER,
+                          jnp.where(kind_pre == 1, PRED_L1, PRED_BI))
+    # primary MV: L0's for INTER/BI, L1's for PRED_L1
+    pmx = jnp.where(kind_pre == 1, mv1[:, 0], mv0[:, 0])
+    pmy = jnp.where(kind_pre == 1, mv1[:, 1], mv0[:, 1])
+    smx = jnp.where(kind_pre == 2, mv1[:, 0], 0)
+    smy = jnp.where(kind_pre == 2, mv1[:, 1], 0)
+    g = lambda v: v.reshape(gy, gx)                     # noqa: E731
+    return (g(cost), g(kind_expl), g(pmx), g(pmy), g(smx), g(smy),
+            g(cost_s), g(midx))
+
+
 def _bi_cost(cfg, plane, pyr0, pyr1, g0, g1, size, warped=None):
     """Bi-prediction candidate cost: pred = (mc_L0 + mc_L1 + 1) >> 1.
 
@@ -356,25 +506,14 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
             cost_intra, mode_intra = _eval_size(plane, s, cfg,
                                                 inter_slice=True)
             w0 = warp0.get(s)
-            c0, x0, y0, c_skip, midx = _inter_cost(cfg, plane, pyr0_y,
-                                                   g0, s, w0)
-            w1 = ((warp1[s],) * 3 if s in warp1 else None)
-            c1, x1, y1, _, _ = _inter_cost(cfg, plane, pyr1_y, g1, s,
-                                           w1)
-            wb = ((w0[0], warp1[s]) if (w0 and s in warp1) else None)
-            cb_, bx0, by0, bx1, by1 = _bi_cost(cfg, plane, pyr0_y,
-                                               pyr1_y, g0, g1, s, wb)
+            w1 = warp1.get(s)
+            (c_expl, kind_expl, pmx, pmy, smx, smy, c_skip,
+             midx) = _b_candidates(cfg, plane, pyr0_y, pyr1_y, g0, g1,
+                                   s, w0, w1)
             valid = jnp.isfinite(cost_intra)
             inf = jnp.inf
-            c0 = jnp.where(valid, c0, inf)
-            c1 = jnp.where(valid, c1, inf)
-            cb_ = jnp.where(valid, cb_, inf)
+            c_expl = jnp.where(valid, c_expl, inf)
             c_skip = jnp.where(valid, c_skip, inf)
-            c_expl = jnp.minimum(jnp.minimum(c0, c1), cb_)
-            kind_expl = jnp.where(
-                c0 <= jnp.minimum(c1, cb_), PRED_INTER,
-                jnp.where(c1 <= cb_, PRED_L1, PRED_BI)
-            ).astype(jnp.int32)
             kind = jnp.where(
                 c_skip <= jnp.minimum(cost_intra, c_expl), PRED_SKIP,
                 jnp.where(c_expl < cost_intra, kind_expl, PRED_INTRA)
@@ -382,15 +521,10 @@ def make_mode_decision_b_raw(cfg: CodecConfig,
             best = jnp.minimum(jnp.minimum(cost_intra, c_expl), c_skip)
             if cfg.merge_cands:
                 # skip carries merge_idx in the primary-MV x slot
-                x0 = jnp.where(kind == PRED_SKIP, midx, x0)
-                y0 = jnp.where(kind == PRED_SKIP, 0, y0)
-            # primary MV: L0 for INTER/SKIP/BI, L1's for PRED_L1
-            pmx = jnp.where(kind == PRED_L1, x1,
-                            jnp.where(kind == PRED_BI, bx0, x0))
-            pmy = jnp.where(kind == PRED_L1, y1,
-                            jnp.where(kind == PRED_BI, by0, y0))
-            smx = jnp.where(kind == PRED_BI, bx1, 0)
-            smy = jnp.where(kind == PRED_BI, by1, 0)
+                pmx = jnp.where(kind == PRED_SKIP, midx, pmx)
+                pmy = jnp.where(kind == PRED_SKIP, 0, pmy)
+            smx = jnp.where(kind == PRED_BI, smx, 0)
+            smy = jnp.where(kind == PRED_BI, smy, 0)
             per_size[s] = (best, mode_intra, kind, pmx, pmy, smx, smy)
 
         size_map = jnp.full((uy, ux), 8, jnp.int32)

@@ -63,17 +63,11 @@ def tile_compute_async(cfg: CodecConfig, band: Frame,
     out = fused.make_encode_step(cfg, with_recon)(packed)
 
     def finalize() -> TileData:
-        if cfg.lossless:
-            cy, ccb, ccr = fused.unpack_coefs(cfg, np.asarray(out[0]))
-            sse = np.asarray(out[2])
-        else:
-            low, high = out[0]
-            stats = np.asarray(out[2])
-            sse = stats[:3]
-            high_np = np.asarray(high) if stats[3] > 0 else None
-            full = fused.reconstruct_coefs(np.asarray(low), high_np)
-            cy, ccb, ccr = fused.unpack_coefs(cfg, full)
-        maps = fused.unpack_maps(cfg, np.asarray(out[1]))
+        stats = np.asarray(out[2])
+        sse = stats[:3]
+        full = fused.fetch_coefs(cfg, out[0], stats)
+        cy, ccb, ccr = fused.unpack_coefs(cfg, full)
+        maps = fused.unpack_maps(cfg, np.asarray(out[1]), inter=False)
         recon = (fused.unpack_recon(cfg, np.asarray(out[3]))
                  if with_recon else None)
         sao_params = ((maps["sao_type"], maps["sao_band"],
@@ -96,18 +90,14 @@ def tile_compute(cfg: CodecConfig, band: Frame, with_recon: bool = True,
 
 
 def _finalize_one(cfg, out, with_recon) -> TileData:
-    """Unpack one frame's (coef, flat, sse[, recon]) group -> TileData."""
-    if cfg.lossless:
-        cy, ccb, ccr = fused.unpack_coefs(cfg, np.asarray(out[0]))
-        sse = np.asarray(out[2])
-    else:
-        low, high = out[0]
-        stats = np.asarray(out[2])
-        sse = stats[:3]
-        high_np = np.asarray(high) if stats[3] > 0 else None
-        full = fused.reconstruct_coefs(np.asarray(low), high_np)
-        cy, ccb, ccr = fused.unpack_coefs(cfg, full)
-    maps = fused.unpack_maps(cfg, np.asarray(out[1]))
+    """Unpack one frame's (full coef plane, flat, sse[, recon]) group
+    -> TileData.  Everything is already host-side numpy here: the
+    batched caller downloads whole-batch arrays in one transfer each,
+    reconstructs coef planes and slices per frame."""
+    full, flat, stats = out[0], out[1], out[2]
+    cy, ccb, ccr = fused.unpack_coefs(cfg, full.astype(np.int32))
+    sse = stats[:3]
+    maps = fused.unpack_maps(cfg, np.asarray(flat), inter=False)
     recon = (fused.unpack_recon(cfg, np.asarray(out[3]))
              if with_recon else None)
     sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
@@ -134,26 +124,31 @@ def tiles_compute_batched_async(cfg: CodecConfig, frames: list[Frame],
         # Materialize whole-batch arrays in ONE transfer each (per-frame
         # np.asarray slices would each pay a tunnel round trip).
         if cfg.lossless:
-            host = [np.asarray(out[0]), np.asarray(out[1]),
-                    np.asarray(out[2])]
+            fulls = np.asarray(out[0])
+            stats = np.asarray(out[2])
+            flat = np.asarray(out[1])
         else:
             stats = np.asarray(out[2])
-            low = np.asarray(out[0][0])
-            # the high plane only moves if any frame needs it
-            high = (np.asarray(out[0][1]) if (stats[:, 3] > 0).any()
-                    else None)
+            nib = np.asarray(out[0][0])
+            vals = np.asarray(out[0][1][0])
+            cols = np.asarray(out[0][1][1])
+            fulls = []
+            for i in range(len(frames)):
+                if stats[i, 3] == 0:
+                    fulls.append(fused.reconstruct_coefs_nib(
+                        nib[i], vals[i], cols[i]))
+                else:
+                    # rare overflow: fetch this frame's byte planes
+                    hi = (np.asarray(out[0][3][i])
+                          if stats[i, 4] > 0 else None)
+                    fulls.append(fused.reconstruct_coefs(
+                        np.asarray(out[0][2][i]), hi))
             flat = np.asarray(out[1])
         rec = np.asarray(out[3]) if with_recon else None
         tds = []
         for i in range(len(frames)):
-            if cfg.lossless:
-                per = (host[0][i], host[1][i], host[2][i]) + (
-                    (rec[i],) if with_recon else ())
-            else:
-                hi = high[i] if high is not None else np.zeros_like(
-                    low[i], np.int8)
-                per = ((low[i], hi), flat[i], stats[i]) + (
-                    (rec[i],) if with_recon else ())
+            per = (fulls[i], flat[i], stats[i]) + (
+                (rec[i],) if with_recon else ())
             tds.append(_finalize_one(cfg, per, with_recon))
         return tds
 
@@ -422,31 +417,28 @@ def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
 
 # ---- GOP / P-picture pipeline (M3, low-delay P, single tile v1) -----------
 
-def _finalize_common(cfg, out, with_recon, n_fixed=3):
+def _finalize_common(cfg, out, with_recon, n_fixed=3, inter=True):
     """Shared unpack of a fused encode step's outputs."""
-    if cfg.lossless:
-        cy, ccb, ccr = fused.unpack_coefs(cfg, np.asarray(out[0]))
-        sse = np.asarray(out[2])
-    else:
-        low, high = out[0]
-        stats = np.asarray(out[2])
-        sse = stats[:3]
-        high_np = np.asarray(high) if stats[3] > 0 else None
-        full = fused.reconstruct_coefs(np.asarray(low), high_np)
-        cy, ccb, ccr = fused.unpack_coefs(cfg, full)
-    maps = fused.unpack_maps(cfg, np.asarray(out[1]))
+    stats = np.asarray(out[2])
+    sse = stats[:3]
+    full = fused.fetch_coefs(cfg, out[0], stats)
+    cy, ccb, ccr = fused.unpack_coefs(cfg, full)
+    maps = fused.unpack_maps(cfg, np.asarray(out[1]), inter=inter)
     recon = (fused.unpack_recon(cfg, np.asarray(out[n_fixed]))
              if with_recon else None)
     return cy, ccb, ccr, maps, sse, recon
 
 
-def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
-                       pyramids, with_recon: bool = True, device=None):
-    """Encode one picture of a GOP stream (intra_period > 1).
+def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
+                             pyramids, with_recon: bool = True,
+                             device=None):
+    """Dispatch one GOP picture's device step WITHOUT blocking.
 
-    pyramids: previous picture's device pyramids or None (forces IDR).
-    device: optional placement target (the GOP's DPB then lives there).
-    Returns (rbsp, recon|None, sse, new_pyramids, slice_type).
+    Returns (finalize, new_pyramids, slice_type): new_pyramids are
+    device-resident immediately (the only dependency of the NEXT
+    frame's dispatch), so callers can pipeline device compute against
+    the host downloads + entropy coding that finalize() performs
+    (finalize() -> (rbsp, recon|None, sse)).
     """
     assert cfg.num_tiles == 1, "P pictures support single tile in v1"
     is_p = (pyramids is not None and cfg.intra_period > 1
@@ -460,30 +452,49 @@ def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
     else:
         out = fused.make_encode_step_i(cfg, with_recon, True)(packed)
     new_pyr = out[-1]
-    cy, ccb, ccr, maps, sse, recon = _finalize_common(
-        cfg, out, with_recon)
-    sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
-                  if cfg.sao else None)
-    inter_maps = ((maps["pred"], maps["mvx"], maps["mvy"])
-                  if is_p else None)
-    if native_bind.available():
-        segments = [native_bind.encode_segment(
-            cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
-            sao_params, maps["mts"], inter_maps)
-            for (r0, r1) in cfg.segment_ctu_rows()]
-    else:
-        enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy, ccb,
-                            ccr, sao_params, maps["mts"], is_p=is_p,
-                            pred_map=maps["pred"], mvx_map=maps["mvx"],
-                            mvy_map=maps["mvy"])
-        segments = [enc.encode_segment(r0, r1)
-                    for (r0, r1) in cfg.segment_ctu_rows()]
     st = SliceType.P if is_p else SliceType.I
-    alf = ((maps["alf_flag"], maps["alf_coef"],
-            maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
-            maps["alf_cclip"], maps["ccalf_coef"],
-            maps["ccalf_flag"]) if cfg.alf else None)
-    rbsp = assemble_slice(cfg, poc, segments, st, alf)
+
+    def finalize():
+        cy, ccb, ccr, maps, sse, recon = _finalize_common(
+            cfg, out, with_recon, inter=is_p)
+        sao_params = ((maps["sao_type"], maps["sao_band"],
+                       maps["sao_off"]) if cfg.sao else None)
+        inter_maps = ((maps["pred"], maps["mvx"], maps["mvy"])
+                      if is_p else None)
+        if native_bind.available():
+            segments = [native_bind.encode_segment(
+                cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
+                sao_params, maps["mts"], inter_maps)
+                for (r0, r1) in cfg.segment_ctu_rows()]
+        else:
+            enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy,
+                                ccb, ccr, sao_params, maps["mts"],
+                                is_p=is_p, pred_map=maps["pred"],
+                                mvx_map=maps["mvx"],
+                                mvy_map=maps["mvy"])
+            segments = [enc.encode_segment(r0, r1)
+                        for (r0, r1) in cfg.segment_ctu_rows()]
+        alf = ((maps["alf_flag"], maps["alf_coef"],
+                maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
+                maps["alf_cclip"], maps["ccalf_coef"],
+                maps["ccalf_flag"]) if cfg.alf else None)
+        rbsp = assemble_slice(cfg, poc, segments, st, alf)
+        return rbsp, recon, sse
+
+    return finalize, new_pyr, st
+
+
+def encode_picture_gop(cfg: CodecConfig, frame: Frame, poc: int,
+                       pyramids, with_recon: bool = True, device=None):
+    """Encode one picture of a GOP stream (intra_period > 1).
+
+    pyramids: previous picture's device pyramids or None (forces IDR).
+    device: optional placement target (the GOP's DPB then lives there).
+    Returns (rbsp, recon|None, sse, new_pyramids, slice_type).
+    """
+    fin, new_pyr, st = encode_picture_gop_async(
+        cfg, frame, poc, pyramids, with_recon, device)
+    rbsp, recon, sse = fin()
     return rbsp, recon, sse, new_pyr, st
 
 
@@ -533,6 +544,50 @@ def gop_coding_order(n: int, intra_period: int, gop: int
     return order
 
 
+def encode_picture_b_async(cfg: CodecConfig, frame: Frame, poc: int,
+                           pyr0, pyr1, with_recon: bool = True,
+                           with_pyramids: bool = True):
+    """Dispatch one B picture's device step WITHOUT blocking; see
+    encode_picture_gop_async.  Returns (finalize, new_pyramids|None);
+    finalize() -> (rbsp, recon|None, sse)."""
+    assert cfg.num_tiles == 1, "B pictures support single tile in v1"
+    packed = fused.pack_input(cfg, frame)
+    out = fused.make_encode_step_b(cfg, with_recon, with_pyramids)(
+        packed, *pyr0, *pyr1)
+    new_pyr = out[-1] if with_pyramids else None
+
+    def finalize():
+        cy, ccb, ccr, maps, sse, recon = _finalize_common(
+            cfg, out, with_recon)
+        sao_params = ((maps["sao_type"], maps["sao_band"],
+                       maps["sao_off"]) if cfg.sao else None)
+        inter_maps = (maps["pred"], maps["mvx"], maps["mvy"],
+                      maps["mvx1"], maps["mvy1"])
+        if native_bind.available():
+            segments = [native_bind.encode_segment(
+                cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
+                sao_params, maps["mts"], inter_maps)
+                for (r0, r1) in cfg.segment_ctu_rows()]
+        else:
+            enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy,
+                                ccb, ccr, sao_params, maps["mts"],
+                                is_b=True, pred_map=maps["pred"],
+                                mvx_map=maps["mvx"],
+                                mvy_map=maps["mvy"],
+                                mvx1_map=maps["mvx1"],
+                                mvy1_map=maps["mvy1"])
+            segments = [enc.encode_segment(r0, r1)
+                        for (r0, r1) in cfg.segment_ctu_rows()]
+        alf = ((maps["alf_flag"], maps["alf_coef"],
+                maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
+                maps["alf_cclip"], maps["ccalf_coef"],
+                maps["ccalf_flag"]) if cfg.alf else None)
+        rbsp = assemble_slice(cfg, poc, segments, SliceType.B, alf)
+        return rbsp, recon, sse
+
+    return finalize, new_pyr
+
+
 def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
                      pyr0, pyr1, with_recon: bool = True,
                      with_pyramids: bool = True):
@@ -541,35 +596,9 @@ def encode_picture_b(cfg: CodecConfig, frame: Frame, poc: int,
     Returns (rbsp, recon|None, sse, new_pyramids|None).  Leaf (odd-POC)
     B pictures are never referenced: with_pyramids=False skips their
     pyramid build and DPB entry (halves RA HBM at 4K)."""
-    assert cfg.num_tiles == 1, "B pictures support single tile in v1"
-    packed = fused.pack_input(cfg, frame)
-    out = fused.make_encode_step_b(cfg, with_recon, with_pyramids)(
-        packed, *pyr0, *pyr1)
-    new_pyr = out[-1] if with_pyramids else None
-    cy, ccb, ccr, maps, sse, recon = _finalize_common(
-        cfg, out, with_recon)
-    sao_params = ((maps["sao_type"], maps["sao_band"], maps["sao_off"])
-                  if cfg.sao else None)
-    inter_maps = (maps["pred"], maps["mvx"], maps["mvy"],
-                  maps["mvx1"], maps["mvy1"])
-    if native_bind.available():
-        segments = [native_bind.encode_segment(
-            cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
-            sao_params, maps["mts"], inter_maps)
-            for (r0, r1) in cfg.segment_ctu_rows()]
-    else:
-        enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy, ccb,
-                            ccr, sao_params, maps["mts"], is_b=True,
-                            pred_map=maps["pred"], mvx_map=maps["mvx"],
-                            mvy_map=maps["mvy"], mvx1_map=maps["mvx1"],
-                            mvy1_map=maps["mvy1"])
-        segments = [enc.encode_segment(r0, r1)
-                    for (r0, r1) in cfg.segment_ctu_rows()]
-    alf = ((maps["alf_flag"], maps["alf_coef"],
-            maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
-            maps["alf_cclip"], maps["ccalf_coef"],
-            maps["ccalf_flag"]) if cfg.alf else None)
-    rbsp = assemble_slice(cfg, poc, segments, SliceType.B, alf)
+    fin, new_pyr = encode_picture_b_async(cfg, frame, poc, pyr0, pyr1,
+                                          with_recon, with_pyramids)
+    rbsp, recon, sse = fin()
     return rbsp, recon, sse, new_pyr
 
 

@@ -58,19 +58,13 @@ class BandOut:
 
 
 def _finalize_band(bcfg: CodecConfig, coef, flat, sse, rec,
-                   with_recon: bool) -> BandOut:
+                   with_recon: bool, inter: bool = True) -> BandOut:
     """Device (or already-downloaded numpy) step outputs -> BandOut."""
-    if bcfg.lossless:
-        cy, ccb, ccr = fused.unpack_coefs(bcfg, np.asarray(coef))
-        sse_np = np.asarray(sse)
-    else:
-        low, high = coef
-        stats = np.asarray(sse)
-        sse_np = stats[:3]
-        high_np = np.asarray(high) if stats[3] > 0 else None
-        full = fused.reconstruct_coefs(np.asarray(low), high_np)
-        cy, ccb, ccr = fused.unpack_coefs(bcfg, full)
-    maps = fused.unpack_maps(bcfg, np.asarray(flat))
+    stats = np.asarray(sse)
+    sse_np = stats[:3]
+    full = fused.fetch_coefs(bcfg, coef, stats)
+    cy, ccb, ccr = fused.unpack_coefs(bcfg, full)
+    maps = fused.unpack_maps(bcfg, np.asarray(flat), inter=inter)
     recon = (fused.unpack_recon(bcfg, np.asarray(rec))
              if with_recon else None)
     return BandOut(bcfg, cy, ccb, ccr, maps, sse_np, recon)
@@ -144,7 +138,8 @@ class _SerialBands:
         return (jnp.concatenate(ys), jnp.concatenate(cbs),
                 jnp.concatenate(crs))
 
-    def _run(self, frame, stepper, qp: int | None = None):
+    def _run(self, frame, stepper, qp: int | None = None,
+             inter: bool = True):
         bcfgs = (self.bcfgs if qp is None
                  else [b.replace(qp=qp) for b in self.bcfgs])
         outs = [stepper(bcfg, fused.pack_input(bcfg, band), y0)
@@ -152,14 +147,14 @@ class _SerialBands:
                     bcfgs, self.bands, split_bands(self.cfg, frame))]
         refs = self._refs_from([o[3] for o in outs])
         bands = [_finalize_band(bcfg, o[0], o[1], o[2], o[3],
-                                self.with_recon)
+                                self.with_recon, inter)
                  for bcfg, o in zip(bcfgs, outs)]
         return bands, refs
 
     def encode_i(self, frame):
         return self._run(frame, lambda bcfg, packed, y0:
                          fused.make_encode_step_i(bcfg, True, False)(
-                             packed))
+                             packed), inter=False)
 
     def encode_p(self, frame, refs):
         return self._run(frame, lambda bcfg, packed, y0:
@@ -269,25 +264,32 @@ class _ShardedBands:
         fn = shard_map(band_fn, mesh=self.mesh,
                        in_specs=(spec,) * n_in,
                        out_specs=jax.tree.map(
-                           lambda _: spec, self._out_template(bcfg)),
+                           lambda _: spec,
+                           self._out_template(bcfg, kind != "i")),
                        check_vma=False)
         return jax.jit(fn)
 
-    def _out_template(self, bcfg: CodecConfig):
+    def _out_template(self, bcfg: CodecConfig, inter: bool):
         """Abstract output pytree (for out_specs): structure only."""
+        from x266_tpu.engine.fused import _esc_capacity, _wire_spec
         bh, w = bcfg.height, bcfg.width
-        coef = ((jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.int16),)
-                if bcfg.lossless else
-                (jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.uint8),
-                 jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.int8)))
-        coef = coef[0] if bcfg.lossless else coef
-        nsse = 3 if bcfg.lossless else 4
-        from x266_tpu.engine.fused import _maps_layout
-        _, flat_len = _maps_layout(bcfg)
+        hc = bh + bh // 2
+        if bcfg.lossless:
+            coef = jax.ShapeDtypeStruct((hc, w), jnp.int16)
+            nsse = 3
+        else:
+            k = _esc_capacity(w)
+            coef = (jax.ShapeDtypeStruct((hc, w // 2), jnp.uint8),
+                    (jax.ShapeDtypeStruct((hc, k), jnp.int16),
+                     jax.ShapeDtypeStruct((hc, k), jnp.int16)),
+                    jax.ShapeDtypeStruct((hc, w), jnp.uint8),
+                    jax.ShapeDtypeStruct((hc, w), jnp.int8))
+            nsse = 5
+        _, flat_len = _wire_spec(bcfg, inter)
         return (coef,
-                jax.ShapeDtypeStruct((flat_len,), jnp.int16),
+                jax.ShapeDtypeStruct((flat_len,), jnp.uint8),
                 jax.ShapeDtypeStruct((nsse,), jnp.float32),
-                jax.ShapeDtypeStruct((bh + bh // 2, w), jnp.uint8),
+                jax.ShapeDtypeStruct((hc, w), jnp.uint8),
                 jax.ShapeDtypeStruct((bh, w), jnp.uint8),
                 jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8),
                 jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8))
@@ -300,44 +302,55 @@ class _ShardedBands:
             self._steps[key] = self._make(kind, bcfg)
         return self._steps[key]
 
-    def _finish(self, out, bcfg: CodecConfig):
+    def _finish(self, out, bcfg: CodecConfig, inter: bool):
         """Sharded step output -> (list[BandOut], refs)."""
         coef, flat, sse, rec, ry, rcb, rcr = out
         refs = (ry, rcb, rcr)            # stay sharded on the mesh
         # one download per array, sliced per band on host
         if bcfg.lossless:
             coef_np = np.asarray(coef)
-            per = lambda i: coef_np[i]               # noqa: E731
+            fulls = [coef_np[i].astype(np.int32)
+                     for i in range(self.n)]
         else:
             stats = np.asarray(sse)
-            low = np.asarray(coef[0])
-            high = (np.asarray(coef[1]) if (stats[:, 3] > 0).any()
-                    else None)
-
-            def per(i):
-                hi = (high[i] if high is not None
-                      else np.zeros_like(low[i], np.int8))
-                return (low[i], hi)
+            nib = np.asarray(coef[0])
+            vals = np.asarray(coef[1][0])
+            cols = np.asarray(coef[1][1])
+            fulls = []
+            for i in range(self.n):
+                if stats[i, 3] == 0:
+                    fulls.append(fused.reconstruct_coefs_nib(
+                        nib[i], vals[i], cols[i]))
+                else:
+                    hi = (np.asarray(coef[3][i])
+                          if stats[i, 4] > 0 else None)
+                    fulls.append(fused.reconstruct_coefs(
+                        np.asarray(coef[2][i]), hi))
         flat_np = np.asarray(flat)
         sse_np = np.asarray(sse)
         rec_np = np.asarray(rec) if self.with_recon else [None] * self.n
-        bands = [_finalize_band(bcfg, per(i), flat_np[i],
-                                sse_np[i], rec_np[i], self.with_recon)
-                 for i in range(self.n)]
+        bands = []
+        for i in range(self.n):
+            cy, ccb, ccr = fused.unpack_coefs(bcfg, fulls[i])
+            maps = fused.unpack_maps(bcfg, flat_np[i], inter=inter)
+            recon = (fused.unpack_recon(bcfg, rec_np[i])
+                     if self.with_recon else None)
+            bands.append(BandOut(bcfg, cy, ccb, ccr, maps,
+                                 sse_np[i][:3], recon))
         return bands, refs
 
     def encode_i(self, frame):
         return self._finish(self._step("i")(self._pack(frame)),
-                            self.bcfg)
+                            self.bcfg, False)
 
     def encode_p(self, frame, refs):
         return self._finish(self._step("p")(self._pack(frame), *refs),
-                            self.bcfg)
+                            self.bcfg, True)
 
     def encode_b(self, frame, refs0, refs1, qp: int | None = None):
         bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
         return self._finish(self._step("b", qp)(
-            self._pack(frame), *refs0, *refs1), bcfg)
+            self._pack(frame), *refs0, *refs1), bcfg, True)
 
 
 # ---- the shared GOP loop ----------------------------------------------------
