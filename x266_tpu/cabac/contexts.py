@@ -32,7 +32,8 @@ CCLM_FLAG = 86     # 1: chroma CCLM vs DM (C6, cfg.cclm, I slices)
 BT_FLAG = 87       # 2: binary split present (C5 MTT): [size 32, size 16]
 BT_DIR = 89        # 1: split direction (1 = vertical line / side-by-side)
 LFNST = 90         # 1: lfnst_idx > 0 (C10, luma TUs, I slices)
-NUM_CONTEXTS = 91
+MIP_FLAG = 91      # 1: matrix intra prediction flag (C6, cfg.mip)
+NUM_CONTEXTS = 92
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

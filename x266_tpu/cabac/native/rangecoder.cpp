@@ -45,7 +45,8 @@ constexpr int CTX_CCLM = 86;      // chroma CCLM vs DM (C6, I slices)
 constexpr int CTX_BT_FLAG = 87;   // MTT binary split (C5): [32, 16]
 constexpr int CTX_BT_DIR = 89;    // split direction (1 = BT-V)
 constexpr int CTX_LFNST = 90;     // lfnst_idx > 0 (C10, I slices)
-constexpr int NUM_CONTEXTS = 91;
+constexpr int CTX_MIP = 91;       // matrix intra pred flag (C6)
+constexpr int NUM_CONTEXTS = 92;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -302,18 +303,21 @@ struct Picture {
   int32_t* sao_band = nullptr;     // (planes, Cy, Cx)
   int32_t* sao_off = nullptr;      // (planes, Cy, Cx, 4)
 
-  // Non-intra neighbors count as DC (mirror of syntax.py rule).
+  // Non-intra neighbors count as DC (mirror of syntax.py rule);
+  // MIP-coded neighbors (mode >= n_modes) derive MPMs as planar.
   int neighbor_left(int ux, int uy) const {
     if (ux <= 0) return DC_MODE;
     if (is_p && pred_map[uy * ux_n + ux - 1] != PRED_INTRA)
       return DC_MODE;
-    return mode_map[uy * ux_n + ux - 1];
+    int m = mode_map[uy * ux_n + ux - 1];
+    return m >= n_modes ? PLANAR : m;
   }
   int neighbor_above(int ux, int uy) const {
     if (!(uy > 0 && (uy & 7) != 0)) return DC_MODE;
     if (is_p && pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA)
       return DC_MODE;
-    return mode_map[(uy - 1) * ux_n + ux];
+    int m = mode_map[(uy - 1) * ux_n + ux];
+    return m >= n_modes ? PLANAR : m;
   }
   // Merge candidate 1 (C7): the above rule alone.
   void mv_above(int ux, int uy, int* px, int* py) const {
@@ -455,6 +459,36 @@ struct SegEncoder {
     }
   }
 
+  void code_intra_mode(int ux, int uy) {
+    // Luma mode: [mip_flag + 3-bit idx (has_mip)] | MPM scheme.
+    int mode = pic.mode_map[uy * pic.ux_n + ux];
+    if (pic.has_mts & 64) {
+      int is_mip = mode >= pic.n_modes;
+      enc.encode_bin(ctxs, CTX_MIP, is_mip);
+      if (is_mip) {
+        enc.encode_bypass_bits((uint32_t)(mode - pic.n_modes), 3);
+        return;
+      }
+    }
+    int mpm[3];
+    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
+             pic.n_modes, mpm);
+    int idx = -1;
+    for (int i = 0; i < 3; i++)
+      if (mpm[i] == mode) { idx = i; break; }
+    if (idx >= 0) {
+      enc.encode_bin(ctxs, CTX_MPM_FLAG, 1);
+      enc.encode_bypass(idx == 0);
+      if (idx > 0) enc.encode_bypass(idx == 1);
+    } else {
+      enc.encode_bin(ctxs, CTX_MPM_FLAG, 0);
+      int rank = mode;
+      for (int i = 0; i < 3; i++)
+        if (mpm[i] < mode) rank--;
+      enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
+    }
+  }
+
   void code_mvd(int v, int comp) {
     enc.encode_bin(ctxs, CTX_MVD_GT0 + comp, v != 0);
     if (v) {
@@ -505,24 +539,7 @@ struct SegEncoder {
         return;
       }
     }
-    int mode = pic.mode_map[uy * pic.ux_n + ux];
-    int mpm[3];
-    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
-             pic.n_modes, mpm);
-    int idx = -1;
-    for (int i = 0; i < 3; i++)
-      if (mpm[i] == mode) { idx = i; break; }
-    if (idx >= 0) {
-      enc.encode_bin(ctxs, CTX_MPM_FLAG, 1);
-      enc.encode_bypass(idx == 0);
-      if (idx > 0) enc.encode_bypass(idx == 1);
-    } else {
-      enc.encode_bin(ctxs, CTX_MPM_FLAG, 0);
-      int rank = mode;
-      for (int i = 0; i < 3; i++)
-        if (mpm[i] < mode) rank--;
-      enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
-    }
+    code_intra_mode(ux, uy);
     if ((pic.has_mts & 8) && !pic.is_p)  // chroma CCLM flag (C6)
       enc.encode_bin(ctxs, CTX_CCLM,
                      (pic.mts_map[uy * pic.ux_n + ux] >> 3) & 1);
@@ -630,24 +647,7 @@ struct SegEncoder {
       int cux = x + (bt == 2 ? t * k : 0);
       int cuy = y + (bt == 1 ? t * k : 0);
       int ux = cux / 8, uy = cuy / 8;
-      int mode = pic.mode_map[uy * pic.ux_n + ux];
-      int mpm[3];
-      mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
-               pic.n_modes, mpm);
-      int idx = -1;
-      for (int i = 0; i < 3; i++)
-        if (mpm[i] == mode) { idx = i; break; }
-      if (idx >= 0) {
-        enc.encode_bin(ctxs, CTX_MPM_FLAG, 1);
-        enc.encode_bypass(idx == 0);
-        if (idx > 0) enc.encode_bypass(idx == 1);
-      } else {
-        enc.encode_bin(ctxs, CTX_MPM_FLAG, 0);
-        int rank = mode;
-        for (int i = 0; i < 3; i++)
-          if (mpm[i] < mode) rank--;
-        enc.encode_bypass_bits((uint32_t)rank, pic.mode_bits);
-      }
+      code_intra_mode(ux, uy);
       for (int j = 0; j < 2; j++) {
         int tx = cux + (bt == 1 ? t * j : 0);
         int ty = cuy + (bt == 2 ? t * j : 0);
@@ -759,6 +759,33 @@ struct SegDecoder {
       plane[(y0 + sc.y[i]) * stride + (x0 + sc.x[i])] = coefs[i];
   }
 
+  int parse_intra_mode(int ux, int uy) {
+    // Mirror of code_intra_mode.
+    if ((pic.has_mts & 64) && dec.decode_bin(ctxs, CTX_MIP))
+      return pic.n_modes + (int)dec.decode_bypass_bits(3);
+    int mpm[3];
+    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
+             pic.n_modes, mpm);
+    int mode;
+    if (dec.decode_bin(ctxs, CTX_MPM_FLAG)) {
+      if (dec.decode_bypass())
+        mode = mpm[0];
+      else if (dec.decode_bypass())
+        mode = mpm[1];
+      else
+        mode = mpm[2];
+    } else {
+      mode = (int)dec.decode_bypass_bits(pic.mode_bits);
+      int sorted[3] = {mpm[0], mpm[1], mpm[2]};
+      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+      if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
+      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
+      for (int i = 0; i < 3; i++)
+        if (mode >= sorted[i]) mode++;
+    }
+    return mode;
+  }
+
   int decode_mvd(int comp) {
     if (!dec.decode_bin(ctxs, CTX_MVD_GT0 + comp)) return 0;
     int neg = dec.decode_bypass();
@@ -823,26 +850,7 @@ struct SegDecoder {
         return;
       }
     }
-    int mpm[3];
-    mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
-             pic.n_modes, mpm);
-    int mode;
-    if (dec.decode_bin(ctxs, CTX_MPM_FLAG)) {
-      if (dec.decode_bypass())
-        mode = mpm[0];
-      else if (dec.decode_bypass())
-        mode = mpm[1];
-      else
-        mode = mpm[2];
-    } else {
-      mode = (int)dec.decode_bypass_bits(pic.mode_bits);
-      int sorted[3] = {mpm[0], mpm[1], mpm[2]};
-      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
-      if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
-      if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
-      for (int i = 0; i < 3; i++)
-        if (mode >= sorted[i]) mode++;
-    }
+    int mode = parse_intra_mode(ux, uy);
     int u = s / 8;
     for (int j = 0; j < u; j++)
       for (int i = 0; i < u; i++) {
@@ -962,26 +970,7 @@ struct SegDecoder {
       int cux = x + (bt == 2 ? t * k : 0);
       int cuy = y + (bt == 1 ? t * k : 0);
       int ux = cux / 8, uy = cuy / 8;
-      int mpm[3];
-      mpm_list(pic.neighbor_left(ux, uy), pic.neighbor_above(ux, uy),
-               pic.n_modes, mpm);
-      int mode;
-      if (dec.decode_bin(ctxs, CTX_MPM_FLAG)) {
-        if (dec.decode_bypass())
-          mode = mpm[0];
-        else if (dec.decode_bypass())
-          mode = mpm[1];
-        else
-          mode = mpm[2];
-      } else {
-        mode = (int)dec.decode_bypass_bits(pic.mode_bits);
-        int sorted[3] = {mpm[0], mpm[1], mpm[2]};
-        if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
-        if (sorted[1] > sorted[2]) std::swap(sorted[1], sorted[2]);
-        if (sorted[0] > sorted[1]) std::swap(sorted[0], sorted[1]);
-        for (int i = 0; i < 3; i++)
-          if (mode >= sorted[i]) mode++;
-      }
+      int mode = parse_intra_mode(ux, uy);
       int cu_h = bt == 1 ? ut : us;
       int cu_w = bt == 1 ? us : ut;
       for (int j = 0; j < cu_h; j++)

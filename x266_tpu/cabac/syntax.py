@@ -112,6 +112,11 @@ class _Walker:
                 not self.is_p
                 or self.pred_map[uy - 1, ux] == PRED_INTRA):
             above = int(mode_map[uy - 1, ux])
+        # MIP neighbors derive MPMs as planar (C6, VVC-shaped rule)
+        if left >= self.n_modes:
+            left = PLANAR
+        if above >= self.n_modes:
+            above = PLANAR
         return left, above
 
 
@@ -236,23 +241,33 @@ class SyntaxEncoder(_Walker):
             cux = x + (t * k if bt == 2 else 0)
             cuy = y + (t * k if bt == 1 else 0)
             ux, uy = cux // 8, cuy // 8
-            mode = int(self.mode_map[uy, ux])
-            left, above = self._neighbor_modes(self.mode_map, ux, uy)
-            mpms = mpm_list(left, above, self.n_modes)
-            if mode in mpms:
-                self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 1)
-                idx = mpms.index(mode)
-                self.enc.encode_bypass(int(idx == 0))
-                if idx > 0:
-                    self.enc.encode_bypass(int(idx == 1))
-            else:
-                self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
-                rank = mode - sum(1 for m in mpms if m < mode)
-                self.enc.encode_bypass_bits(rank, self.mode_bits)
+            self._code_intra_mode(ux, uy)
             for j in range(2):
                 tx = cux + (t * j if bt == 1 else 0)
                 ty = cuy + (t * j if bt == 2 else 0)
                 self._leaf_residuals(tx, ty, t)
+
+    def _code_intra_mode(self, ux, uy):
+        """Luma mode: [mip_flag +3-bit idx (cfg.mip)] | MPM scheme."""
+        mode = int(self.mode_map[uy, ux])
+        if self.cfg.mip:
+            is_mip = mode >= self.n_modes
+            self.enc.encode_bin(self.ctxs, cx.MIP_FLAG, int(is_mip))
+            if is_mip:
+                self.enc.encode_bypass_bits(mode - self.n_modes, 3)
+                return
+        left, above = self._neighbor_modes(self.mode_map, ux, uy)
+        mpms = mpm_list(left, above, self.n_modes)
+        if mode in mpms:
+            self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 1)
+            idx = mpms.index(mode)
+            self.enc.encode_bypass(int(idx == 0))
+            if idx > 0:
+                self.enc.encode_bypass(int(idx == 1))
+        else:
+            self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
+            rank = mode - sum(1 for m in mpms if m < mode)
+            self.enc.encode_bypass_bits(rank, self.mode_bits)
 
     def _code_mvd(self, v, comp):
         self.enc.encode_bin(self.ctxs, cx.MVD_GT0 + comp, int(v != 0))
@@ -301,19 +316,7 @@ class SyntaxEncoder(_Walker):
                     self._code_mvd(int(self.mvy1_map[uy, ux]) - py, 1)
                 self._leaf_residuals(x, y, s)
                 return
-        mode = int(self.mode_map[uy, ux])
-        left, above = self._neighbor_modes(self.mode_map, ux, uy)
-        mpms = mpm_list(left, above, self.n_modes)
-        if mode in mpms:
-            self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 1)
-            idx = mpms.index(mode)
-            self.enc.encode_bypass(int(idx == 0))
-            if idx > 0:
-                self.enc.encode_bypass(int(idx == 1))
-        else:
-            self.enc.encode_bin(self.ctxs, cx.MPM_FLAG, 0)
-            rank = mode - sum(1 for m in mpms if m < mode)
-            self.enc.encode_bypass_bits(rank, self.mode_bits)
+        self._code_intra_mode(ux, uy)
         if self.cfg.cclm and not self.is_p:
             # chroma CCLM vs DM (C6); the in-scan decision rides mts
             # bit 3 (engine.recon)
@@ -512,21 +515,7 @@ class SyntaxDecoder(_Walker):
             cux = x + (t * k if bt == 2 else 0)
             cuy = y + (t * k if bt == 1 else 0)
             ux, uy = cux // 8, cuy // 8
-            left, above = self._neighbor_modes(self.mode_map, ux, uy)
-            mpms = mpm_list(left, above, self.n_modes)
-            if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
-                if self.dec.decode_bypass():
-                    mode = mpms[0]
-                elif self.dec.decode_bypass():
-                    mode = mpms[1]
-                else:
-                    mode = mpms[2]
-            else:
-                rank = self.dec.decode_bypass_bits(self.mode_bits)
-                mode = rank
-                for m in sorted(mpms):
-                    if mode >= m:
-                        mode += 1
+            mode = self._parse_intra_mode(ux, uy)
             cu_h = ut if bt == 1 else us
             cu_w = us if bt == 1 else ut
             self.mode_map[uy:uy + cu_h, ux:ux + cu_w] = mode
@@ -534,6 +523,26 @@ class SyntaxDecoder(_Walker):
                 tx = cux + (t * j if bt == 1 else 0)
                 ty = cuy + (t * j if bt == 2 else 0)
                 self._leaf_residuals(tx, ty, t, ut, tx // 8, ty // 8)
+
+    def _parse_intra_mode(self, ux, uy):
+        """Mirror of SyntaxEncoder._code_intra_mode."""
+        if self.cfg.mip and self.dec.decode_bin(self.ctxs,
+                                                cx.MIP_FLAG):
+            return self.n_modes + self.dec.decode_bypass_bits(3)
+        left, above = self._neighbor_modes(self.mode_map, ux, uy)
+        mpms = mpm_list(left, above, self.n_modes)
+        if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
+            if self.dec.decode_bypass():
+                return mpms[0]
+            if self.dec.decode_bypass():
+                return mpms[1]
+            return mpms[2]
+        rank = self.dec.decode_bypass_bits(self.mode_bits)
+        mode = rank
+        for m in sorted(mpms):
+            if mode >= m:
+                mode += 1
+        return mode
 
     def _decode_mvd(self, comp):
         if not self.dec.decode_bin(self.ctxs, cx.MVD_GT0 + comp):
@@ -584,21 +593,7 @@ class SyntaxDecoder(_Walker):
                 self._leaf_residuals(x, y, s, u, ux, uy)
                 return
             # else fall through to intra coding below
-        left, above = self._neighbor_modes(self.mode_map, ux, uy)
-        mpms = mpm_list(left, above, self.n_modes)
-        if self.dec.decode_bin(self.ctxs, cx.MPM_FLAG):
-            if self.dec.decode_bypass():
-                mode = mpms[0]
-            elif self.dec.decode_bypass():
-                mode = mpms[1]
-            else:
-                mode = mpms[2]
-        else:
-            rank = self.dec.decode_bypass_bits(self.mode_bits)
-            mode = rank
-            for m in sorted(mpms):
-                if mode >= m:
-                    mode += 1
+        mode = self._parse_intra_mode(ux, uy)
         self.size_map[uy:uy + u, ux:ux + u] = s
         self.mode_map[uy:uy + u, ux:ux + u] = mode
         if self.cfg.cclm and not self.is_p:

@@ -104,6 +104,12 @@ class CodecConfig:
     # this codec's own statistics (tools/train_lfnst.py).  Intra luma
     # TUs of I slices in v1.
     lfnst: bool = False             # requires profile=VVC
+    # C6 MIP (matrix intra prediction): 8 machine-trained integer
+    # matrices per TU size predicting the block from downsampled
+    # boundary sums (specmodel/mip_tables.py), competing with the 67
+    # analytic modes in Pass A as extra rows of the same MXU matmul.
+    # Luma only; chroma collocated with a MIP CU predicts planar.
+    mip: bool = False               # requires profile=VVC
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
@@ -144,6 +150,8 @@ class CodecConfig:
             raise ValueError("MTT requires the VVC profile")
         if self.lfnst and self.profile != Profile.VVC:
             raise ValueError("LFNST requires the VVC profile")
+        if self.mip and self.profile != Profile.VVC:
+            raise ValueError("MIP requires the VVC profile")
         if self.lfnst and self.lossless:
             raise ValueError("lfnst + lossless is not supported")
         if self.mtt and self.cclm:
@@ -221,6 +229,14 @@ class CodecConfig:
     def n_intra_modes(self) -> int:
         """35 (HEVC subset) or 67 (VVC) intra prediction modes (C6)."""
         return 67 if self.profile == Profile.VVC else 35
+
+    @property
+    def n_pred_modes(self) -> int:
+        """Total luma mode alphabet incl. the MIP extension (C6):
+        mode_map values >= n_intra_modes are MIP indices."""
+        from x266_tpu.specmodel.intra import MIP_K
+
+        return self.n_intra_modes + (MIP_K if self.mip else 0)
 
     # ---- sample range (C2 bit_depth) ---------------------------------------
 

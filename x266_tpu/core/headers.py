@@ -39,6 +39,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.cclm)
     w.flag(cfg.mtt)
     w.flag(cfg.lfnst)
+    w.flag(cfg.mip)
     w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
@@ -71,6 +72,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     cclm = r.flag()
     mtt = r.flag()
     lfnst = r.flag()
+    mip = r.flag()
     ctx_init = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
@@ -85,7 +87,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        alf_nonlinear=alf_nonlinear, ccalf=ccalf, mts=mts,
                        transform_skip=transform_skip,
                        pdpc=pdpc, merge_cands=merge_cands,
-                       cclm=cclm, mtt=mtt, lfnst=lfnst,
+                       cclm=cclm, mtt=mtt, lfnst=lfnst, mip=mip,
                        ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,

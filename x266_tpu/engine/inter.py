@@ -606,7 +606,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
     n_ctu = cx_n * cy_n
     qp = cfg.qp
     lossless = cfg.lossless
-    n_modes = cfg.n_intra_modes
+    n_modes = cfg.n_pred_modes
+    n_std = cfg.n_intra_modes
+    use_mip = cfg.mip
     use_mts = cfg.mts
     use_ts = cfg.transform_skip
     # NOTE: an apparent RDOQ-on-inter quality collapse (-1.7 dB on the
@@ -693,6 +695,8 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 x = ux * 8
                 y = uy * 8
                 mode = mode_map[uy, ux]
+                mode_c = (jnp.where(mode >= n_std, 0, mode)
+                          if use_mip else mode)
                 kind = pred_map[uy, ux]
                 mts_idx = (mts_map[uy, ux] if (use_mts or use_ts)
                            else None)
@@ -752,7 +756,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 xc, yc = x // 2, y // 2
                 cmx, cmy = mvx >> 1, mvy >> 1
                 refb = _gather_ref(cbP, xc, yc, cs)
-                pb_i = kintra.predict_mode(refb, mode, cs, n_modes)
+                pb_i = kintra.predict_mode(refb, mode_c, cs, n_modes)
                 pb_m = mc2(pyr_cb, pyr1_cb, xc, yc, cmx, cmy,
                            (m1x >> 1) if b_mode else cmx,
                            (m1y >> 1) if b_mode else cmy, cs)
@@ -765,7 +769,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 cCb = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
 
                 refr = _gather_ref(crP, xc, yc, cs)
-                pr_i = kintra.predict_mode(refr, mode, cs, n_modes)
+                pr_i = kintra.predict_mode(refr, mode_c, cs, n_modes)
                 pr_m = mc2(pyr_cr, pyr1_cr, xc, yc, cmx, cmy,
                            (m1x >> 1) if b_mode else cmx,
                            (m1y >> 1) if b_mode else cmy, cs)

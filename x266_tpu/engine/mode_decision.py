@@ -129,7 +129,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     refs = jnp.where(mask, refs, cfg.mid_val)
 
     preds = kintra.predict_all_modes(
-        refs, s, cfg.n_intra_modes, pdpc=cfg.pdpc,
+        refs, s, cfg.n_pred_modes, pdpc=cfg.pdpc,
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
         top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, s)[:, None]           # (B, 1, s, s)
@@ -209,7 +209,7 @@ def _eval_pair(plane: jnp.ndarray, t: int, cfg: CodecConfig,
         avail.ref_availability_masks(w, h, t).reshape(nb, -1))
     refs = jnp.where(mask, refs, cfg.mid_val)
     preds = kintra.predict_all_modes(
-        refs, t, cfg.n_intra_modes, pdpc=cfg.pdpc,
+        refs, t, cfg.n_pred_modes, pdpc=cfg.pdpc,
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
         top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, t)[:, None]
@@ -394,7 +394,7 @@ def make_mts_select_raw(cfg: CodecConfig):
     f(plane, size_map, mode_map) -> mts_map (units, int32)."""
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
-    n_modes = cfg.n_intra_modes
+    n_modes = cfg.n_pred_modes
     combos = ktx.MTS_COMBOS if cfg.mts else ktx.MTS_COMBOS[:1]
     # choice index -> signalled mts_map value
     vals = list(range(len(combos)))

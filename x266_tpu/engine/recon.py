@@ -207,7 +207,9 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     n_ctu = cx_n * cy_n
     qp = cfg.qp
     lossless = cfg.lossless
-    n_modes = cfg.n_intra_modes
+    n_modes = cfg.n_pred_modes
+    n_std = cfg.n_intra_modes      # MIP modes are >= n_std (luma only)
+    use_mip = cfg.mip
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
     bd = cfg.bit_depth
     mid = cfg.mid_val
@@ -247,6 +249,10 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 x = ux * 8
                 y = uy * 8
                 mode = mode_map[uy, ux]
+                # chroma collocated with a MIP-coded luma CU predicts
+                # planar (the MIP matrices are luma-trained)
+                mode_c = (jnp.where(mode >= n_std, 0, mode)
+                          if use_mip else mode)
                 # mts bit 3 carries the CCLM flag — mask it off the
                 # transform-candidate index
                 mts_idx = ((mts_map[uy, ux] & 7)
@@ -274,9 +280,11 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     cc_b = cclm_pred(yP2, cbP, xc, yc, cs, maxv_c)
                     cc_r = cclm_pred(yP2, crP, xc, yc, cs, maxv_c)
                     dm_b = kintra.predict_mode(
-                        _gather_ref(cbP, xc, yc, cs), mode, cs, n_modes)
+                        _gather_ref(cbP, xc, yc, cs), mode_c, cs,
+                        n_modes)
                     dm_r = kintra.predict_mode(
-                        _gather_ref(crP, xc, yc, cs), mode, cs, n_modes)
+                        _gather_ref(crP, xc, yc, cs), mode_c, cs,
+                        n_modes)
                     if encode:
                         ob = jax.lax.dynamic_slice(
                             srcCb, (yc + 1, xc + 1), (cs, cs))
@@ -293,15 +301,15 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                         use_cc = ((mts_map[uy, ux] >> 3) & 1) == 1
                     pob = jnp.where(use_cc, cc_b, dm_b)
                     por = jnp.where(use_cc, cc_r, dm_r)
-                recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, cs, qp,
-                                 encode, lossless, n_modes,
+                recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c, cs,
+                                 qp, encode, lossless, n_modes,
                                  rdoq_lam=rdoq_lam, bd=bd,
                                  pred_override=pob)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
-                recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, cs, qp,
-                                 encode, lossless, n_modes,
+                recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c, cs,
+                                 qp, encode, lossless, n_modes,
                                  rdoq_lam=rdoq_lam, bd=bd,
                                  pred_override=por)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
@@ -332,6 +340,8 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 x = ux * 8
                 y = uy * 8
                 mode = mode_map[uy, ux]
+                mode_c = (jnp.where(mode >= n_std, 0, mode)
+                          if use_mip else mode)
                 for kidx in range(2):
                     dx = 0 if vert else kidx * t
                     dy = kidx * t if vert else 0
@@ -350,15 +360,15 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                         yP, rec, (yt + 1, xt + 1))
                     cY = jax.lax.dynamic_update_slice(cY, lev, (yt, xt))
                     xc, yc = xt // 2, yt // 2
-                    recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode, ct,
-                                     qp, encode, lossless, n_modes,
+                    recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c,
+                                     ct, qp, encode, lossless, n_modes,
                                      rdoq_lam=rdoq_lam, bd=bd)
                     cbP = jax.lax.dynamic_update_slice(
                         cbP, recb, (yc + 1, xc + 1))
                     cCb = jax.lax.dynamic_update_slice(
                         cCb, levb, (yc, xc))
-                    recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode, ct,
-                                     qp, encode, lossless, n_modes,
+                    recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c,
+                                     ct, qp, encode, lossless, n_modes,
                                      rdoq_lam=rdoq_lam, bd=bd)
                     crP = jax.lax.dynamic_update_slice(
                         crP, recr, (yc + 1, xc + 1))
@@ -473,7 +483,8 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     """
     import os
 
-    if os.environ.get("X266T_WAVE_RECON"):
+    if os.environ.get("X266T_WAVE_RECON") and not cfg.mip:
+        # (the wavefront study path predates the MIP mode extension)
         from x266_tpu.engine.recon_wave import make_recon_wave_raw
         return make_recon_wave_raw(cfg, encode)
     flag = os.environ.get("X266T_PALLAS")

@@ -246,7 +246,8 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
     cy_n, cx_n = cfg.ctus_y, cfg.ctus_x
     qp = cfg.qp
     lossless = cfg.lossless
-    n_modes = cfg.n_intra_modes
+    n_modes = cfg.n_pred_modes
+    n_std = cfg.n_intra_modes      # mode >= n_std -> MIP (luma only)
     sizes = tuple(s for s in (8, 16, 32) if s <= cfg.max_cu_size)
     has32 = 32 in sizes
     ncombo = len(MTS_COMBOS) if cfg.mts else 1
@@ -387,6 +388,9 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
         # ---- one TU ----
         def intra_pred(s, win, col, top, x, y, mode, luma=False):
             """Normative intra prediction -> (s, s) int32."""
+            if cfg.mip and not luma:
+                # chroma collocated with a MIP luma CU predicts planar
+                mode = jnp.where(mode >= n_std, 0, mode)
             realign = (s == 4)
             topr, leftr, smr, slot = _wgeom(s)
             log2s = s.bit_length() - 1
@@ -434,6 +438,9 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                 pred = pred + _mm(smi, ws)
             pred_i = pred.astype(I32)
             sh = jnp.where(mode <= 1, log2s + 1, 5)
+            if cfg.mip:
+                # MIP shift: 6 + log2(s/4) (specmodel.intra.mode_shift)
+                sh = jnp.where(mode >= n_std, log2s + 4, sh)
             pred_i = (pred_i + (1 << (sh - 1))) >> sh
             pred2d = _to2d(pred_i, s)                           # (s,s)
             if cfg.pdpc and luma:

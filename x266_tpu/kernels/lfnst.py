@@ -45,6 +45,9 @@ def mode_class(mode, n_modes: int, xp=jnp):
     scalars.
     """
     diag = 18 if n_modes == 35 else 34
+    # MIP-extended alphabets (n_modes > 67): MIP modes use the planar
+    # kernel class, consistently on both coder sides
+    mode = xp.where(mode >= 67, 0, mode) if n_modes > 67 else mode
     t = mode > diag
     a = xp.where(t, 2 * diag - mode, mode)
     a = xp.clip(a, 2, diag)

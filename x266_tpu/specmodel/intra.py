@@ -35,6 +35,13 @@ PLANAR, DC = 0, 1
 NUM_MODES = 35            # HEVC-subset profile
 NUM_MODES_VVC = 67        # VVC profile (67 modes, square blocks)
 
+# MIP (matrix intra prediction, C6 VVC tool): modes NUM_MODES_VVC ..
+# NUM_MODES_VVC + MIP_K - 1 are machine-trained integer matrices over
+# the 16 downsampled boundary group sums (tools/train_mip.py), exposed
+# through the SAME stacked-weight interface as the analytic modes —
+# on TPU, MIP is literally extra rows of the one intra matmul.
+MIP_K = 8
+
 # intraPredAngle for modes 2..34, HEVC 35-mode family [STD].
 ANGLES = np.array([32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17,
                    -21, -26, -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5,
@@ -125,8 +132,9 @@ def use_smoothed(size: int, mode: int, n_modes: int = NUM_MODES) -> bool:
     """HEVC-style strong intra smoothing rule [STD]: never for 4x4 or DC;
     for angular modes, when the distance to pure H/V exceeds the per-size
     threshold; planar counts as maximally distant.  Thresholds double in
-    the 67-mode family (same angular distance)."""
-    if size == 4 or mode == DC:
+    the 67-mode family (same angular distance).  MIP modes read raw
+    references (their training saw raw boundaries)."""
+    if size == 4 or mode == DC or mode >= NUM_MODES_VVC:
         return False
     if mode == PLANAR:
         return True
@@ -202,9 +210,31 @@ def _dc_weights(size: int) -> np.ndarray:
 
 @functools.cache
 def mode_shift(size: int, mode: int) -> int:
+    if mode >= NUM_MODES_VVC:          # MIP: 6 + log2(group s/4)
+        return (size.bit_length() - 1) + 4
     if mode in (PLANAR, DC):
         return (size.bit_length() - 1) + 1
     return 5
+
+
+@functools.cache
+def mip_weight_matrix(size: int, k: int) -> np.ndarray:
+    """(s*s, R) int weights of MIP mode k in raw-ref space.
+
+    The trained (s*s, 16) matrix over boundary group sums expands by
+    replicating each group weight over its s/4 raw boundary columns
+    (group g covers body[g*s/4:(g+1)*s/4], body = [top 2s, left 2s]);
+    the 1/(s/4) averaging folds into mode_shift.  Rows sum to exactly
+    64 * s/4 = 2^shift, so flat fields reproduce exactly."""
+    from x266_tpu.specmodel.mip_tables import TABLES
+
+    s = size
+    m = TABLES[s][k].astype(np.int32)                 # (s*s, 16)
+    w = np.zeros((s * s, ref_len(s)), dtype=np.int32)
+    g = s // 4
+    w[:, 1:] = np.repeat(m, g, axis=1)
+    assert (w.sum(axis=1) == (1 << mode_shift(s, NUM_MODES_VVC))).all()
+    return w
 
 
 @functools.cache
@@ -212,7 +242,9 @@ def weight_matrix(size: int, mode: int,
                   n_modes: int = NUM_MODES) -> np.ndarray:
     """(s*s, R) int32 weights in *raw-ref* space (smoothing not applied);
     rows sum to exactly 2^mode_shift(size, mode)."""
-    if mode == PLANAR:
+    if mode >= NUM_MODES_VVC:
+        w = mip_weight_matrix(size, mode - NUM_MODES_VVC)
+    elif mode == PLANAR:
         w = _planar_weights(size)
     elif mode == DC:
         w = _dc_weights(size)
