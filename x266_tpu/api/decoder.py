@@ -71,9 +71,19 @@ class Decoder:
                             dpb = {poc: dpb[poc]}
                     continue
                 if sh.slice_type == SliceType.B:
-                    l0 = max(p for p in dpb if p < poc)
-                    l1 = min(p for p in dpb if p > poc)
-                    is_ref = poc % 2 == 0   # leaf-B rule (encoder mirror)
+                    below = sorted(p for p in dpb if p < poc)
+                    above = [p for p in dpb if p > poc]
+                    l0 = below[-1]
+                    if above:
+                        # random-access hierarchy: nearest future ref
+                        l1 = min(above)
+                        is_ref = poc % 2 == 0   # leaf-B rule (mirror)
+                    else:
+                        # low-delay GPB (cfg.multi_ref): L1 = the
+                        # second-nearest PAST picture; every picture
+                        # stays referenceable
+                        l1 = below[-2]
+                        is_ref = True
                     frame, pyr = decode_picture_b(
                         use, sh, rbsp[off:], dpb[l0], dpb[l1],
                         with_pyramids=is_ref)
@@ -104,8 +114,10 @@ class Decoder:
                                   if p < poc - cfg.gop_size]:
                             del dpb[p]
                 elif poc in dpb:
-                    # low-delay chain: only the latest picture is a ref
-                    dpb = {poc: dpb[poc]}
+                    # low-delay chain: the latest picture (GPB: the
+                    # latest two) stays referenceable
+                    keep = sorted(dpb)[-2 if cfg.multi_ref else -1:]
+                    dpb = {p: dpb[p] for p in keep}
             elif nal_type == NalType.EOS:
                 break
         if cfg is None:

@@ -150,6 +150,11 @@ class Encoder:
             return encode_inter_tiled(cfg, frames, self.with_recon)
         if cfg.gop_size > 1:
             return self._encode_ra(cfg, frames, out)
+        if cfg.multi_ref:
+            if self.rate_control is not None:
+                raise ValueError("rate control + multi_ref is not "
+                                 "supported in v1")
+            return self._encode_gpb(cfg, frames, out)
         from x266_tpu.engine.picture import encode_picture_gop_async
         recons: list[Frame] = []
         frame_bits: list[int] = []
@@ -182,6 +187,59 @@ class Encoder:
                 fcfg, frame, poc, pyramids, self.with_recon)
             pending.append((fin, st))
             while len(pending) > (1 if rc is None else 0):
+                drain()
+        while pending:
+            drain()
+        return EncodeResult(b"".join(out), recons, frame_bits,
+                            sse=sses)
+
+    def _encode_gpb(self, cfg: CodecConfig, frames: list[Frame],
+                    out: list[bytes]) -> EncodeResult:
+        """Low-delay multi-reference chain (C16 multi_ref): IDR every
+        intra_period; the first inter picture after an IDR is plain P
+        (one reference); every later one codes as a GPB B slice with
+        L0 = previous picture, L1 = the one before it (both past) —
+        two references + bi averaging via the unmodified B machinery.
+        Pipelined like _encode_gop."""
+        from x266_tpu.core.nal import NalType as NT
+        from x266_tpu.engine.picture import (encode_picture_b_async,
+                                             encode_picture_gop_async)
+
+        recons: list[Frame] = []
+        frame_bits: list[int] = []
+        sses: list = []
+        refs: list = []               # device pyramids, newest LAST
+        pending: list[tuple] = []
+
+        def drain():
+            fin, nt = pending.pop(0)
+            rbsp, recon, sse = fin()
+            nal = write_nal(nt, rbsp)
+            out.append(nal)
+            if recon is not None:
+                recons.append(recon)
+            frame_bits.append(8 * len(nal))
+            sses.append(sse)
+
+        for poc, frame in enumerate(frames):
+            if poc % cfg.intra_period == 0:
+                fin, pyr, _ = encode_picture_gop_async(
+                    cfg, frame, poc, None, self.with_recon)
+                refs = [pyr]
+                nt = NalType.IDR
+            elif len(refs) < 2:
+                fin, pyr, _ = encode_picture_gop_async(
+                    cfg, frame, poc, refs[-1], self.with_recon)
+                refs.append(pyr)
+                nt = NT.TRAIL
+            else:
+                fin, pyr = encode_picture_b_async(
+                    cfg, frame, poc, refs[-1], refs[-2],
+                    self.with_recon, with_pyramids=True)
+                refs = [refs[-1], pyr]
+                nt = NT.TRAIL
+            pending.append((fin, nt))
+            while len(pending) > 1:
                 drain()
         while pending:
             drain()

@@ -104,6 +104,11 @@ class CodecConfig:
     # this codec's own statistics (tools/train_lfnst.py).  Intra luma
     # TUs of I slices in v1.
     lfnst: bool = False             # requires profile=VVC
+    # C16 multi-reference (low-delay GPB): non-anchor pictures code as
+    # B slices whose L0 = previous picture and L1 = the one before it
+    # (both past), giving two references + bi averaging to the whole
+    # low-delay chain.  Requires intra_period > 1 and gop_size == 1.
+    multi_ref: bool = False
     # C6 MIP (matrix intra prediction): 8 machine-trained integer
     # matrices per TU size predicting the block from downsampled
     # boundary sums (specmodel/mip_tables.py), competing with the 67
@@ -167,6 +172,10 @@ class CodecConfig:
             raise ValueError("alf_nonlinear requires alf")
         if self.ccalf and not self.alf:
             raise ValueError("ccalf requires alf")
+        if self.multi_ref and (self.intra_period == 1
+                               or self.gop_size > 1):
+            raise ValueError("multi_ref is the low-delay GPB mode: "
+                             "needs intra_period > 1, gop_size == 1")
         if self.gop_size > 1 and (self.gop_size
                                   & (self.gop_size - 1)) != 0:
             raise ValueError("gop_size must be a power of two (the "

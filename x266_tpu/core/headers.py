@@ -40,6 +40,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.mtt)
     w.flag(cfg.lfnst)
     w.flag(cfg.mip)
+    w.flag(cfg.multi_ref)
     w.flag(cfg.ctx_init)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
@@ -73,6 +74,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     mtt = r.flag()
     lfnst = r.flag()
     mip = r.flag()
+    multi_ref = r.flag()
     ctx_init = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
@@ -88,7 +90,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        transform_skip=transform_skip,
                        pdpc=pdpc, merge_cands=merge_cands,
                        cclm=cclm, mtt=mtt, lfnst=lfnst, mip=mip,
-                       ctx_init=ctx_init,
+                       multi_ref=multi_ref, ctx_init=ctx_init,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)
