@@ -69,9 +69,14 @@ def cmd_encode(args) -> int:
         from x266_tpu.shard import ShardedEncoder
         enc = ShardedEncoder(cfg)
     elif args.bitrate:
-        from x266_tpu.utils.ratecontrol import make_controller
-        enc = Encoder(cfg, rate_control=make_controller(
-            cfg, args.bitrate, args.fps))
+        if args.rc_mode == "lambda":
+            from x266_tpu.utils.ratecontrol import make_lambda_controller
+            rc = make_lambda_controller(cfg, args.bitrate, args.fps,
+                                        n_frames=len(frames))
+        else:
+            from x266_tpu.utils.ratecontrol import make_controller
+            rc = make_controller(cfg, args.bitrate, args.fps)
+        enc = Encoder(cfg, rate_control=rc)
     else:
         enc = Encoder(cfg, batch_frames=args.batch)
     t0 = time.time()
@@ -200,7 +205,11 @@ def main(argv=None) -> int:
                    help="all-intra frames per vmapped device call")
     e.add_argument("--bitrate", type=float, default=None,
                    help="target kbps (enables rate control; QP adapts "
-                        "per frame within +-6 of --qp)")
+                        "per frame)")
+    e.add_argument("--rc-mode", choices=("lambda", "pi"),
+                   default="lambda", dest="rc_mode",
+                   help="rate controller: lambda-domain R-lambda model "
+                        "(default) or the PI loop")
     e.add_argument("--fps", type=float, default=30.0,
                    help="frame rate for --bitrate budgeting")
     e.add_argument("--stats", default=None, help="JSONL stats path")
