@@ -443,6 +443,10 @@ struct SegEncoder {
         }
         if (sig) sigs.push_back(i);
       }
+      // SDH (C11): hide the CG's first significant sign when the
+      // span reaches 4 (parity enforced device-side, quant.sdh_adjust)
+      bool sdh_hide = (pic.has_mts & 128) && !sigs.empty() &&
+                      sigs.front() - sigs.back() >= 4;
       for (int i : sigs) {
         int level = coefs[i];
         int al = level < 0 ? -level : level;
@@ -454,7 +458,8 @@ struct SegEncoder {
           enc.encode_bin(ctxs, CTX_GT2 + (chroma ? 1 : 0), g2);
           if (g2) rice_k = code_remainder(al - 3, rice_k);
         }
-        enc.encode_bypass(level < 0);
+        if (!(sdh_hide && i == sigs.back()))
+          enc.encode_bypass(level < 0);
       }
     }
   }
@@ -743,6 +748,8 @@ struct SegDecoder {
               ctxs, sig_ctx(sc.x[i] & 3, sc.y[i] & 3, cg, chroma));
         if (sig) sigs.push_back(i);
       }
+      bool sdh_hide = (pic.has_mts & 128) && !sigs.empty() &&
+                      sigs.front() - sigs.back() >= 4;
       for (int i : sigs) {
         int ctx1 = CTX_GT1 + (chroma ? 2 : 0) + (cg == 0 ? 0 : 1);
         int al = 1;
@@ -751,8 +758,16 @@ struct SegDecoder {
           if (dec.decode_bin(ctxs, CTX_GT2 + (chroma ? 1 : 0)))
             al = 3 + decode_remainder(rice_k);
         }
-        if (dec.decode_bypass()) al = -al;
-        coefs[i] = al;
+        if (sdh_hide && i == sigs.back()) {
+          // SDH: sign from the CG's abs-level-sum parity
+          long long par = al;
+          for (int k = cg * 16; k <= hi; k++)
+            par += coefs[k] < 0 ? -coefs[k] : coefs[k];
+          coefs[i] = (par & 1) ? -al : al;
+        } else {
+          if (dec.decode_bypass()) al = -al;
+          coefs[i] = al;
+        }
       }
     }
     for (int i = 0; i < n; i++)

@@ -6,9 +6,10 @@ tests).  Structure follows HEVC's coding-tree / coefficient-coding design:
 z-order quadtree with context-coded split flags, MPM-based luma mode
 coding, per-TU coefficient coding in 4x4 coefficient groups with
 reverse-diagonal scan, last-significant-position prefix/suffix, csbf,
-significance, >1/>2 flags and Golomb-Rice remainders [STD].  Deviations
-(documented, self-consistent): fresh contexts per segment, no sign-data
-hiding, no inferred-sig shortcut, per-coefficient inline signs.
+significance, >1/>2 flags and Golomb-Rice remainders [STD]; sign-data
+hiding per 4x4 CG when cfg.sign_data_hiding (C11).  Deviations
+(documented, self-consistent): fresh contexts per segment, no
+inferred-sig shortcut, per-coefficient inline signs.
 
 The walker is deterministic given (size_map, mode_map, coef planes) — the
 decoder reconstructs exactly these arrays, which then drive the same
@@ -402,7 +403,11 @@ class SyntaxEncoder(_Walker):
                     enc.encode_bin(ctxs, ctx, sig)
                 if sig:
                     sigs.append(i)
-            # levels
+            # levels; SDH (C11): the CG's first significant sign is
+            # hidden when the sig span reaches SDH_SPAN — the device
+            # quantizer enforced the parity (kernels.quant.sdh_adjust)
+            sdh_hide = (self.cfg.sign_data_hiding and sigs
+                        and sigs[0] - sigs[-1] >= 4)
             for i in sigs:
                 level = int(coefs[i])
                 al = abs(level)
@@ -414,7 +419,8 @@ class SyntaxEncoder(_Walker):
                     enc.encode_bin(ctxs, cx.GT2 + (1 if chroma else 0), g2)
                     if g2:
                         rice_k = _code_remainder(enc, al - 3, rice_k)
-                enc.encode_bypass(int(level < 0))
+                if not (sdh_hide and i == sigs[-1]):
+                    enc.encode_bypass(int(level < 0))
 
 
 class SyntaxDecoder(_Walker):
@@ -667,6 +673,8 @@ class SyntaxDecoder(_Walker):
                     sig = dec.decode_bin(ctxs, _sig_ctx(px, py, cg, chroma))
                 if sig:
                     sigs.append(i)
+            sdh_hide = (self.cfg.sign_data_hiding and sigs
+                        and sigs[0] - sigs[-1] >= 4)
             for i in sigs:
                 ctx1 = cx.GT1 + (2 if chroma else 0) + (0 if cg == 0 else 1)
                 al = 1
@@ -675,9 +683,15 @@ class SyntaxDecoder(_Walker):
                     if dec.decode_bin(ctxs, cx.GT2 + (1 if chroma else 0)):
                         rem, rice_k = _decode_remainder(dec, rice_k)
                         al = 3 + rem
-                if dec.decode_bypass():
-                    al = -al
-                coefs[i] = al
+                if sdh_hide and i == sigs[-1]:
+                    # SDH: sign from the CG's abs-level-sum parity
+                    par = int(np.sum(np.abs(coefs[cg * 16:hi + 1]))
+                              + al) & 1
+                    coefs[i] = -al if par else al
+                else:
+                    if dec.decode_bypass():
+                        al = -al
+                    coefs[i] = al
         out = np.zeros((s, s), dtype=np.int32)
         out[scan[:, 1], scan[:, 0]] = coefs
         return out

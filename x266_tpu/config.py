@@ -86,6 +86,15 @@ class CodecConfig:
     # non-normative [STD]): per-coefficient D + lambda*R level decision
     # (kernels.quant.rd_quantize) instead of the fixed deadzone.
     rdoq: bool = False
+    # C11 sign-data hiding [STD-shaped]: per 4x4 coefficient group with
+    # first/last significant scan positions >= 4 apart, the sign of the
+    # first significant coefficient is not coded; the decoder infers it
+    # from the parity of the CG's absolute-level sum (odd = negative).
+    # The encoder enforces the parity in the quantization stage
+    # (kernels.quant.sdh_adjust).  Normative: in the SPS.  Runs on the
+    # XLA recon path (the Pallas Pass-B kernel falls back, as 10-bit
+    # does).
+    sign_data_hiding: bool = False
     # C7 merge candidate list: skip CUs signal merge_idx over the
     # 2-candidate list {derived (left-first), above} (FORMAT.md §7).
     merge_cands: bool = False
@@ -159,6 +168,11 @@ class CodecConfig:
             raise ValueError("MIP requires the VVC profile")
         if self.lfnst and self.lossless:
             raise ValueError("lfnst + lossless is not supported")
+        if self.sign_data_hiding and self.lossless:
+            # as HEVC's transquant bypass: no quantizer, no parity to
+            # enforce, so the hidden sign cannot be made to match
+            raise ValueError("sign_data_hiding + lossless is not "
+                             "supported")
         if self.mtt and self.cclm:
             raise ValueError("mtt + cclm is not supported in v1 (the "
                              "in-scan CCLM decision is per square CU)")

@@ -42,6 +42,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.mip)
     w.flag(cfg.multi_ref)
     w.flag(cfg.ctx_init)
+    w.flag(cfg.sign_data_hiding)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.intra_period - 1)
@@ -76,6 +77,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     mip = r.flag()
     multi_ref = r.flag()
     ctx_init = r.flag()
+    sign_data_hiding = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     intra_period = r.ue() + 1
@@ -91,6 +93,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        pdpc=pdpc, merge_cands=merge_cands,
                        cclm=cclm, mtt=mtt, lfnst=lfnst, mip=mip,
                        multi_ref=multi_ref, ctx_init=ctx_init,
+                       sign_data_hiding=sign_data_hiding,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)

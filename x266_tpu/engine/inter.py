@@ -573,7 +573,8 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
     flag = os.environ.get("X266T_PALLAS")
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
-    if use_pallas and cfg.bit_depth == 8:   # 10-bit: XLA scan
+    if use_pallas and cfg.bit_depth == 8 \
+            and not cfg.sign_data_hiding:   # 10-bit/SDH: XLA scan
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
         return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)
@@ -616,6 +617,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
     # tickled by perturbed references (_inter_cost docstring); with the
     # worst-case skip distortion it measures -11% bits +0.6 dB there.
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
+    sdh_on = cfg.sign_data_hiding
 
     def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
             mvy_map, pyr_y, pyr_cb, pyr_cr, pyr1_y=None, pyr1_cb=None,
@@ -671,7 +673,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                     return jnp.clip(rec, 0, maxv), lev
                 res = orig - pred
                 lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam,
-                               use_ts, bdv)
+                               use_ts, bdv, sdh=sdh_on)
                 lev = jnp.where(skip, 0, lev)
                 rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts,
                                 bdv)

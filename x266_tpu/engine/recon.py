@@ -88,17 +88,23 @@ TS_IDX = 5
 
 
 def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
-             use_ts=False, bd=8, lfnst=None):
+             use_ts=False, bd=8, lfnst=None, sdh=False):
     """Forward transform + quant with per-TU MTS/TS selection (luma).
     rdoq_lam: pixel-domain lambda enabling RDOQ (encoder-only), or None
     for the hard deadzone quantizer.  use_ts adds the transform-skip
     branch (mts_idx == TS_IDX): coef = res << transform_shift.
     lfnst: (lfnst_idx, mode, n_modes) traced scalars applying the
-    secondary transform on the DCT2 branch's low 4x4 (C10)."""
+    secondary transform on the DCT2 branch's low 4x4 (C10).
+    sdh: enforce sign-data-hiding parity on the quantized levels
+    (C11; every branch, so the walkers can hide signs uniformly)."""
     def q(coefs):
         if rdoq_lam is not None:
-            return kquant.rd_quantize(coefs, qp, s, rdoq_lam, bd)
-        return kquant.quantize(coefs, qp, s, bd)
+            lv = kquant.rd_quantize(coefs, qp, s, rdoq_lam, bd)
+        else:
+            lv = kquant.quantize(coefs, qp, s, bd)
+        if sdh:
+            lv = kquant.sdh_adjust(lv[0], s)[None]
+        return lv
 
     def fwd0(r):
         c = ktx.forward_transform(r[None], s, bit_depth=bd)
@@ -158,7 +164,7 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8,
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
         use_mts=False, use_ts=False, bd=8, pred_override=None,
-        lfnst=None):
+        lfnst=None, sdh=False):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
     or cfg.transform_skip; TS_IDX selects transform skip) or None.
@@ -177,7 +183,7 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
             return orig, orig - pred
         res = orig - pred
         lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam, use_ts,
-                       bd, lfnst)
+                       bd, lfnst, sdh)
         rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd,
                         lfnst)
         return jnp.clip(pred + rres, 0, maxv), lev
@@ -211,6 +217,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     n_std = cfg.n_intra_modes      # MIP modes are >= n_std (luma only)
     use_mip = cfg.mip
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
+    sdh_on = cfg.sign_data_hiding
     bd = cfg.bit_depth
     mid = cfg.mid_val
     maxv_c = cfg.max_val
@@ -261,7 +268,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                       if cfg.lfnst else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
-                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
+                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on,
                                use_mts=use_mts, use_ts=use_ts, bd=bd,
                                lfnst=lf)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
@@ -303,14 +310,14 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     por = jnp.where(use_cc, cc_r, dm_r)
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c, cs,
                                  qp, encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam, bd=bd,
+                                 rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd,
                                  pred_override=pob)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c, cs,
                                  qp, encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam, bd=bd,
+                                 rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd,
                                  pred_override=por)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
@@ -353,7 +360,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                           if cfg.lfnst else None)
                     rec, lev = _tu(yP, srcY, cY, xt, yt, mode, t, qp,
                                    encode, lossless, n_modes, mts_idx,
-                                   pdpc=cfg.pdpc, rdoq_lam=rdoq_lam,
+                                   pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on,
                                    use_mts=use_mts, use_ts=use_ts,
                                    bd=bd, lfnst=lf)
                     yP = jax.lax.dynamic_update_slice(
@@ -362,14 +369,14 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     xc, yc = xt // 2, yt // 2
                     recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c,
                                      ct, qp, encode, lossless, n_modes,
-                                     rdoq_lam=rdoq_lam, bd=bd)
+                                     rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd)
                     cbP = jax.lax.dynamic_update_slice(
                         cbP, recb, (yc + 1, xc + 1))
                     cCb = jax.lax.dynamic_update_slice(
                         cCb, levb, (yc, xc))
                     recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c,
                                      ct, qp, encode, lossless, n_modes,
-                                     rdoq_lam=rdoq_lam, bd=bd)
+                                     rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd)
                     crP = jax.lax.dynamic_update_slice(
                         crP, recr, (yc + 1, xc + 1))
                     cCr = jax.lax.dynamic_update_slice(
@@ -491,9 +498,10 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
     # the Pallas kernel's VMEM tables/windows are 8-bit and predate
-    # CCLM/MTT/LFNST; those ride the XLA scan (capability first)
+    # CCLM/MTT/LFNST/SDH; those ride the XLA scan (capability first)
     if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
-            and not cfg.mtt and not cfg.lfnst:
+            and not cfg.mtt and not cfg.lfnst \
+            and not cfg.sign_data_hiding:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)

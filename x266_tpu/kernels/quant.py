@@ -7,7 +7,10 @@ so no dynamic shapes reach XLA.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from x266_tpu.specmodel.quant import (DEQUANT_SCALES, QUANT_SCALES,
                                       transform_shift)
@@ -77,3 +80,53 @@ def rd_quantize(coef: jnp.ndarray, qp: int, size: int,
     lbest = jnp.where(jnp.minimum(cu, cd) <= c0, lev,
                       jnp.zeros_like(lev))
     return (jnp.sign(c) * lbest).astype(jnp.int32)
+
+
+# ---- sign-data hiding (C11) -------------------------------------------------
+
+SDH_SPAN = 4     # min (last - first) significant scan distance per CG
+
+
+@functools.cache
+def _sdh_perm(size: int):
+    """(ys, xs) numpy index arrays in TU scan order — imported from the
+    entropy layer so the parity CG grouping matches both syntax walkers
+    exactly (same diag-scan tables)."""
+    from x266_tpu.cabac.syntax import tu_scan
+
+    sc = tu_scan(size)
+    return sc[:, 1].copy(), sc[:, 0].copy()
+
+
+def sdh_adjust(lev: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Encoder-side sign-data-hiding parity enforcement (C11 [STD-shaped]).
+
+    lev: (size, size) quantized levels of one TU.  Per 4x4 coefficient
+    group whose first/last significant scan positions are >= SDH_SPAN
+    apart, the entropy layer hides the FIRST significant coefficient's
+    sign and the decoder infers it from the parity of the CG's
+    absolute-level sum (odd = negative).  This transform fixes any
+    parity mismatch by moving that first coefficient's magnitude one
+    step: toward zero when |level| > 1 (cheaper in rate), away from
+    zero when |level| == 1 (so the CG's first/last positions — and
+    hence its eligibility — never change).  Pure element-wise/VPU math;
+    the scan permutation is a static gather.
+    """
+    ys, xs = _sdh_perm(size)
+    v = lev[ys, xs].reshape(-1, 16)               # (ncg^2, 16) scan CGs
+    nz = v != 0
+    has = jnp.any(nz, axis=1)
+    first = jnp.argmax(nz, axis=1)
+    last = 15 - jnp.argmax(nz[:, ::-1], axis=1)
+    eligible = has & ((last - first) >= SDH_SPAN)
+    parity = jnp.sum(jnp.abs(v), axis=1) & 1
+    fv = jnp.take_along_axis(v, first[:, None], axis=1)[:, 0]
+    mismatch = eligible & ((fv < 0) != (parity == 1))
+    sgn = jnp.where(fv < 0, -1, 1)
+    nfv = jnp.where(jnp.abs(fv) > 1, fv - sgn,
+                    jnp.clip(fv + sgn, -32767, 32767))
+    hit = (jnp.arange(16)[None, :] == first[:, None]) \
+        & mismatch[:, None]
+    v = jnp.where(hit, nfv[:, None], v)
+    out = jnp.zeros_like(lev).at[ys, xs].set(v.reshape(-1))
+    return out
