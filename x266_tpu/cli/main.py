@@ -53,7 +53,7 @@ def cmd_encode(args) -> int:
         alf_nonlinear=args.alf_nonlinear, ccalf=args.ccalf,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
-        sign_data_hiding=args.sdh,
+        sign_data_hiding=args.sdh, dep_quant=args.dep_quant,
         merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
         lfnst=args.lfnst,
         tile_rows=args.tile_rows,
@@ -182,6 +182,9 @@ def main(argv=None) -> int:
                    help="RD-optimized quantization (encoder-only)")
     e.add_argument("--sdh", action="store_true",
                    help="sign-data hiding (C11): one sign per eligible CG")
+    e.add_argument("--dep-quant", action="store_true", dest="dep_quant",
+                   help="dependent quantization (C11, VVC): two offset "
+                        "quantizers over a 4-state parity machine")
     e.add_argument("--merge", action="store_true", dest="merge_cands",
                    help="2-candidate skip merge list (C7)")
     e.add_argument("--cclm", action="store_true",

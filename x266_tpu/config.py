@@ -86,6 +86,14 @@ class CodecConfig:
     # non-normative [STD]): per-coefficient D + lambda*R level decision
     # (kernels.quant.rd_quantize) instead of the fixed deadzone.
     rdoq: bool = False
+    # C11 dependent quantization (VVC-shaped): two offset scalar
+    # quantizers switched by a 4-state parity machine over the TU's
+    # coding order; levels code identically, only quant/dequant change.
+    # Normative (in the SPS).  TPU-first: the state machine runs as an
+    # associative scan (kernels.quant.dq_quantize/dq_dequantize);
+    # encoder choice is greedy per state, not the full trellis.  Runs
+    # on the XLA recon path (Pallas Pass-B falls back, as 10-bit does).
+    dep_quant: bool = False
     # C11 sign-data hiding [STD-shaped]: per 4x4 coefficient group with
     # first/last significant scan positions >= 4 apart, the sign of the
     # first significant coefficient is not coded; the decoder infers it
@@ -168,6 +176,13 @@ class CodecConfig:
             raise ValueError("MIP requires the VVC profile")
         if self.lfnst and self.lossless:
             raise ValueError("lfnst + lossless is not supported")
+        if self.dep_quant and self.profile != Profile.VVC:
+            raise ValueError("dep_quant requires the VVC profile")
+        if self.dep_quant and self.lossless:
+            raise ValueError("dep_quant + lossless is not supported")
+        if self.dep_quant and self.sign_data_hiding:
+            # as in VVC: dependent quantization replaces SDH
+            raise ValueError("dep_quant excludes sign_data_hiding")
         if self.sign_data_hiding and self.lossless:
             # as HEVC's transquant bypass: no quantizer, no parity to
             # enforce, so the hidden sign cannot be made to match

@@ -43,6 +43,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.multi_ref)
     w.flag(cfg.ctx_init)
     w.flag(cfg.sign_data_hiding)
+    w.flag(cfg.dep_quant)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.intra_period - 1)
@@ -78,6 +79,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     multi_ref = r.flag()
     ctx_init = r.flag()
     sign_data_hiding = r.flag()
+    dep_quant = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     intra_period = r.ue() + 1
@@ -94,6 +96,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        cclm=cclm, mtt=mtt, lfnst=lfnst, mip=mip,
                        multi_ref=multi_ref, ctx_init=ctx_init,
                        sign_data_hiding=sign_data_hiding,
+                       dep_quant=dep_quant,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)

@@ -574,7 +574,8 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
     use_pallas = (jax.default_backend() == "tpu" if flag is None
                   else flag != "0")
     if use_pallas and cfg.bit_depth == 8 \
-            and not cfg.sign_data_hiding:   # 10-bit/SDH: XLA scan
+            and not cfg.sign_data_hiding \
+            and not cfg.dep_quant:          # 10-bit/SDH/DQ: XLA scan
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
         return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)
@@ -618,6 +619,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
     # worst-case skip distortion it measures -11% bits +0.6 dB there.
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
     sdh_on = cfg.sign_data_hiding
+    dq_on = cfg.dep_quant
 
     def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
             mvy_map, pyr_y, pyr_cb, pyr_cr, pyr1_y=None, pyr1_cb=None,
@@ -673,17 +675,17 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                     return jnp.clip(rec, 0, maxv), lev
                 res = orig - pred
                 lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam,
-                               use_ts, bdv, sdh=sdh_on)
+                               use_ts, bdv, sdh=sdh_on, dq=dq_on)
                 lev = jnp.where(skip, 0, lev)
                 rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts,
-                                bdv)
+                                bdv, dq=dq_on)
                 return jnp.clip(pred + rres, 0, maxv), lev
             else:
                 lev = jax.lax.dynamic_slice(coefp, (y, x), (s, s))
                 if lossless:
                     return jnp.clip(pred + lev, 0, maxv), lev
                 rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts,
-                                bdv)
+                                bdv, dq=dq_on)
                 return jnp.clip(pred + rres, 0, maxv), lev
 
         def make_branch(s):

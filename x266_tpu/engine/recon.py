@@ -88,7 +88,7 @@ TS_IDX = 5
 
 
 def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
-             use_ts=False, bd=8, lfnst=None, sdh=False):
+             use_ts=False, bd=8, lfnst=None, sdh=False, dq=False):
     """Forward transform + quant with per-TU MTS/TS selection (luma).
     rdoq_lam: pixel-domain lambda enabling RDOQ (encoder-only), or None
     for the hard deadzone quantizer.  use_ts adds the transform-skip
@@ -98,7 +98,11 @@ def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
     sdh: enforce sign-data-hiding parity on the quantized levels
     (C11; every branch, so the walkers can hide signs uniformly)."""
     def q(coefs):
-        if rdoq_lam is not None:
+        if dq:
+            lv = kquant.dq_quantize(coefs, qp, s,
+                                    float(rdoq_lam) if rdoq_lam
+                                    else _dq_lam(qp), bd)
+        elif rdoq_lam is not None:
             lv = kquant.rd_quantize(coefs, qp, s, rdoq_lam, bd)
         else:
             lv = kquant.quantize(coefs, qp, s, bd)
@@ -130,10 +134,22 @@ def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
     return jax.lax.switch(idx, branches, res)
 
 
+def _dq_lam(qp: int) -> float:
+    """Default D+lambda*R weight for dq_quantize when RDOQ is off."""
+    import math
+
+    return 0.57 * math.pow(2.0, (qp - 12) / 3.0)
+
+
 def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8,
-             lfnst=None):
+             lfnst=None, dq=False):
+    def deq(lv):
+        if dq:
+            return kquant.dq_dequantize(lv, qp, s, bd)
+        return kquant.dequantize(lv, qp, s, bd)
+
     def inv0(lv):
-        d = kquant.dequantize(lv[None], qp, s, bd)
+        d = deq(lv[None])
         if lfnst is not None:
             from x266_tpu.kernels.lfnst import lfnst_inv
             li, mode, n_modes = lfnst
@@ -145,17 +161,13 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8,
     combos = ktx.MTS_COMBOS if use_mts else ktx.MTS_COMBOS[:1]
     branches = [inv0] + [
         (lambda lv, tv=tv, th=th:
-         ktx.inverse_transform(
-             kquant.dequantize(lv[None], qp, s, bd), s, tv, th,
-             bd)[0])
+         ktx.inverse_transform(deq(lv[None]), s, tv, th, bd)[0])
         for (tv, th) in combos[1:]]
     idx = mts_idx
     if use_ts:
         tsh = 15 - bd - (s.bit_length() - 1)
         rnd = (1 << (tsh - 1)) if tsh > 0 else 0
-        branches.append(
-            lambda lv: (kquant.dequantize(lv[None], qp, s, bd)[0]
-                        + rnd) >> tsh)
+        branches.append(lambda lv: (deq(lv[None])[0] + rnd) >> tsh)
         idx = jnp.where(mts_idx == TS_IDX, len(branches) - 1,
                         jnp.minimum(mts_idx, len(branches) - 2))
     return jax.lax.switch(idx, branches, lev)
@@ -164,7 +176,7 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8,
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
         use_mts=False, use_ts=False, bd=8, pred_override=None,
-        lfnst=None, sdh=False):
+        lfnst=None, sdh=False, dq=False):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
     or cfg.transform_skip; TS_IDX selects transform skip) or None.
@@ -183,16 +195,16 @@ def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
             return orig, orig - pred
         res = orig - pred
         lev = _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam, use_ts,
-                       bd, lfnst, sdh)
+                       bd, lfnst, sdh, dq)
         rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd,
-                        lfnst)
+                        lfnst, dq)
         return jnp.clip(pred + rres, 0, maxv), lev
     else:
         lev = jax.lax.dynamic_slice(coef, (y, x), (s, s))
         if lossless:
             return jnp.clip(pred + lev, 0, maxv), lev
         rres = _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts, bd,
-                        lfnst)
+                        lfnst, dq)
         return jnp.clip(pred + rres, 0, maxv), lev
 
 
@@ -218,6 +230,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     use_mip = cfg.mip
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
     sdh_on = cfg.sign_data_hiding
+    dq_on = cfg.dep_quant
     bd = cfg.bit_depth
     mid = cfg.mid_val
     maxv_c = cfg.max_val
@@ -268,7 +281,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                       if cfg.lfnst else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
-                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on,
+                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
                                use_mts=use_mts, use_ts=use_ts, bd=bd,
                                lfnst=lf)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
@@ -310,14 +323,14 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     por = jnp.where(use_cc, cc_r, dm_r)
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c, cs,
                                  qp, encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd,
+                                 rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd,
                                  pred_override=pob)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c, cs,
                                  qp, encode, lossless, n_modes,
-                                 rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd,
+                                 rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd,
                                  pred_override=por)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
@@ -360,7 +373,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                           if cfg.lfnst else None)
                     rec, lev = _tu(yP, srcY, cY, xt, yt, mode, t, qp,
                                    encode, lossless, n_modes, mts_idx,
-                                   pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on,
+                                   pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
                                    use_mts=use_mts, use_ts=use_ts,
                                    bd=bd, lfnst=lf)
                     yP = jax.lax.dynamic_update_slice(
@@ -369,14 +382,14 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     xc, yc = xt // 2, yt // 2
                     recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c,
                                      ct, qp, encode, lossless, n_modes,
-                                     rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd)
+                                     rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd)
                     cbP = jax.lax.dynamic_update_slice(
                         cbP, recb, (yc + 1, xc + 1))
                     cCb = jax.lax.dynamic_update_slice(
                         cCb, levb, (yc, xc))
                     recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c,
                                      ct, qp, encode, lossless, n_modes,
-                                     rdoq_lam=rdoq_lam, sdh=sdh_on, bd=bd)
+                                     rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd)
                     crP = jax.lax.dynamic_update_slice(
                         crP, recr, (yc + 1, xc + 1))
                     cCr = jax.lax.dynamic_update_slice(
@@ -490,7 +503,8 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     """
     import os
 
-    if os.environ.get("X266T_WAVE_RECON") and not cfg.mip:
+    if os.environ.get("X266T_WAVE_RECON") and not cfg.mip \
+            and not cfg.sign_data_hiding and not cfg.dep_quant:
         # (the wavefront study path predates the MIP mode extension)
         from x266_tpu.engine.recon_wave import make_recon_wave_raw
         return make_recon_wave_raw(cfg, encode)
@@ -501,7 +515,7 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     # CCLM/MTT/LFNST/SDH; those ride the XLA scan (capability first)
     if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
             and not cfg.mtt and not cfg.lfnst \
-            and not cfg.sign_data_hiding:
+            and not cfg.sign_data_hiding and not cfg.dep_quant:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,3 +131,126 @@ def sdh_adjust(lev: jnp.ndarray, size: int) -> jnp.ndarray:
     v = jnp.where(hit, nfv[:, None], v)
     out = jnp.zeros_like(lev).at[ys, xs].set(v.reshape(-1))
     return out
+
+
+# ---- dependent quantization (C11, VVC-shaped) -------------------------------
+
+# State machine over the TU's coding order (reverse diagonal scan):
+# next = DQ_TRANS[state][level_parity]; states {0,1} use quantizer Q0
+# (reconstruction at even half-steps, i.e. the plain grid), states
+# {2,3} use Q1 (odd half-steps, offset by step/2).  Deviation from VVC
+# (documented, self-consistent): the machine starts at the TU's highest
+# scan position rather than the last significant one — trailing zeros
+# advance the state deterministically on both sides, so encoder and
+# decoder always agree.
+DQ_TRANS = np.array([[0, 2], [2, 0], [1, 3], [3, 1]], dtype=np.int32)
+
+
+@functools.cache
+def _dq_perm(size: int):
+    """Coding-order (reverse scan) index arrays: position j codes the
+    sample at (ys[j], xs[j]); shares the walkers' scan tables."""
+    from x266_tpu.cabac.syntax import tu_scan
+
+    sc = tu_scan(size)[::-1]          # reverse: high frequency first
+    return sc[:, 1].copy(), sc[:, 0].copy()
+
+
+def _dq_deq_val(k, q1, dscale: int, ishift: int):
+    """Exact-int reconstruction of signed level k under quantizer q1:
+    sgn(k) * ((2|k| - q1) * dscale + 2^ishift) >> (ishift + 1)."""
+    a = jnp.abs(k)
+    mag = ((2 * a - q1 * (a > 0)) * dscale
+           + (1 << ishift)) >> (ishift + 1)
+    return jnp.sign(k) * jnp.clip(mag, 0, 32767)
+
+
+def _dq_states(parity, n: int):
+    """parity (..., n) in coding order -> state (..., n) via an
+    associative scan over 4-state transition maps (log-depth: the
+    TPU-first restatement of the sequential state machine)."""
+    maps = jnp.asarray(DQ_TRANS)[jnp.arange(4)[None], parity[..., None]]
+    comp = jax.lax.associative_scan(
+        lambda a, b: jnp.take_along_axis(b, a, axis=-1), maps,
+        axis=parity.ndim - 1)          # comp[j] = M0 o ... o Mj
+    after = comp[..., 0]               # state AFTER position j (from 0)
+    return jnp.concatenate(
+        [jnp.zeros_like(after[..., :1]), after[..., :-1]], axis=-1)
+
+
+def dq_quantize(coef: jnp.ndarray, qp: int, size: int, lam: float,
+                bit_depth: int = 8) -> jnp.ndarray:
+    """Greedy dependent quantization (C11 "dep quant", encoder-only).
+
+    Per coding-order position and per candidate state, the best level
+    under that state's quantizer is chosen elementwise by D + lambda*R
+    over {0, k_dn, k_up} (the rd_quantize candidate set); the parity of
+    each state's choice defines that position's 4->4 transition map,
+    and one associative scan composes the maps into the realized state
+    sequence — greedy (no trellis lookahead) but exactly consistent
+    with dq_dequantize's state derivation by construction.
+    """
+    tsh = transform_shift(size, bit_depth)
+    qbits = 14 + qp // 6 + tsh
+    scale = int(QUANT_SCALES[qp % 6])
+    ishift = 6 - tsh
+    dscale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
+    err_scale = float(2.0 ** (-2 * tsh))
+
+    ys, xs = _dq_perm(size)
+    c = coef.astype(jnp.int32)[..., ys, xs]       # (..., n) coding order
+    a = jnp.abs(c)
+
+    def best_for(q1):
+        # nearest level in the (2k - q1) half-step grid, one below, 0
+        u = (a * scale + (1 << (qbits - 2))) >> (qbits - 1)  # 2|c|/step
+        kup = jnp.clip((u + q1 + 1) >> 1, 0, 32767)
+        kdn = jnp.maximum(kup - 1, 0)
+
+        def cost(k):
+            dq = ((2 * k - q1 * (k > 0)) * dscale
+                  + (1 << ishift)) >> (ishift + 1)
+            e = (a - dq).astype(jnp.float32)
+            rate = jnp.where(
+                k > 0, 3.0 + 2.0 * jnp.log2(k.astype(jnp.float32) + 1.0),
+                0.0625)
+            return e * e * err_scale + lam * rate
+
+        cu, cd, c0 = cost(kup), cost(kdn), cost(jnp.zeros_like(a))
+        k = jnp.where(cu <= cd, kup, kdn)
+        return jnp.where(jnp.minimum(cu, cd) <= c0, k,
+                         jnp.zeros_like(k))
+
+    k0 = best_for(0)                   # states 0/1 choice
+    k1 = best_for(1)                   # states 2/3 choice
+    # per-position transition map over the 4 states
+    par = jnp.stack([k0 & 1, k0 & 1, k1 & 1, k1 & 1], axis=-1)
+    maps = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.asarray(DQ_TRANS), par.shape[:-1] + (4, 2)),
+        par[..., None], axis=-1)[..., 0]
+    comp = jax.lax.associative_scan(
+        lambda x, y: jnp.take_along_axis(y, x, axis=-1), maps,
+        axis=par.ndim - 2)
+    after = comp[..., 0]
+    state = jnp.concatenate(
+        [jnp.zeros_like(after[..., :1]), after[..., :-1]], axis=-1)
+    k = jnp.where(state >= 2, k1, k0)
+    lev = jnp.sign(c) * k
+    out = jnp.zeros_like(coef)
+    return out.at[..., ys, xs].set(lev)
+
+
+def dq_dequantize(lev: jnp.ndarray, qp: int, size: int,
+                  bit_depth: int = 8) -> jnp.ndarray:
+    """Dependent dequantization: derive the state sequence from the
+    levels' parities (associative scan), then reconstruct each level
+    under its state's quantizer.  Shared by decoder and encoder recon."""
+    tsh = transform_shift(size, bit_depth)
+    ishift = 6 - tsh
+    dscale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
+    ys, xs = _dq_perm(size)
+    v = lev.astype(jnp.int32)[..., ys, xs]
+    state = _dq_states(jnp.abs(v) & 1, v.shape[-1])
+    deq = _dq_deq_val(v, (state >= 2).astype(jnp.int32), dscale, ishift)
+    out = jnp.zeros_like(lev)
+    return out.at[..., ys, xs].set(deq)
