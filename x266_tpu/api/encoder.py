@@ -33,6 +33,35 @@ class EncodeResult:
         return 8 * len(self.bitstream)
 
 
+def fit_weight(cur: Frame, ref: Frame) -> list[int]:
+    """Least-squares explicit-WP fit [wy, oy, wc, oc] (denom 64).
+
+    Non-normative: the encoder fits against the reference's SOURCE
+    frame as a proxy for its reconstruction (zero device round-trips);
+    the decoder applies whatever the slice header says.  Falls back to
+    identity (64, 0) when the fit is degenerate or near-identity."""
+    cy = cur.y.astype(np.float64)
+    ry = ref.y.astype(np.float64)
+    var = ry.var()
+    if var < 1.0:
+        wy, oy = 64, int(round(cy.mean() - ry.mean()))
+    else:
+        w = 64.0 * ((cy * ry).mean() - cy.mean() * ry.mean()) / var
+        wy = int(round(min(max(w, 16.0), 192.0)))
+        oy = int(round(cy.mean() - wy * ry.mean() / 64.0))
+    oy = min(max(oy, -128), 127)
+    mc = (cur.cb.astype(np.float64).mean()
+          + cur.cr.astype(np.float64).mean()) / 2.0
+    mr = (ref.cb.astype(np.float64).mean()
+          + ref.cr.astype(np.float64).mean()) / 2.0
+    oc = min(max(int(round(mc - mr)), -128), 127)
+    if abs(wy - 64) <= 1 and abs(oy) <= 1:
+        wy, oy = 64, 0
+    if abs(oc) <= 1:
+        oc = 0
+    return [wy, oy, 64, oc]
+
+
 class Encoder:
     """All-intra v1 encoder: every picture is an IDR slice.
 
@@ -183,8 +212,11 @@ class Encoder:
 
         for poc, frame in enumerate(frames):
             fcfg = cfg if rc is None else cfg.replace(qp=rc.qp)
+            wp = (fit_weight(frame, frames[poc - 1])
+                  if (cfg.weighted_pred and poc % cfg.intra_period)
+                  else None)
             fin, pyramids, st = encode_picture_gop_async(
-                fcfg, frame, poc, pyramids, self.with_recon)
+                fcfg, frame, poc, pyramids, self.with_recon, wp=wp)
             pending.append((fin, st))
             while len(pending) > (1 if rc is None else 0):
                 drain()
@@ -228,14 +260,19 @@ class Encoder:
                 refs = [pyr]
                 nt = NalType.IDR
             elif len(refs) < 2:
+                wp = (fit_weight(frame, frames[poc - 1])
+                      if cfg.weighted_pred else None)
                 fin, pyr, _ = encode_picture_gop_async(
-                    cfg, frame, poc, refs[-1], self.with_recon)
+                    cfg, frame, poc, refs[-1], self.with_recon, wp=wp)
                 refs.append(pyr)
                 nt = NT.TRAIL
             else:
+                wp = ([fit_weight(frame, frames[poc - 1]),
+                       fit_weight(frame, frames[poc - 2])]
+                      if cfg.weighted_pred else None)
                 fin, pyr = encode_picture_b_async(
                     cfg, frame, poc, refs[-1], refs[-2],
-                    self.with_recon, with_pyramids=True)
+                    self.with_recon, with_pyramids=True, wp=wp)
                 refs = [refs[-1], pyr]
                 nt = NT.TRAIL
             pending.append((fin, nt))
@@ -288,15 +325,22 @@ class Encoder:
                 # of two): never referenced, so no pyramids/DPB entry
                 is_ref = poc % 2 == 0
                 bc = cfg.replace(qp=cfg.qp + b_qp_offset(cfg, poc))
+                wp = ([fit_weight(frames[poc], frames[l0]),
+                       fit_weight(frames[poc], frames[l1])]
+                      if cfg.weighted_pred else None)
                 fin, pyr = encode_picture_b_async(
                     bc, frames[poc], poc, dpb[l0], dpb[l1],
-                    self.with_recon, with_pyramids=is_ref)
+                    self.with_recon, with_pyramids=is_ref, wp=wp)
                 nal_slot[poc] = NalType.TRAIL
             else:
-                ref = (None if kind == "I"
-                       else dpb[max(p for p in dpb if p < poc)])
+                rpoc = (None if kind == "I"
+                        else max(p for p in dpb if p < poc))
+                ref = None if rpoc is None else dpb[rpoc]
+                wp = (fit_weight(frames[poc], frames[rpoc])
+                      if (cfg.weighted_pred and rpoc is not None)
+                      else None)
                 fin, pyr, st = encode_picture_gop_async(
-                    cfg, frames[poc], poc, ref, self.with_recon)
+                    cfg, frames[poc], poc, ref, self.with_recon, wp=wp)
                 nal_slot[poc] = (NT.IDR if st.name == "I"
                                  else NT.TRAIL)
             if pyr is not None:

@@ -54,6 +54,7 @@ def cmd_encode(args) -> int:
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, rdoq=args.rdoq,
         sign_data_hiding=args.sdh, dep_quant=args.dep_quant,
+        weighted_pred=args.weighted_pred,
         merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
         lfnst=args.lfnst,
         tile_rows=args.tile_rows,
@@ -185,6 +186,10 @@ def main(argv=None) -> int:
     e.add_argument("--dep-quant", action="store_true", dest="dep_quant",
                    help="dependent quantization (C11, VVC): two offset "
                         "quantizers over a 4-state parity machine")
+    e.add_argument("--weighted-pred", action="store_true",
+                   dest="weighted_pred",
+                   help="explicit weighted prediction (C7): per-slice "
+                        "per-list (weight, offset) on the references")
     e.add_argument("--merge", action="store_true", dest="merge_cands",
                    help="2-candidate skip merge list (C7)")
     e.add_argument("--cclm", action="store_true",

@@ -106,6 +106,13 @@ class CodecConfig:
     # C7 merge candidate list: skip CUs signal merge_idx over the
     # 2-candidate list {derived (left-first), above} (FORMAT.md §7).
     merge_cands: bool = False
+    # C7 explicit weighted prediction: per inter slice and reference
+    # list, luma (weight, offset) + shared chroma (weight, offset) in
+    # the slice header (denominator 64).  TPU-first: the weights apply
+    # ONCE to the whole reference pyramid (elementwise reweight before
+    # ME/MC), so prediction, warp kernels and recon are unchanged —
+    # both sides reweight identically, so decode stays bit-exact.
+    weighted_pred: bool = False
     # C6 CCLM: intra chroma prediction from the collocated reconstructed
     # luma via a per-TU linear model (SPS-level: applies to every intra
     # CU's chroma; requires profile=VVC; FORMAT.md §7).
@@ -183,6 +190,11 @@ class CodecConfig:
         if self.dep_quant and self.sign_data_hiding:
             # as in VVC: dependent quantization replaces SDH
             raise ValueError("dep_quant excludes sign_data_hiding")
+        if self.weighted_pred and self.lossless:
+            raise ValueError("weighted_pred + lossless is not "
+                             "supported")
+        if self.weighted_pred and self.tile_rows:
+            raise ValueError("weighted_pred supports single tile in v1")
         if self.sign_data_hiding and self.lossless:
             # as HEVC's transquant bypass: no quantizer, no parity to
             # enforce, so the hidden sign cannot be made to match

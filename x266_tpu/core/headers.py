@@ -44,6 +44,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.ctx_init)
     w.flag(cfg.sign_data_hiding)
     w.flag(cfg.dep_quant)
+    w.flag(cfg.weighted_pred)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.intra_period - 1)
@@ -80,6 +81,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     ctx_init = r.flag()
     sign_data_hiding = r.flag()
     dep_quant = r.flag()
+    weighted_pred = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     intra_period = r.ue() + 1
@@ -97,6 +99,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        multi_ref=multi_ref, ctx_init=ctx_init,
                        sign_data_hiding=sign_data_hiding,
                        dep_quant=dep_quant,
+                       weighted_pred=weighted_pred,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, intra_period=intra_period,
                        gop_size=gop_size)
@@ -142,6 +145,10 @@ class SliceHeader:
     # and per-plane per-CTB on/off bits.
     ccalf_coeffs: list[int] | None = None     # flattened 14 ints
     ccalf_flags: list[int] | None = None      # 2*Cy*Cx bits
+    # weighted prediction (C7, iff SPS weighted_pred and inter slice):
+    # per reference list [w_luma, o_luma, w_chroma, o_chroma], denom 64
+    # (4 ints for P, 8 for B)
+    wp: list[int] | None = None
 
 
 def write_slice_header(sh: SliceHeader) -> bytes:
@@ -173,6 +180,9 @@ def write_slice_header(sh: SliceHeader) -> bytes:
             w.se(int(c))
         for f in sh.ccalf_flags:
             w.flag(int(f))
+    if sh.wp is not None:
+        for i, v in enumerate(sh.wp):
+            w.se(int(v) - (64 if i % 2 == 0 else 0))
     w.align()
     return w.bytes_value()
 
@@ -181,7 +191,8 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
                        num_ctbs: int = 0,
                        has_alf_chroma: bool = False,
                        has_alf_nonlinear: bool = False,
-                       has_ccalf: bool = False
+                       has_ccalf: bool = False,
+                       has_wp: bool = False
                        ) -> tuple[SliceHeader, int]:
     """Returns (header, payload_byte_offset_within_rbsp)."""
     r = BitReader(rbsp)
@@ -205,8 +216,12 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
     if has_ccalf:
         ccalf_coeffs = [r.se() for _ in range(2 * 7)]
         ccalf_flags = [int(r.flag()) for _ in range(2 * num_ctbs)]
+    wp = None
+    if has_wp and st != SliceType.I:
+        n_wp = 8 if st == SliceType.B else 4
+        wp = [r.se() + (64 if i % 2 == 0 else 0) for i in range(n_wp)]
     r.align()
     return SliceHeader(st, poc, qp, entries, alf_coeffs,
                        alf_flags, alf_ccoeffs, alf_cflags,
                        alf_clips, alf_cclips, ccalf_coeffs,
-                       ccalf_flags), r.byte_position
+                       ccalf_flags, wp), r.byte_position

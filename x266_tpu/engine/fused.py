@@ -548,9 +548,29 @@ def make_encode_step_i_batched(cfg: CodecConfig, with_recon: bool):
                                                     False)))
 
 
+def _reweight_pyr(pyr, w, o, maxv: int):
+    """Weighted prediction (C7): reweight a whole reference pyramid
+    elementwise — p' = clip(((p*w + 32) >> 6) + o).  Applied once per
+    (slice, list); all downstream gathers then see weighted samples."""
+    v = ((pyr.astype(jnp.int32) * w + 32) >> 6) + o
+    return jnp.clip(v, 0, maxv).astype(pyr.dtype)
+
+
+def _apply_wp(cfg, pyrs, wp4):
+    """(pyr_y, pyr_cb, pyr_cr) reweighted by [wy, oy, wc, oc]."""
+    py, pcb, pcr = pyrs
+    mv = cfg.max_val
+    return (_reweight_pyr(py, wp4[0], wp4[1], mv),
+            _reweight_pyr(pcb, wp4[2], wp4[3], mv),
+            _reweight_pyr(pcr, wp4[2], wp4[3], mv))
+
+
 def _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
-            with_recon, with_pyramids):
+            with_recon, with_pyramids, wp=None):
     """Shared P-picture step body (whole-frame and tile-band callers)."""
+    if wp is not None:
+        pyr_y, pyr_cb, pyr_cr = _apply_wp(
+            cfg, (pyr_y, pyr_cb, pyr_cr), wp)
     yP, cbP, crP = _unpack_padded(cfg, packed)
     size_map, mode_map, pred_map, mvx_map, mvy_map = mdp(yP, pyr_y)
     mts_map = jnp.zeros_like(size_map)   # MTS is intra-only in v1
@@ -588,9 +608,14 @@ def make_encode_step_p(cfg: CodecConfig, with_recon: bool):
     mdp = make_mode_decision_p_raw(cfg)
     rp = select_recon_inter_impl(cfg, encode=True)
 
-    def step(packed, pyr_y, pyr_cb, pyr_cr):
-        return _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb, pyr_cr,
-                       with_recon, True)
+    if cfg.weighted_pred:
+        def step(packed, pyr_y, pyr_cb, pyr_cr, wp):
+            return _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb,
+                           pyr_cr, with_recon, True, wp)
+    else:
+        def step(packed, pyr_y, pyr_cb, pyr_cr):
+            return _p_body(cfg, mdp, rp, packed, pyr_y, pyr_cb,
+                           pyr_cr, with_recon, True)
 
     return jax.jit(step)
 
@@ -629,8 +654,12 @@ def make_encode_step_p_band(cfg: CodecConfig):
     return jax.jit(step)
 
 
-def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids):
+def _b_body(cfg, mdb, rp, packed, p0, p1, with_recon, with_pyramids,
+            wp=None):
     """Shared B-picture step body (whole-frame and tile-band callers)."""
+    if wp is not None:
+        p0 = _apply_wp(cfg, p0, wp[0])
+        p1 = _apply_wp(cfg, p1, wp[1])
     p0y, p0cb, p0cr = p0
     p1y, p1cb, p1cr = p1
     yP, cbP, crP = _unpack_padded(cfg, packed)
@@ -702,9 +731,16 @@ def make_encode_step_b(cfg: CodecConfig, with_recon: bool,
     mdb = make_mode_decision_b_raw(cfg)
     rp = select_recon_inter_impl(cfg, encode=True, b_mode=True)
 
-    def step(packed, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
-        return _b_body(cfg, mdb, rp, packed, (p0y, p0cb, p0cr),
-                       (p1y, p1cb, p1cr), with_recon, with_pyramids)
+    if cfg.weighted_pred:
+        def step(packed, p0y, p0cb, p0cr, p1y, p1cb, p1cr, wp):
+            return _b_body(cfg, mdb, rp, packed, (p0y, p0cb, p0cr),
+                           (p1y, p1cb, p1cr), with_recon,
+                           with_pyramids, wp)
+    else:
+        def step(packed, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
+            return _b_body(cfg, mdb, rp, packed, (p0y, p0cb, p0cr),
+                           (p1y, p1cb, p1cr), with_recon,
+                           with_pyramids)
 
     return jax.jit(step)
 
@@ -719,8 +755,16 @@ def _flat_get(cfg):
     return get
 
 
-def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode, with_pyramids):
+def _decode_inter_body(cfg, rp, coef, flat, pyrs, b_mode,
+                       with_pyramids, wp=None):
     """Shared P/B decode body: recon scan + loop filters + packed rec."""
+    if wp is not None:
+        # wp: (4,) for P, (2, 4) for B (one row per reference list)
+        if b_mode:
+            pyrs = (_apply_wp(cfg, pyrs[:3], wp[0])
+                    + _apply_wp(cfg, pyrs[3:], wp[1]))
+        else:
+            pyrs = _apply_wp(cfg, pyrs, wp)
     h, w = cfg.height, cfg.width
     uy, ux = cfg.units_y, cfg.units_x
     cyn, cxn = cfg.ctus_y, cfg.ctus_x
@@ -819,10 +863,18 @@ def make_decode_step_b(cfg: CodecConfig, with_pyramids: bool = True):
 
     rp = select_recon_inter_impl(cfg, encode=False, b_mode=True)
 
-    def step(coef, flat, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
-        return _decode_inter_body(
-            cfg, rp, coef, flat,
-            (p0y, p0cb, p0cr, p1y, p1cb, p1cr), True, with_pyramids)
+    if cfg.weighted_pred:
+        def step(coef, flat, p0y, p0cb, p0cr, p1y, p1cb, p1cr, wp):
+            return _decode_inter_body(
+                cfg, rp, coef, flat,
+                (p0y, p0cb, p0cr, p1y, p1cb, p1cr), True,
+                with_pyramids, wp)
+    else:
+        def step(coef, flat, p0y, p0cb, p0cr, p1y, p1cb, p1cr):
+            return _decode_inter_body(
+                cfg, rp, coef, flat,
+                (p0y, p0cb, p0cr, p1y, p1cb, p1cr), True,
+                with_pyramids)
 
     return jax.jit(step)
 
@@ -835,10 +887,16 @@ def make_decode_step_p(cfg: CodecConfig, with_pyramids: bool = True):
 
     rp = select_recon_inter_impl(cfg, encode=False)
 
-    def step(coef, flat, pyr_y, pyr_cb, pyr_cr):
-        return _decode_inter_body(cfg, rp, coef, flat,
-                                  (pyr_y, pyr_cb, pyr_cr), False,
-                                  with_pyramids)
+    if cfg.weighted_pred:
+        def step(coef, flat, pyr_y, pyr_cb, pyr_cr, wp):
+            return _decode_inter_body(cfg, rp, coef, flat,
+                                      (pyr_y, pyr_cb, pyr_cr), False,
+                                      with_pyramids, wp)
+    else:
+        def step(coef, flat, pyr_y, pyr_cb, pyr_cr):
+            return _decode_inter_body(cfg, rp, coef, flat,
+                                      (pyr_y, pyr_cb, pyr_cr), False,
+                                      with_pyramids)
 
     return jax.jit(step)
 

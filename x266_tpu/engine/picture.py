@@ -178,7 +178,8 @@ def split_bands(cfg: CodecConfig, frame: Frame) -> list[Frame]:
 
 def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
                    slice_type: SliceType = SliceType.I,
-                   alf: tuple | None = None) -> bytes:
+                   alf: tuple | None = None,
+                   wp: list[int] | None = None) -> bytes:
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
     coeffs = flags = ccoeffs = cflags = None
@@ -211,7 +212,8 @@ def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
                      alf_coeffs=coeffs, alf_flags=flags,
                      alf_ccoeffs=ccoeffs, alf_cflags=cflags,
                      alf_clips=clips, alf_cclips=cclips,
-                     ccalf_coeffs=cc_coeffs, ccalf_flags=cc_flags)
+                     ccalf_coeffs=cc_coeffs, ccalf_flags=cc_flags,
+                     wp=(None if slice_type == SliceType.I else wp))
     return write_slice_header(sh) + payload
 
 
@@ -431,7 +433,7 @@ def _finalize_common(cfg, out, with_recon, n_fixed=3, inter=True):
 
 def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
                              pyramids, with_recon: bool = True,
-                             device=None):
+                             device=None, wp=None):
     """Dispatch one GOP picture's device step WITHOUT blocking.
 
     Returns (finalize, new_pyramids, slice_type): new_pyramids are
@@ -448,7 +450,14 @@ def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
         import jax
         packed = jax.device_put(packed, device)
     if is_p:
-        out = fused.make_encode_step_p(cfg, with_recon)(packed, *pyramids)
+        step = fused.make_encode_step_p(cfg, with_recon)
+        if cfg.weighted_pred:
+            import jax.numpy as jnp
+            wp = list(wp) if wp is not None else [64, 0, 64, 0]
+            out = step(packed, *pyramids,
+                       jnp.asarray(wp, jnp.int32))
+        else:
+            out = step(packed, *pyramids)
     else:
         out = fused.make_encode_step_i(cfg, with_recon, True)(packed)
     new_pyr = out[-1]
@@ -478,7 +487,9 @@ def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
                 maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
                 maps["alf_cclip"], maps["ccalf_coef"],
                 maps["ccalf_flag"]) if cfg.alf else None)
-        rbsp = assemble_slice(cfg, poc, segments, st, alf)
+        rbsp = assemble_slice(
+            cfg, poc, segments, st, alf,
+            wp=(wp if (is_p and cfg.weighted_pred) else None))
         return rbsp, recon, sse
 
     return finalize, new_pyr, st
@@ -546,14 +557,20 @@ def gop_coding_order(n: int, intra_period: int, gop: int
 
 def encode_picture_b_async(cfg: CodecConfig, frame: Frame, poc: int,
                            pyr0, pyr1, with_recon: bool = True,
-                           with_pyramids: bool = True):
+                           with_pyramids: bool = True, wp=None):
     """Dispatch one B picture's device step WITHOUT blocking; see
     encode_picture_gop_async.  Returns (finalize, new_pyramids|None);
     finalize() -> (rbsp, recon|None, sse)."""
     assert cfg.num_tiles == 1, "B pictures support single tile in v1"
     packed = fused.pack_input(cfg, frame)
-    out = fused.make_encode_step_b(cfg, with_recon, with_pyramids)(
-        packed, *pyr0, *pyr1)
+    stepb = fused.make_encode_step_b(cfg, with_recon, with_pyramids)
+    if cfg.weighted_pred:
+        import jax.numpy as jnp
+        wp = ([list(wp[0]), list(wp[1])] if wp is not None
+              else [[64, 0, 64, 0], [64, 0, 64, 0]])
+        out = stepb(packed, *pyr0, *pyr1, jnp.asarray(wp, jnp.int32))
+    else:
+        out = stepb(packed, *pyr0, *pyr1)
     new_pyr = out[-1] if with_pyramids else None
 
     def finalize():
@@ -582,7 +599,9 @@ def encode_picture_b_async(cfg: CodecConfig, frame: Frame, poc: int,
                 maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
                 maps["alf_cclip"], maps["ccalf_coef"],
                 maps["ccalf_flag"]) if cfg.alf else None)
-        rbsp = assemble_slice(cfg, poc, segments, SliceType.B, alf)
+        rbsp = assemble_slice(
+            cfg, poc, segments, SliceType.B, alf,
+            wp=([*wp[0], *wp[1]] if cfg.weighted_pred else None))
         return rbsp, recon, sse
 
     return finalize, new_pyr
@@ -619,8 +638,14 @@ def decode_picture_b(cfg: CodecConfig, sh: SliceHeader, payload: bytes,
         "mvx": dec.mvx_map, "mvy": dec.mvy_map,
         "mvx1": dec.mvx1_map, "mvy1": dec.mvy1_map,
         **_alf_maps_from_header(cfg, sh)})
-    out = fused.make_decode_step_b(cfg, with_pyramids)(
-        coef, flat, *pyr0, *pyr1)
+    stepb = fused.make_decode_step_b(cfg, with_pyramids)
+    if cfg.weighted_pred:
+        import jax.numpy as jnp
+        wpv = (sh.wp if sh.wp is not None else [64, 0, 64, 0] * 2)
+        out = stepb(coef, flat, *pyr0, *pyr1,
+                    jnp.asarray(wpv, jnp.int32).reshape(2, 4))
+    else:
+        out = stepb(coef, flat, *pyr0, *pyr1)
     new_pyr = out[1] if with_pyramids else None
     return fused.unpack_recon(cfg, np.asarray(out[0])), new_pyr
 
@@ -646,8 +671,14 @@ def decode_picture_gop(cfg: CodecConfig, sh: SliceHeader,
     if is_p:
         if pyramids is None:
             raise ValueError("P slice before any reference picture")
-        rec, new_pyr = fused.make_decode_step_p(cfg, True)(
-            coef, flat, *pyramids)
+        stepp = fused.make_decode_step_p(cfg, True)
+        if cfg.weighted_pred:
+            import jax.numpy as jnp
+            wpv = sh.wp if sh.wp is not None else [64, 0, 64, 0]
+            rec, new_pyr = stepp(coef, flat, *pyramids,
+                                 jnp.asarray(wpv, jnp.int32))
+        else:
+            rec, new_pyr = stepp(coef, flat, *pyramids)
     else:
         rec, new_pyr = fused.make_decode_step_i(cfg, True)(coef, flat)
     return fused.unpack_recon(cfg, np.asarray(rec)), new_pyr
