@@ -63,7 +63,13 @@ def test_lambda_rc_model_dynamics():
 def test_lambda_rc_convergence():
     """Long-run accuracy: the mean rate lands near the target, and the
     controller re-converges after a scene change (VERDICT round-1
-    'rate control validation is thin')."""
+    'rate control validation is thin').
+
+    Runs in a fresh interpreter (tests/isolation.py): its per-QP
+    compile storm is what triggered the round-3 full-suite SIGSEGV."""
+    from isolation import run_isolated  # tests/ dir is on sys.path
+    if run_isolated("tests/test_ratecontrol.py::test_lambda_rc_convergence"):
+        return
     from x266_tpu.utils.ratecontrol import make_lambda_controller
 
     n = 24

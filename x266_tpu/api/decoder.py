@@ -38,7 +38,8 @@ class Decoder:
                 sh, off = headers.parse_slice_header(
                     rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x,
                     cfg.alf_chroma, cfg.alf_nonlinear, cfg.ccalf,
-                    has_wp=cfg.weighted_pred)
+                    has_wp=cfg.weighted_pred,
+                    n_bands=len(cfg.tile_bands()))
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
                 poc = sh.poc
                 if cfg.tile_rows and (cfg.intra_period != 1

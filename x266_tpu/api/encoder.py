@@ -90,8 +90,6 @@ class Encoder:
         for frame in frames:
             if (frame.height, frame.width) != (cfg.height, cfg.width):
                 raise ValueError("frame size does not match config")
-        if cfg.alf and cfg.num_tiles != 1:
-            raise ValueError("ALF supports single tile in v1")
         out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
         if cfg.intra_period != 1 or self.rate_control is not None:
@@ -139,7 +137,8 @@ class Encoder:
             tiles = [fin() for fin in fin_list]
             segments = [seg for td in tiles for seg in tile_entropy(td)]
             rbsp = assemble_slice(cfg, poc, segments,
-                                  alf=tiles[0].alf)
+                                  alf=([t.alf for t in tiles]
+                                       if cfg.alf else None))
             recon = None
             if self.with_recon:
                 recon = Frame(
@@ -172,11 +171,9 @@ class Encoder:
 
         if cfg.tile_rows:
             # tile-band inter path with reference-halo exchange (P4)
-            if self.rate_control is not None:
-                raise ValueError("rate control supports single tile "
-                                 "in v1")
             from x266_tpu.shard.tiled_gop import encode_inter_tiled
-            return encode_inter_tiled(cfg, frames, self.with_recon)
+            return encode_inter_tiled(cfg, frames, self.with_recon,
+                                      rate_control=self.rate_control)
         if cfg.gop_size > 1:
             return self._encode_ra(cfg, frames, out)
         if cfg.multi_ref:

@@ -193,8 +193,6 @@ class CodecConfig:
         if self.weighted_pred and self.lossless:
             raise ValueError("weighted_pred + lossless is not "
                              "supported")
-        if self.weighted_pred and self.tile_rows:
-            raise ValueError("weighted_pred supports single tile in v1")
         if self.sign_data_hiding and self.lossless:
             # as HEVC's transquant bypass: no quantizer, no parity to
             # enforce, so the hidden sign cannot be made to match
@@ -339,15 +337,18 @@ def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:
                        intra_period=32, rdoq=True)
 
 
-def preset_cfg4(width: int = 3840, height: int = 2160) -> CodecConfig:
+def preset_cfg4(width: int = 3840, height: int = 2160,
+                tile_rows: int = 0) -> CodecConfig:
     """Config 4: random-access GOP-16 4K with deblock/SAO/ALF
-    (BASELINE.json:10).  Tiles-for-P/B (the v5p-8 shape) layer on top
-    via tile_rows + shard.tiled_gop; ALF is single-tile in v1, so the
-    preset keeps one tile and the tiled variant drops ALF."""
+    (BASELINE.json:10).  tile_rows > 0 selects CTU tile bands for
+    sharding over chips (shard.tiled_gop); ALF runs band-locally with
+    per-band filter sets in the slice header, so the FULL filter chain
+    composes with tiles (round-4)."""
     return CodecConfig(width=width, height=height, qp=32,
                        intra_period=32, gop_size=16, deblock=True,
                        sao=True, sao_chroma=True, alf=True,
-                       alf_chroma=True, rdoq=True)
+                       alf_chroma=True, rdoq=True,
+                       tile_rows=tile_rows)
 
 
 def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:

@@ -128,23 +128,27 @@ class SliceHeader:
     # entropy segment after the first begins — the WPP entry-point analog
     # [STD], enabling host-side stitching of independently coded segments.
     entry_points: list[int]
-    # ALF (C15) picture parameters, present iff SPS alf flag: 25 classes
-    # x 12 diamond-pair coefficients (se(v)) and per-CTB on/off bits
-    # (x266t carries these in the slice header instead of an APS).
-    alf_coeffs: list[int] | None = None       # flattened 300 ints
-    alf_flags: list[int] | None = None        # Cy*Cx bits
-    # chroma ALF (iff SPS alf_chroma): 2 planes x 6 diamond-pair
-    # coefficients (se(v)) and per-plane per-CTB on/off bits.
-    alf_ccoeffs: list[int] | None = None      # flattened 12 ints
-    alf_cflags: list[int] | None = None       # 2*Cy*Cx bits
-    # nonlinear ALF (iff SPS alf_nonlinear): per-class 2-bit clip level
-    # (u(2)) and, iff alf_chroma too, one 2-bit level per chroma plane.
-    alf_clips: list[int] | None = None        # 25 ints in 0..3
-    alf_cclips: list[int] | None = None       # 2 ints in 0..3
-    # CC-ALF (iff SPS ccalf): 2 planes x 7 diamond coefficients (se(v))
-    # and per-plane per-CTB on/off bits.
-    ccalf_coeffs: list[int] | None = None     # flattened 14 ints
-    ccalf_flags: list[int] | None = None      # 2*Cy*Cx bits
+    # ALF (C15) picture parameters, present iff SPS alf flag: PER TILE
+    # BAND (loop filters do not cross tile boundaries, so each band
+    # derives and signals its own filter set — the APS-per-tile analog;
+    # x266t carries these in the slice header instead of an APS), each
+    # band contributing 25 classes x 12 diamond-pair coefficients
+    # (se(v)) and its CTBs' on/off bits.  Lists are band-major
+    # concatenations; with one band this is the flat per-picture layout.
+    alf_coeffs: list[int] | None = None       # n_bands * 300 ints
+    alf_flags: list[int] | None = None        # sum(band ctbs) bits
+    # chroma ALF (iff SPS alf_chroma): per band, 2 planes x 6
+    # diamond-pair coefficients (se(v)) + per-plane per-CTB bits.
+    alf_ccoeffs: list[int] | None = None      # n_bands * 12 ints
+    alf_cflags: list[int] | None = None       # band-major [b][2][ctb_b]
+    # nonlinear ALF (iff SPS alf_nonlinear): per band, per-class 2-bit
+    # clip level (u(2)) and, iff alf_chroma, one level per chroma plane.
+    alf_clips: list[int] | None = None        # n_bands * 25 in 0..3
+    alf_cclips: list[int] | None = None       # n_bands * 2 in 0..3
+    # CC-ALF (iff SPS ccalf): per band, 2 planes x 7 diamond
+    # coefficients (se(v)) + per-plane per-CTB bits.
+    ccalf_coeffs: list[int] | None = None     # n_bands * 14 ints
+    ccalf_flags: list[int] | None = None      # band-major [b][2][ctb_b]
     # weighted prediction (C7, iff SPS weighted_pred and inter slice):
     # per reference list [w_luma, o_luma, w_chroma, o_chroma], denom 64
     # (4 ints for P, 8 for B)
@@ -192,9 +196,15 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
                        has_alf_chroma: bool = False,
                        has_alf_nonlinear: bool = False,
                        has_ccalf: bool = False,
-                       has_wp: bool = False
+                       has_wp: bool = False,
+                       n_bands: int = 1
                        ) -> tuple[SliceHeader, int]:
-    """Returns (header, payload_byte_offset_within_rbsp)."""
+    """Returns (header, payload_byte_offset_within_rbsp).
+
+    num_ctbs is the TOTAL CTB count over the picture; n_bands the tile
+    band count (each band signals its own ALF set — flag fields already
+    total num_ctbs per plane, so only the per-band-constant fields
+    scale with n_bands)."""
     r = BitReader(rbsp)
     st = SliceType(r.ue())
     poc = r.ue()
@@ -204,17 +214,17 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
     alf_coeffs = alf_flags = alf_ccoeffs = alf_cflags = None
     alf_clips = alf_cclips = ccalf_coeffs = ccalf_flags = None
     if has_alf:
-        alf_coeffs = [r.se() for _ in range(25 * 12)]
+        alf_coeffs = [r.se() for _ in range(25 * 12 * n_bands)]
         alf_flags = [int(r.flag()) for _ in range(num_ctbs)]
         if has_alf_nonlinear:
-            alf_clips = [r.u(2) for _ in range(25)]
+            alf_clips = [r.u(2) for _ in range(25 * n_bands)]
     if has_alf_chroma:
-        alf_ccoeffs = [r.se() for _ in range(2 * 6)]
+        alf_ccoeffs = [r.se() for _ in range(2 * 6 * n_bands)]
         alf_cflags = [int(r.flag()) for _ in range(2 * num_ctbs)]
         if has_alf_nonlinear:
-            alf_cclips = [r.u(2) for _ in range(2)]
+            alf_cclips = [r.u(2) for _ in range(2 * n_bands)]
     if has_ccalf:
-        ccalf_coeffs = [r.se() for _ in range(2 * 7)]
+        ccalf_coeffs = [r.se() for _ in range(2 * 7 * n_bands)]
         ccalf_flags = [int(r.flag()) for _ in range(2 * num_ctbs)]
     wp = None
     if has_wp and st != SliceType.I:

@@ -644,12 +644,22 @@ def make_encode_step_p_band(cfg: CodecConfig):
     rp = select_recon_inter_impl(cfg, encode=True)
     bh = cfg.height
 
-    def step(packed, y0, ref_y, ref_cb, ref_cr):
-        pyrs = halo.build_ext_pyramids(
+    def ext(ref_y, ref_cb, ref_cr, y0):
+        return halo.build_ext_pyramids(
             halo.extend_band(ref_y, y0, bh, halo.HALO_Y),
             halo.extend_band(ref_cb, y0 // 2, bh // 2, halo.HALO_C),
             halo.extend_band(ref_cr, y0 // 2, bh // 2, halo.HALO_C))
-        return _p_body(cfg, mdp, rp, packed, *pyrs, True, False)
+
+    if cfg.weighted_pred:
+        def step(packed, y0, ref_y, ref_cb, ref_cr, wp):
+            return _p_body(cfg, mdp, rp, packed,
+                           *ext(ref_y, ref_cb, ref_cr, y0), True,
+                           False, wp)
+    else:
+        def step(packed, y0, ref_y, ref_cb, ref_cr):
+            return _p_body(cfg, mdp, rp, packed,
+                           *ext(ref_y, ref_cb, ref_cr, y0), True,
+                           False)
 
     return jax.jit(step)
 
@@ -709,9 +719,16 @@ def make_encode_step_b_band(cfg: CodecConfig):
             halo.extend_band(rcb, y0 // 2, bh // 2, halo.HALO_C),
             halo.extend_band(rcr, y0 // 2, bh // 2, halo.HALO_C))
 
-    def step(packed, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
-        return _b_body(cfg, mdb, rp, packed, ext(r0y, r0cb, r0cr, y0),
-                       ext(r1y, r1cb, r1cr, y0), True, False)
+    if cfg.weighted_pred:
+        def step(packed, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr, wp):
+            return _b_body(cfg, mdb, rp, packed,
+                           ext(r0y, r0cb, r0cr, y0),
+                           ext(r1y, r1cb, r1cr, y0), True, False, wp)
+    else:
+        def step(packed, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+            return _b_body(cfg, mdb, rp, packed,
+                           ext(r0y, r0cb, r0cr, y0),
+                           ext(r1y, r1cb, r1cr, y0), True, False)
 
     return jax.jit(step)
 
@@ -911,13 +928,22 @@ def make_decode_step_p_band(cfg: CodecConfig):
     rp = select_recon_inter_impl(cfg, encode=False)
     bh = cfg.height
 
-    def step(coef, flat, y0, ref_y, ref_cb, ref_cr):
-        pyrs = halo.build_ext_pyramids(
+    def ext(ref_y, ref_cb, ref_cr, y0):
+        return halo.build_ext_pyramids(
             halo.extend_band(ref_y, y0, bh, halo.HALO_Y),
             halo.extend_band(ref_cb, y0 // 2, bh // 2, halo.HALO_C),
             halo.extend_band(ref_cr, y0 // 2, bh // 2, halo.HALO_C))
-        return _decode_inter_body(cfg, rp, coef, flat, pyrs, False,
-                                  False)[0]
+
+    if cfg.weighted_pred:
+        def step(coef, flat, y0, ref_y, ref_cb, ref_cr, wp):
+            return _decode_inter_body(
+                cfg, rp, coef, flat, ext(ref_y, ref_cb, ref_cr, y0),
+                False, False, wp)[0]
+    else:
+        def step(coef, flat, y0, ref_y, ref_cb, ref_cr):
+            return _decode_inter_body(
+                cfg, rp, coef, flat, ext(ref_y, ref_cb, ref_cr, y0),
+                False, False)[0]
 
     return jax.jit(step)
 
@@ -937,10 +963,18 @@ def make_decode_step_b_band(cfg: CodecConfig):
             halo.extend_band(rcb, y0 // 2, bh // 2, halo.HALO_C),
             halo.extend_band(rcr, y0 // 2, bh // 2, halo.HALO_C))
 
-    def step(coef, flat, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
-        pyrs = (ext(r0y, r0cb, r0cr, y0) + ext(r1y, r1cb, r1cr, y0))
-        return _decode_inter_body(cfg, rp, coef, flat, pyrs, True,
-                                  False)[0]
+    if cfg.weighted_pred:
+        def step(coef, flat, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr, wp):
+            pyrs = (ext(r0y, r0cb, r0cr, y0)
+                    + ext(r1y, r1cb, r1cr, y0))
+            return _decode_inter_body(cfg, rp, coef, flat, pyrs, True,
+                                      False, wp)[0]
+    else:
+        def step(coef, flat, y0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+            pyrs = (ext(r0y, r0cb, r0cr, y0)
+                    + ext(r1y, r1cb, r1cr, y0))
+            return _decode_inter_body(cfg, rp, coef, flat, pyrs, True,
+                                      False)[0]
 
     return jax.jit(step)
 

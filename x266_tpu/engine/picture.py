@@ -176,37 +176,62 @@ def split_bands(cfg: CodecConfig, frame: Frame) -> list[Frame]:
             for (y0, y1) in cfg.tile_bands()]
 
 
+def band_alf_tuple(maps: dict) -> tuple:
+    """A band's unpacked maps -> the TileData.alf parameter tuple."""
+    return (maps["alf_flag"], maps["alf_coef"], maps["alf_cflag"],
+            maps["alf_ccoef"], maps["alf_clip"], maps["alf_cclip"],
+            maps["ccalf_coef"], maps["ccalf_flag"])
+
+
 def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
                    slice_type: SliceType = SliceType.I,
-                   alf: tuple | None = None,
+                   alf: tuple | list | None = None,
                    wp: list[int] | None = None) -> bytes:
+    """alf: the per-band ALF parameter tuples — a list with one tuple
+    per tile band (band-major header layout, SliceHeader docstring), or
+    a bare tuple for the common single-band case."""
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
     coeffs = flags = ccoeffs = cflags = None
     clips = cclips = cc_coeffs = cc_flags = None
     if cfg.alf:
-        zf = np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32)
+        bands = cfg.tile_bands()
         if alf is None:
-            alf = (zf, np.zeros((25, 12), np.int32),
-                   np.zeros((2,) + zf.shape, np.int32),
-                   np.zeros((2, 6), np.int32),
-                   np.zeros(25, np.int32), np.zeros(2, np.int32),
-                   np.zeros((2, 7), np.int32),
-                   np.zeros((2,) + zf.shape, np.int32))
-        af, ac = alf[0], alf[1]
-        coeffs = [int(v) for v in np.asarray(ac).ravel()]
-        flags = [int(v) for v in np.asarray(af).ravel()]
-        if cfg.alf_nonlinear:
-            clips = [int(v) for v in np.asarray(alf[4]).ravel()]
-        if cfg.alf_chroma:
-            acf, acc = alf[2], alf[3]
-            ccoeffs = [int(v) for v in np.asarray(acc).ravel()]
-            cflags = [int(v) for v in np.asarray(acf).ravel()]
+            def zeros_band(b):
+                bcfg = cfg.tile_cfg(b)
+                zf = np.zeros((bcfg.ctus_y, bcfg.ctus_x), np.int32)
+                return (zf, np.zeros((25, 12), np.int32),
+                        np.zeros((2,) + zf.shape, np.int32),
+                        np.zeros((2, 6), np.int32),
+                        np.zeros(25, np.int32), np.zeros(2, np.int32),
+                        np.zeros((2, 7), np.int32),
+                        np.zeros((2,) + zf.shape, np.int32))
+            alf = [zeros_band(b) for b in bands]
+        elif isinstance(alf, tuple):
+            alf = [alf]
+        assert len(alf) == len(bands), (len(alf), len(bands))
+        coeffs, flags, clips = [], [], []
+        ccoeffs, cflags, cclips = [], [], []
+        cc_coeffs, cc_flags = [], []
+        for a in alf:
+            coeffs += [int(v) for v in np.asarray(a[1]).ravel()]
+            flags += [int(v) for v in np.asarray(a[0]).ravel()]
             if cfg.alf_nonlinear:
-                cclips = [int(v) for v in np.asarray(alf[5]).ravel()]
-        if cfg.ccalf:
-            cc_coeffs = [int(v) for v in np.asarray(alf[6]).ravel()]
-            cc_flags = [int(v) for v in np.asarray(alf[7]).ravel()]
+                clips += [int(v) for v in np.asarray(a[4]).ravel()]
+            if cfg.alf_chroma:
+                ccoeffs += [int(v) for v in np.asarray(a[3]).ravel()]
+                cflags += [int(v) for v in np.asarray(a[2]).ravel()]
+                if cfg.alf_nonlinear:
+                    cclips += [int(v) for v in np.asarray(a[5]).ravel()]
+            if cfg.ccalf:
+                cc_coeffs += [int(v) for v in np.asarray(a[6]).ravel()]
+                cc_flags += [int(v) for v in np.asarray(a[7]).ravel()]
+        if not cfg.alf_nonlinear:
+            clips = cclips = None
+        if not cfg.alf_chroma:
+            ccoeffs = cflags = cclips = None
+        if not cfg.ccalf:
+            cc_coeffs = cc_flags = None
     sh = SliceHeader(slice_type, poc=poc, qp=cfg.qp,
                      entry_points=[int(e) for e in entry_points],
                      alf_coeffs=coeffs, alf_flags=flags,
@@ -221,8 +246,6 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
                    with_recon: bool = True
                    ) -> tuple[bytes, Frame | None, np.ndarray]:
     """Returns (slice RBSP, reconstructed picture or None, sse (3,))."""
-    if cfg.alf and cfg.num_tiles != 1:
-        raise ValueError("ALF supports single tile in v1")
     tiles = [tile_compute(cfg.tile_cfg(b), band, with_recon)
              for b, band in zip(cfg.tile_bands(),
                                 split_bands(cfg, frame))]
@@ -234,7 +257,8 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
                       np.concatenate([t.recon.cr for t in tiles]))
     sse = np.sum([t.sse for t in tiles], axis=0)
     return assemble_slice(cfg, poc, segments,
-                          alf=tiles[0].alf), recon, sse
+                          alf=([t.alf for t in tiles]
+                               if cfg.alf else None)), recon, sse
 
 
 def _parse_segments(cfg: CodecConfig, segments: list[bytes],
@@ -264,7 +288,14 @@ def _parse_segments(cfg: CodecConfig, segments: list[bytes],
     return dec
 
 
-def _alf_maps_from_header(cfg: CodecConfig, sh) -> dict:
+def _alf_maps_from_header(cfg: CodecConfig, sh, bi: int = 0,
+                          ctb_off: int = 0) -> dict:
+    """Band bi's ALF maps from the band-major slice-header fields.
+
+    cfg is the BAND config; ctb_off the number of CTBs in the bands
+    before this one (0 for the single-band/whole-picture case, where
+    this degenerates to the flat per-picture layout)."""
+    n = cfg.ctus_y * cfg.ctus_x
     out = {"alf_flag": np.zeros((cfg.ctus_y, cfg.ctus_x), np.int32),
            "alf_coef": np.zeros((25, 12), np.int32),
            "alf_cflag": np.zeros((2, cfg.ctus_y, cfg.ctus_x), np.int32),
@@ -275,32 +306,40 @@ def _alf_maps_from_header(cfg: CodecConfig, sh) -> dict:
            "ccalf_flag": np.zeros((2, cfg.ctus_y, cfg.ctus_x),
                                   np.int32)}
     if cfg.alf and sh is not None and sh.alf_coeffs is not None:
-        out["alf_flag"] = np.asarray(sh.alf_flags, np.int32).reshape(
+        out["alf_flag"] = np.asarray(
+            sh.alf_flags[ctb_off:ctb_off + n], np.int32).reshape(
             cfg.ctus_y, cfg.ctus_x)
-        out["alf_coef"] = np.asarray(sh.alf_coeffs, np.int32).reshape(
+        out["alf_coef"] = np.asarray(
+            sh.alf_coeffs[bi * 300:bi * 300 + 300], np.int32).reshape(
             25, 12)
         if cfg.alf_nonlinear and sh.alf_clips is not None:
-            out["alf_clip"] = np.asarray(sh.alf_clips, np.int32)
+            out["alf_clip"] = np.asarray(
+                sh.alf_clips[bi * 25:bi * 25 + 25], np.int32)
     if cfg.alf_chroma and sh is not None and sh.alf_ccoeffs is not None:
-        out["alf_cflag"] = np.asarray(sh.alf_cflags, np.int32).reshape(
-            2, cfg.ctus_y, cfg.ctus_x)
-        out["alf_ccoef"] = np.asarray(sh.alf_ccoeffs, np.int32).reshape(
+        out["alf_cflag"] = np.asarray(
+            sh.alf_cflags[2 * ctb_off:2 * ctb_off + 2 * n],
+            np.int32).reshape(2, cfg.ctus_y, cfg.ctus_x)
+        out["alf_ccoef"] = np.asarray(
+            sh.alf_ccoeffs[bi * 12:bi * 12 + 12], np.int32).reshape(
             2, 6)
         if cfg.alf_nonlinear and sh.alf_cclips is not None:
-            out["alf_cclip"] = np.asarray(sh.alf_cclips, np.int32)
+            out["alf_cclip"] = np.asarray(
+                sh.alf_cclips[bi * 2:bi * 2 + 2], np.int32)
     if cfg.ccalf and sh is not None and sh.ccalf_coeffs is not None:
-        out["ccalf_coef"] = np.asarray(sh.ccalf_coeffs,
-                                       np.int32).reshape(2, 7)
-        out["ccalf_flag"] = np.asarray(sh.ccalf_flags,
-                                       np.int32).reshape(
-            2, cfg.ctus_y, cfg.ctus_x)
+        out["ccalf_coef"] = np.asarray(
+            sh.ccalf_coeffs[bi * 14:bi * 14 + 14], np.int32).reshape(
+            2, 7)
+        out["ccalf_flag"] = np.asarray(
+            sh.ccalf_flags[2 * ctb_off:2 * ctb_off + 2 * n],
+            np.int32).reshape(2, cfg.ctus_y, cfg.ctus_x)
     return out
 
 
 def tile_decode(cfg: CodecConfig, segments: list[bytes],
-                sh=None) -> Frame:
+                sh=None, bi: int = 0, ctb_off: int = 0) -> Frame:
     """Decode one tile band from its segment payloads (band-local cfg):
-    host entropy parse, then one fused device call."""
+    host entropy parse, then one fused device call.  bi/ctb_off locate
+    the band's ALF section in the slice header (band-major layout)."""
     dec = SyntaxDecoder(cfg)
     rows = cfg.segment_ctu_rows()
     assert len(segments) == len(rows)
@@ -322,7 +361,7 @@ def tile_decode(cfg: CodecConfig, segments: list[bytes],
         "sao_off": dec.sao[2], "pred": dec.pred_map,
         "mvx": dec.mvx_map, "mvy": dec.mvy_map,
         "mvx1": dec.mvx1_map, "mvy1": dec.mvy1_map,
-        **_alf_maps_from_header(cfg, sh)})
+        **_alf_maps_from_header(cfg, sh, bi, ctb_off)})
     rec = np.asarray(fused.make_decode_step(cfg)(coef, flat))
     return fused.unpack_recon(cfg, rec)
 
@@ -337,11 +376,14 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     # distribute segments to tiles: each tile has its band-local count
     tiles: list[Frame] = []
     idx = 0
-    for band in bands:
+    ctb_off = 0
+    for bi, band in enumerate(bands):
         bcfg = cfg.tile_cfg(band)
         n = bcfg.num_segments
-        tiles.append(tile_decode(bcfg, segments[idx:idx + n], sh))
+        tiles.append(tile_decode(bcfg, segments[idx:idx + n], sh,
+                                 bi, ctb_off))
         idx += n
+        ctb_off += bcfg.ctus_y * bcfg.ctus_x
     if idx != len(segments):
         raise ValueError("segment count mismatch")
     return Frame(np.concatenate([t.y for t in tiles]),
@@ -373,9 +415,10 @@ def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
     segments = [payload[b0:b1]
                 for b0, b1 in zip(bounds[:-1], bounds[1:])]
     idx = 0
+    ctb_off = 0
     rec_bands = []
     bcfgs = []
-    for band in cfg.tile_bands():
+    for bi, band in enumerate(cfg.tile_bands()):
         bcfg = cfg.tile_cfg(band)
         bcfgs.append(bcfg)
         n = bcfg.num_segments
@@ -391,13 +434,23 @@ def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
             "pred": dec.pred_map, "mvx": dec.mvx_map,
             "mvy": dec.mvy_map, "mvx1": dec.mvx1_map,
             "mvy1": dec.mvy1_map,
-            **_alf_maps_from_header(bcfg, sh)})
+            **_alf_maps_from_header(bcfg, sh, bi, ctb_off)})
+        ctb_off += bcfg.ctus_y * bcfg.ctus_x
         y0 = np.int32(band[0])
+        wp_args = ()
+        if cfg.weighted_pred:
+            ident = [64, 0, 64, 0] * (2 if refs1 is not None else 1)
+            wpa = np.asarray(sh.wp if sh.wp is not None else ident,
+                             np.int32)
+            wp_args = ((wpa.reshape(2, 4),) if refs1 is not None
+                       else (wpa,))
         if refs1 is None:
-            rec = make_decode_step_p_band(bcfg)(coef, flat, y0, *refs0)
+            rec = make_decode_step_p_band(bcfg)(coef, flat, y0,
+                                                *refs0, *wp_args)
         else:
             rec = make_decode_step_b_band(bcfg)(coef, flat, y0,
-                                                *refs0, *refs1)
+                                                *refs0, *refs1,
+                                                *wp_args)
         rec_bands.append(rec)
     if idx != len(segments):
         raise ValueError("segment count mismatch")

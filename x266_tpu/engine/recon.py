@@ -107,7 +107,9 @@ def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
         else:
             lv = kquant.quantize(coefs, qp, s, bd)
         if sdh:
-            lv = kquant.sdh_adjust(lv[0], s)[None]
+            lv = kquant.sdh_adjust(
+                lv[0], s, coef=coefs[0], qp=qp, bit_depth=bd,
+                lam=float(rdoq_lam) if rdoq_lam else None)[None]
         return lv
 
     def fwd0(r):

@@ -99,19 +99,28 @@ def _sdh_perm(size: int):
     return sc[:, 1].copy(), sc[:, 0].copy()
 
 
-def sdh_adjust(lev: jnp.ndarray, size: int) -> jnp.ndarray:
+def sdh_adjust(lev: jnp.ndarray, size: int, coef: jnp.ndarray | None = None,
+               qp: int = 0, bit_depth: int = 8,
+               lam: float | None = None) -> jnp.ndarray:
     """Encoder-side sign-data-hiding parity enforcement (C11 [STD-shaped]).
 
     lev: (size, size) quantized levels of one TU.  Per 4x4 coefficient
     group whose first/last significant scan positions are >= SDH_SPAN
     apart, the entropy layer hides the FIRST significant coefficient's
     sign and the decoder infers it from the parity of the CG's
-    absolute-level sum (odd = negative).  This transform fixes any
-    parity mismatch by moving that first coefficient's magnitude one
-    step: toward zero when |level| > 1 (cheaper in rate), away from
-    zero when |level| == 1 (so the CG's first/last positions — and
-    hence its eligibility — never change).  Pure element-wise/VPU math;
-    the scan permutation is a static gather.
+    absolute-level sum (odd = negative).  A parity mismatch is fixed by
+    moving one level's magnitude a single step.
+
+    With `coef` (the pre-quant transform coefficients, same layout) the
+    adjusted position is chosen HM-style: among all scan positions in
+    [first, last], pick the +-1 move with the smallest dequant-error
+    increase vs `coef`, excluding moves that zero the first/last
+    coefficient (which would change the CG's scan span and hence its
+    eligibility on the decoder side).  Without `coef`, fall back to
+    always moving the first significant coefficient (legacy behavior:
+    toward zero when |level| > 1, away otherwise).  Either way the
+    decoder is unaffected — it only sees the adjusted levels.  Pure
+    element-wise/VPU math; the scan permutation is a static gather.
     """
     ys, xs = _sdh_perm(size)
     v = lev[ys, xs].reshape(-1, 16)               # (ncg^2, 16) scan CGs
@@ -123,12 +132,66 @@ def sdh_adjust(lev: jnp.ndarray, size: int) -> jnp.ndarray:
     parity = jnp.sum(jnp.abs(v), axis=1) & 1
     fv = jnp.take_along_axis(v, first[:, None], axis=1)[:, 0]
     mismatch = eligible & ((fv < 0) != (parity == 1))
-    sgn = jnp.where(fv < 0, -1, 1)
-    nfv = jnp.where(jnp.abs(fv) > 1, fv - sgn,
-                    jnp.clip(fv + sgn, -32767, 32767))
-    hit = (jnp.arange(16)[None, :] == first[:, None]) \
-        & mismatch[:, None]
-    v = jnp.where(hit, nfv[:, None], v)
+
+    if coef is None:
+        sgn = jnp.where(fv < 0, -1, 1)
+        nfv = jnp.where(jnp.abs(fv) > 1, fv - sgn,
+                        jnp.clip(fv + sgn, -32767, 32767))
+        hit = (jnp.arange(16)[None, :] == first[:, None]) \
+            & mismatch[:, None]
+        v = jnp.where(hit, nfv[:, None], v)
+        out = jnp.zeros_like(lev).at[ys, xs].set(v.reshape(-1))
+        return out
+
+    # RD-aware choice: minimal D + lam*R increase, with D the
+    # pixel-domain-scaled dequant error vs `coef` and R the same
+    # level-magnitude rate surrogate rd_quantize uses.
+    tsh = transform_shift(size, bit_depth)
+    ishift = 6 - tsh
+    dscale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
+    err_scale = float(2.0 ** (-2 * tsh))
+    if lam is None:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    c = coef.astype(jnp.int32)[ys, xs].reshape(-1, 16)
+
+    def dq(l):
+        return jnp.clip((l * dscale + (1 << (ishift - 1))) >> ishift,
+                        -32768, 32767)
+
+    def rdcost(l):
+        e = (dq(l) - c).astype(jnp.float32)
+        a = jnp.abs(l).astype(jnp.float32)
+        rate = jnp.where(a > 0, 3.0 + 2.0 * jnp.log2(a + 1.0), 0.0625)
+        return e * e * err_scale + lam * rate
+
+    e0 = rdcost(v)
+    j = jnp.arange(16)[None, :]
+    in_span = (j >= first[:, None]) & (j <= last[:, None])
+    boundary = (j == first[:, None]) | (j == last[:, None])
+    big = jnp.float32(3.4e38)
+    deltas, moves = [], []
+    for d in (-1, 1):
+        nv = jnp.clip(v + d, -32767, 32767)
+        # a +-1 move on the signed level always changes |level| by
+        # exactly 1, so it always flips the CG parity
+        zeroes = (nv == 0) & boundary
+        ok = in_span & ~zeroes & (nv != v)
+        delta = rdcost(nv) - e0
+        deltas.append(jnp.where(ok, delta, big))
+        moves.append(nv)
+    dl = jnp.stack(deltas, axis=-1)                # (ncg, 16, 2)
+    best_dir = jnp.argmin(dl, axis=-1)             # per-position best dir
+    best_delta = jnp.min(dl, axis=-1)
+    pos = jnp.argmin(best_delta, axis=1)           # per-CG best position
+    mv = jnp.stack(moves, axis=-1)                 # (ncg, 16, 2)
+    chosen_dir = jnp.take_along_axis(
+        best_dir, pos[:, None], axis=1)[:, 0]
+    nv_sel = jnp.take_along_axis(
+        mv, pos[:, None, None], axis=1)[:, 0]      # (ncg, 2)
+    nv_sel = jnp.take_along_axis(
+        nv_sel, chosen_dir[:, None], axis=1)[:, 0]
+    hit = (j == pos[:, None]) & mismatch[:, None]
+    v = jnp.where(hit, nv_sel[:, None], v)
     out = jnp.zeros_like(lev).at[ys, xs].set(v.reshape(-1))
     return out
 

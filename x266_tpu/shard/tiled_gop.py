@@ -70,6 +70,12 @@ def _finalize_band(bcfg: CodecConfig, coef, flat, sse, rec,
     return BandOut(bcfg, cy, ccb, ccr, maps, sse_np, recon)
 
 
+def _band_alf(b: BandOut):
+    """Band's ALF parameter tuple (for the band-major slice header)."""
+    from x266_tpu.engine.picture import band_alf_tuple
+    return band_alf_tuple(b.maps) if b.bcfg.alf else None
+
+
 def _band_segments(b: BandOut, st: SliceType) -> list[bytes]:
     """Entropy-code one band -> its segment payloads."""
     bcfg, maps = b.bcfg, b.maps
@@ -102,10 +108,12 @@ def _band_segments(b: BandOut, st: SliceType) -> list[bytes]:
 
 
 def _bands_to_slice(cfg: CodecConfig, bands: list[BandOut], poc: int,
-                    st: SliceType, with_recon: bool):
+                    st: SliceType, with_recon: bool,
+                    wp: list[int] | None = None):
     """Bands -> (rbsp, recon Frame|None, frame sse (3,))."""
     segments = [seg for b in bands for seg in _band_segments(b, st)]
-    rbsp = assemble_slice(cfg, poc, segments, st)
+    alf = ([_band_alf(b) for b in bands] if cfg.alf else None)
+    rbsp = assemble_slice(cfg, poc, segments, st, alf=alf, wp=wp)
     recon = None
     if with_recon:
         recon = Frame(np.concatenate([b.recon.y for b in bands]),
@@ -151,21 +159,29 @@ class _SerialBands:
                  for bcfg, o in zip(bcfgs, outs)]
         return bands, refs
 
-    def encode_i(self, frame):
+    @staticmethod
+    def _wp_args(bcfg, wp):
+        if not bcfg.weighted_pred:
+            return ()
+        return (np.asarray(wp, np.int32),)
+
+    def encode_i(self, frame, qp: int | None = None):
         return self._run(frame, lambda bcfg, packed, y0:
                          fused.make_encode_step_i(bcfg, True, False)(
-                             packed), inter=False)
+                             packed), qp, inter=False)
 
-    def encode_p(self, frame, refs):
+    def encode_p(self, frame, refs, qp: int | None = None, wp=None):
         return self._run(frame, lambda bcfg, packed, y0:
                          fused.make_encode_step_p_band(bcfg)(
-                             packed, np.int32(y0), *refs))
+                             packed, np.int32(y0), *refs,
+                             *self._wp_args(bcfg, wp)), qp)
 
-    def encode_b(self, frame, refs0, refs1, qp: int | None = None):
+    def encode_b(self, frame, refs0, refs1, qp: int | None = None,
+                 wp=None):
         return self._run(frame, lambda bcfg, packed, y0:
                          fused.make_encode_step_b_band(bcfg)(
-                             packed, np.int32(y0), *refs0, *refs1),
-                         qp)
+                             packed, np.int32(y0), *refs0, *refs1,
+                             *self._wp_args(bcfg, wp)), qp)
 
 
 # ---- sharded backend: shard_map + ppermute halo exchange -------------------
@@ -222,6 +238,7 @@ class _ShardedBands:
         """Build the jitted shard_map step for kind in {'i','p','b'}."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
+        has_wp = bcfg.weighted_pred and kind != "i"
         if kind == "i":
             from x266_tpu.engine.fused import _make_encode_step_i_raw
             body = _make_encode_step_i_raw(bcfg, True, False)
@@ -237,10 +254,10 @@ class _ShardedBands:
             mdp = make_mode_decision_p_raw(bcfg)
             rp = select_recon_inter_impl(bcfg, encode=True)
 
-            def band_fn(packed, ry, rcb, rcr):
+            def band_fn(packed, ry, rcb, rcr, *wp):
                 pyrs = self._exchange_pyrs(ry[0], rcb[0], rcr[0])
                 out = _p_body(bcfg, mdp, rp, packed[0], *pyrs, True,
-                              False)
+                              False, wp[0] if wp else None)
                 out = out + self._split_rec(out[3])
                 return jax.tree.map(lambda a: a[None], out)
         else:
@@ -250,19 +267,22 @@ class _ShardedBands:
             mdb = make_mode_decision_b_raw(bcfg)
             rp = select_recon_inter_impl(bcfg, encode=True, b_mode=True)
 
-            def band_fn(packed, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+            def band_fn(packed, r0y, r0cb, r0cr, r1y, r1cb, r1cr, *wp):
                 p0 = self._exchange_pyrs(r0y[0], r0cb[0], r0cr[0])
                 p1 = self._exchange_pyrs(r1y[0], r1cb[0], r1cr[0])
                 out = _b_body(bcfg, mdb, rp, packed[0], p0, p1, True,
-                              False)
+                              False, wp[0] if wp else None)
                 out = out + self._split_rec(out[3])
                 return jax.tree.map(lambda a: a[None], out)
 
         n_in = {"i": 1, "p": 4, "b": 7}[kind]
         # output structure: trace once abstractly to build out_specs
         spec = P("tile")
+        in_specs = (spec,) * n_in
+        if has_wp:
+            in_specs = in_specs + (P(),)     # wp table: replicated
         fn = shard_map(band_fn, mesh=self.mesh,
-                       in_specs=(spec,) * n_in,
+                       in_specs=in_specs,
                        out_specs=jax.tree.map(
                            lambda _: spec,
                            self._out_template(bcfg, kind != "i")),
@@ -339,31 +359,46 @@ class _ShardedBands:
                                  sse_np[i][:3], recon))
         return bands, refs
 
-    def encode_i(self, frame):
-        return self._finish(self._step("i")(self._pack(frame)),
-                            self.bcfg, False)
+    def _wp_args(self, wp):
+        if not self.bcfg.weighted_pred or wp is None:
+            return ()
+        return (jax.device_put(np.asarray(wp, np.int32)),)
 
-    def encode_p(self, frame, refs):
-        return self._finish(self._step("p")(self._pack(frame), *refs),
-                            self.bcfg, True)
+    def encode_i(self, frame, qp: int | None = None):
+        bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
+        return self._finish(self._step("i", qp)(self._pack(frame)),
+                            bcfg, False)
 
-    def encode_b(self, frame, refs0, refs1, qp: int | None = None):
+    def encode_p(self, frame, refs, qp: int | None = None, wp=None):
+        bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
+        return self._finish(self._step("p", qp)(
+            self._pack(frame), *refs, *self._wp_args(wp)), bcfg, True)
+
+    def encode_b(self, frame, refs0, refs1, qp: int | None = None,
+                 wp=None):
         bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
         return self._finish(self._step("b", qp)(
-            self._pack(frame), *refs0, *refs1), bcfg, True)
+            self._pack(frame), *refs0, *refs1, *self._wp_args(wp)),
+            bcfg, True)
 
 
 # ---- the shared GOP loop ----------------------------------------------------
 
 def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
-                       with_recon: bool = True, mesh=None
-                       ) -> EncodeResult:
+                       with_recon: bool = True, mesh=None,
+                       rate_control=None) -> EncodeResult:
     """Tile-band GOP encoder: low-delay P (intra_period) and the RA
     hierarchical-B order (gop_size), with halo-extended references.
     mesh=None -> serial oracle; a Mesh with a 'tile' axis -> shard_map
-    with ppermute halo exchange (bit-identical streams)."""
-    if cfg.alf:
-        raise ValueError("ALF supports single tile in v1")
+    with ppermute halo exchange (bit-identical streams).  Composes the
+    full config-4 toolset: ALF runs band-locally (per-band filter sets
+    in the slice header), weighted prediction reweights the halo-
+    extended references, and rate_control steers the low-delay QP
+    (BASELINE.json:10 composition)."""
+    from x266_tpu.api.encoder import fit_weight
+
+    if rate_control is not None and cfg.gop_size > 1:
+        raise ValueError("rate control supports low-delay in v1")
     be = (_ShardedBands(cfg, mesh, with_recon) if mesh is not None
           else _SerialBands(cfg, with_recon))
     out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
@@ -372,9 +407,11 @@ def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
                              max(cfg.gop_size, 1))
     dpb: dict[int, tuple] = {}
     per_poc: dict[int, tuple] = {}
+    rc = rate_control
     fcfg = cfg
     for poc, kind in order:
         fcfg = cfg
+        wp = None
         if kind == "B":
             l0 = max(p for p in dpb if p < poc)
             l1 = min(p for p in dpb if p > poc)
@@ -382,25 +419,43 @@ def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
             qp_b = (cfg.qp + off) if off else None
             if qp_b is not None:
                 fcfg = cfg.replace(qp=qp_b)
+            if cfg.weighted_pred:
+                wp = [fit_weight(frames[poc], frames[l0]),
+                      fit_weight(frames[poc], frames[l1])]
             bands, refs = be.encode_b(frames[poc], dpb[l0], dpb[l1],
-                                      qp=qp_b)
+                                      qp=qp_b, wp=wp)
             st = SliceType.B
             if poc % 2 == 0:             # leaf-B rule (never referenced)
                 dpb[poc] = refs
         elif kind == "P":
-            ref = dpb[max(p for p in dpb if p < poc)]
-            bands, refs = be.encode_p(frames[poc], ref)
+            rp = max(p for p in dpb if p < poc)
+            qp_p = rc.qp if rc is not None else None
+            if qp_p is not None:
+                fcfg = cfg.replace(qp=qp_p)
+            if cfg.weighted_pred:
+                wp = fit_weight(frames[poc], frames[rp])
+            bands, refs = be.encode_p(frames[poc], dpb[rp], qp=qp_p,
+                                      wp=wp)
             st = SliceType.P
             dpb[poc] = refs
         else:
-            bands, refs = be.encode_i(frames[poc])
+            qp_i = rc.qp if rc is not None else None
+            if qp_i is not None:
+                fcfg = cfg.replace(qp=qp_i)
+            bands, refs = be.encode_i(frames[poc], qp=qp_i)
             st = SliceType.I
             dpb[poc] = refs
         rbsp, recon, sse = _bands_to_slice(fcfg, bands, poc, st,
-                                           with_recon)
+                                           with_recon,
+                                           wp=(np.asarray(wp).ravel()
+                                               .tolist()
+                                               if wp is not None
+                                               else None))
         nal = write_nal(NalType.IDR if st == SliceType.I
                         else NalType.TRAIL, rbsp)
         out.append(nal)
+        if rc is not None:
+            rc.update(8 * len(nal))
         per_poc[poc] = (nal, recon, sse)
         if kind != "B" and poc > 0:
             if cfg.gop_size > 1:

@@ -114,7 +114,11 @@ class LambdaRateControl:
         self.remaining = self.window
         self.models = {"I": _RlModel(alpha=6.5), "P": _RlModel()}
         self.qp = cfg.qp
-        self.qp_min, self.qp_max = 1, 51
+        # Bound the excursion around the configured QP: every distinct QP
+        # compiles a fresh device step, so an unbounded roam (1..51) can
+        # spend most wall-clock recompiling on long bitrate encodes.
+        self.qp_min = max(1, cfg.qp - 8)
+        self.qp_max = min(51, cfg.qp + 8)
         self._poc = 0
         self._pending: tuple[str, float, int] | None = None
 
@@ -132,8 +136,11 @@ class LambdaRateControl:
         n_i = max(round(n_rem / self.intra_period), 1 if kind == "I"
                   else 0)
         total_w = n_i * self.i_weight + (n_rem - n_i)
-        return max(self.budget, self.target_bpf * 0.1) \
-            * self._weight(kind) / max(total_w, 1e-9)
+        # Floor the PER-FRAME share (not the window budget): after a large
+        # overspend the raw share collapses toward zero, driving QP to the
+        # max until the window rolls — floor it for graceful degradation.
+        share = self.budget * self._weight(kind) / max(total_w, 1e-9)
+        return max(share, 0.1 * self.target_bpf)
 
     def start_frame(self) -> int:
         """QP for the next frame (also stored in .qp)."""
