@@ -1,0 +1,137 @@
+"""Multi-QP BD-rate measurement for the coding tools (round-4,
+VERDICT r03 item 3: "a multi-QP BD-rate table checked into the RD
+gate").
+
+For each tool, encodes an anchor (tool off) and a test (tool on) at
+four QPs on small synthetic clips, and reports the Bjontegaard delta
+rate (piecewise-cubic integration over the overlapping PSNR range —
+the standard BD-rate definition [STD, VCEG-M33 method]).  Negative
+BD-rate = the tool saves bits at equal quality.
+
+Writes tests/bd_rates.json (consumed by tests/test_bd_rate.py).
+
+    python tools/bd_rate.py [--tools sdh,dq,...] [--qps 24,28,32,36]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def bd_rate(anchor: list[tuple[float, float]],
+            test: list[tuple[float, float]]) -> float:
+    """BD-rate %% of test vs anchor from [(bits, psnr)] points.
+
+    Cubic fit of log-rate over PSNR, integrated over the overlapping
+    PSNR interval (VCEG-M33)."""
+    a = sorted(anchor, key=lambda p: p[1])
+    t = sorted(test, key=lambda p: p[1])
+    pa = np.polyfit([p[1] for p in a], [np.log(p[0]) for p in a], 3)
+    pt = np.polyfit([p[1] for p in t], [np.log(p[0]) for p in t], 3)
+    lo = max(min(p[1] for p in a), min(p[1] for p in t))
+    hi = min(max(p[1] for p in a), max(p[1] for p in t))
+    if hi <= lo:
+        return float("nan")
+    ia = np.polyint(pa)
+    it = np.polyint(pt)
+    va = (np.polyval(ia, hi) - np.polyval(ia, lo)) / (hi - lo)
+    vt = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
+    return float((np.exp(vt - va) - 1.0) * 100.0)
+
+
+# tool key -> (anchor overrides, test overrides, clip kind, inter?)
+TOOLS = {
+    "sdh": (dict(), dict(sign_data_hiding=True), "mixed", False),
+    "dq": (dict(), dict(dep_quant=True), "mixed", False),
+    "lfnst": (dict(), dict(lfnst=True), "mixed", False),
+    "mip": (dict(), dict(mip=True), "mixed", False),
+    "pdpc": (dict(), dict(pdpc=True), "mixed", False),
+    "mtt": (dict(), dict(mtt=True), "mixed", False),
+    "ts": (dict(), dict(transform_skip=True), "text", False),
+    "cclm": (dict(), dict(cclm=True), "mixed", False),
+    "sdh_inter": (dict(intra_period=8),
+                  dict(intra_period=8, sign_data_hiding=True),
+                  "mixed", True),
+    "dq_inter": (dict(intra_period=8),
+                 dict(intra_period=8, dep_quant=True), "mixed", True),
+}
+
+
+def run_points(cfg_base, overrides, qps, frames):
+    from x266_tpu.api import Encoder
+
+    pts = []
+    for qp in qps:
+        cfg = cfg_base.replace(qp=qp, **overrides)
+        res = Encoder(cfg, with_recon=False).encode(frames)
+        psnr = float(np.mean(res.psnr_y(cfg.width, cfg.height)))
+        pts.append((res.total_bits, psnr))
+    return pts
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from x266_tpu.config import CodecConfig
+    from x266_tpu.core.yuv import synthetic_clip
+
+    qps = [24, 28, 32, 36]
+    tools = list(TOOLS)
+    for i, a in enumerate(sys.argv):
+        if a == "--tools":
+            tools = sys.argv[i + 1].split(",")
+        if a == "--qps":
+            qps = [int(q) for q in sys.argv[i + 1].split(",")]
+
+    from x266_tpu.config import Profile
+
+    W, H = 128, 96
+    results: dict[str, dict] = {}
+    path = os.path.join(ROOT, "tests", "bd_rates.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+
+    anchors: dict = {}               # (base_kw, kind, n) -> points
+    for key in tools:
+        base_kw, test_kw, kind, inter = TOOLS[key]
+        n = 6 if inter else 3
+        frames = synthetic_clip(W, H, n, kind=kind, seed=31)
+        cfg0 = CodecConfig(width=W, height=H, qp=32, rdoq=True,
+                           profile=Profile.VVC, **base_kw)
+        t0 = time.time()
+        akey = (tuple(sorted(base_kw.items())), kind, n)
+        if akey not in anchors:
+            anchors[akey] = run_points(cfg0, {}, qps, frames)
+        anchor = anchors[akey]
+        test = run_points(cfg0, test_kw, qps, frames)
+        bd = bd_rate(anchor, test)
+        results[key] = {
+            "bd_rate_pct": round(bd, 3),
+            "anchor": [[b, round(p, 3)] for b, p in anchor],
+            "test": [[b, round(p, 3)] for b, p in test],
+            "qps": qps, "clip": f"{kind} {W}x{H} x{n}",
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(f"{key:10s}: BD-rate {bd:+.2f}%  "
+              f"({results[key]['wall_s']}s)")
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,11 +39,12 @@ class Decoder:
                     rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x,
                     cfg.alf_chroma, cfg.alf_nonlinear, cfg.ccalf,
                     has_wp=cfg.weighted_pred,
-                    n_bands=len(cfg.tile_bands()))
+                    n_bands=cfg.num_tiles)
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
                 poc = sh.poc
-                if cfg.tile_rows and (cfg.intra_period != 1
-                                      or cfg.gop_size > 1):
+                if (cfg.tile_rows or cfg.tile_cols) \
+                        and (cfg.intra_period != 1
+                             or cfg.gop_size > 1):
                     # tiled inter stream: DPB = full filtered planes,
                     # band decode with halo extension (P4 mirror)
                     from x266_tpu.engine.picture import (

@@ -101,11 +101,12 @@ class Encoder:
         # the bitstream is identical to the fully serial loop.  For the
         # common single-tile case, frames go up in vmapped chunks so the
         # sequential recon scan is amortized across the batch.
-        from x266_tpu.engine.picture import (assemble_slice, split_bands,
+        from x266_tpu.engine.picture import (assemble_slice, split_rects,
+                                             stitch_rects,
                                              tile_compute_async,
                                              tile_entropy,
                                              tiles_compute_batched_async)
-        bands = cfg.tile_bands()
+        bands = cfg.tile_rects()
         bf = self.batch_frames
         if len(bands) == 1 and bf > 1 and len(frames) > 1:
             chunks = [frames[i:i + bf]
@@ -126,10 +127,10 @@ class Encoder:
 
                 pending += [[mk(done, i)] for i in range(len(ch))]
         else:
-            pending = [[tile_compute_async(cfg.tile_cfg(b), band,
+            pending = [[tile_compute_async(cfg.tile_cfg(b), part,
                                            self.with_recon)
-                        for b, band in zip(bands,
-                                           split_bands(cfg, frame))]
+                        for b, part in zip(bands,
+                                           split_rects(cfg, frame))]
                        for frame in frames]
 
         results = []
@@ -141,10 +142,7 @@ class Encoder:
                                        if cfg.alf else None))
             recon = None
             if self.with_recon:
-                recon = Frame(
-                    np.concatenate([t.recon.y for t in tiles]),
-                    np.concatenate([t.recon.cb for t in tiles]),
-                    np.concatenate([t.recon.cr for t in tiles]))
+                recon = stitch_rects(cfg, [t.recon for t in tiles])
             sse = np.sum([t.sse for t in tiles], axis=0)
             results.append((rbsp, recon, sse))
 
@@ -169,8 +167,8 @@ class Encoder:
         (_encode_ra)."""
         from x266_tpu.core.nal import NalType as NT
 
-        if cfg.tile_rows:
-            # tile-band inter path with reference-halo exchange (P4)
+        if cfg.tile_rows or cfg.tile_cols:
+            # tile band/rect inter path with reference-halo exchange
             from x266_tpu.shard.tiled_gop import encode_inter_tiled
             return encode_inter_tiled(cfg, frames, self.with_recon,
                                       rate_control=self.rate_control)

@@ -1119,4 +1119,17 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
   return sd.dec.error ? -1 : 0;
 }
 
+// ---- wire-format helper (engine/fused.py download path) -------------------
+// Expands the packed 4-bit coefficient plane into sign-extended int32:
+// out[2i] = sext4(nib[i] & 0xF), out[2i+1] = sext4(nib[i] >> 4).  The
+// numpy LUT-gather version of this costs ~100+ ms per 1080p frame on a
+// small host; this loop is memory-bound (~10 ms).
+void x266t_expand_nib(const uint8_t* nib, int32_t* out, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = nib[i];
+    out[2 * i] = ((int32_t)(b & 0xF) ^ 8) - 8;
+    out[2 * i + 1] = ((int32_t)(b >> 4) ^ 8) - 8;
+  }
+}
+
 }  // extern "C"

@@ -92,6 +92,8 @@ def _load():
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
             i32p]
+        lib.x266t_expand_nib.restype = None
+        lib.x266t_expand_nib.argtypes = [u8p, i32p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -230,3 +232,19 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         ctu_row0, ctu_row1, p, len(data), initp)
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")
+
+
+def expand_nib(nib: np.ndarray) -> np.ndarray | None:
+    """(h, w2) packed nibble plane -> (h, 2*w2) sign-extended int32
+    via the native loop; None when the native lib is unavailable
+    (callers fall back to the numpy LUT path in engine/fused.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nib = np.ascontiguousarray(nib, np.uint8)
+    out = np.empty((nib.shape[0], 2 * nib.shape[1]), np.int32)
+    lib.x266t_expand_nib(
+        nib.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(nib.size))
+    return out

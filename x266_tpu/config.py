@@ -158,6 +158,13 @@ class CodecConfig:
     # separate chips with bit-identical output vs a single device.
     tile_rows: int = 0              # 0 => one tile (whole picture)
 
+    # 2-D tile grid (SURVEY T4/P2 `tile_y x tile_x`): tile_cols CTU
+    # COLUMNS per tile column; 0 => one column.  With both set, the
+    # picture splits into a row-major rect grid; each rect is a fully
+    # independent sub-picture exactly like a band, and inter prediction
+    # reads across both edges via the 2-D halo rule (shard/halo.py).
+    tile_cols: int = 0
+
     def __post_init__(self) -> None:
         if self.width % 8 or self.height % 8:
             raise ValueError("v1 requires width/height multiples of 8")
@@ -256,22 +263,52 @@ class CodecConfig:
     # ---- tiles ------------------------------------------------------------
 
     @property
-    def num_tiles(self) -> int:
+    def num_tile_rows(self) -> int:
         if self.tile_rows <= 0:
             return 1
         return -(-self.ctus_y // self.tile_rows)
 
+    @property
+    def num_tile_cols(self) -> int:
+        if self.tile_cols <= 0:
+            return 1
+        return -(-self.ctus_x // self.tile_cols)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.num_tile_rows * self.num_tile_cols
+
     def tile_bands(self) -> list[tuple[int, int]]:
-        """[start_row_px, end_row_px) of each tile band."""
-        if self.num_tiles == 1:
+        """[start_row_px, end_row_px) of each tile band (1-D grid)."""
+        if self.num_tile_rows == 1:
             return [(0, self.height)]
         h = self.tile_rows * self.ctu_size
         return [(i * h, min((i + 1) * h, self.height))
-                for i in range(self.num_tiles)]
+                for i in range(self.num_tile_rows)]
 
-    def tile_cfg(self, band: tuple[int, int]) -> "CodecConfig":
-        """Config of one tile band treated as an independent sub-picture."""
-        return self.replace(height=band[1] - band[0], tile_rows=0)
+    def tile_col_spans(self) -> list[tuple[int, int]]:
+        """[start_col_px, end_col_px) of each tile column."""
+        if self.num_tile_cols == 1:
+            return [(0, self.width)]
+        w = self.tile_cols * self.ctu_size
+        return [(j * w, min((j + 1) * w, self.width))
+                for j in range(self.num_tile_cols)]
+
+    def tile_rects(self) -> list[tuple[int, int, int, int]]:
+        """[y0, y1, x0, x1) pixel rects of each tile, row-major."""
+        return [(y0, y1, x0, x1)
+                for (y0, y1) in self.tile_bands()
+                for (x0, x1) in self.tile_col_spans()]
+
+    def tile_cfg(self, band) -> "CodecConfig":
+        """Config of one tile (band 2-tuple or rect 4-tuple) treated as
+        an independent sub-picture."""
+        if len(band) == 4:
+            y0, y1, x0, x1 = band
+            return self.replace(height=y1 - y0, width=x1 - x0,
+                                tile_rows=0, tile_cols=0)
+        return self.replace(height=band[1] - band[0], tile_rows=0,
+                            tile_cols=0)
 
     @property
     def n_intra_modes(self) -> int:

@@ -47,6 +47,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.weighted_pred)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
+    w.ue(cfg.tile_cols)
     w.ue(cfg.intra_period - 1)
     w.ue(cfg.gop_size - 1)
     w.align()
@@ -84,6 +85,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     weighted_pred = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
+    tile_cols = r.ue()
     intra_period = r.ue() + 1
     gop_size = r.ue() + 1
     r.align()
@@ -101,7 +103,8 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        dep_quant=dep_quant,
                        weighted_pred=weighted_pred,
                        rows_per_segment=rows_per_segment,
-                       tile_rows=tile_rows, intra_period=intra_period,
+                       tile_rows=tile_rows, tile_cols=tile_cols,
+                       intra_period=intra_period,
                        gop_size=gop_size)
 
 

@@ -213,9 +213,13 @@ def pack_coefs_host(cfg, cy, ccb, ccr) -> np.ndarray:
 
 def unpack_coefs(cfg, packed: np.ndarray):
     h, w = cfg.height, cfg.width
-    cy = np.ascontiguousarray(packed[:h].astype(np.int32))
-    ccb = np.ascontiguousarray(packed[h:, :w // 2].astype(np.int32))
-    ccr = np.ascontiguousarray(packed[h:, w // 2:].astype(np.int32))
+    # astype(copy=False): the batched path hands int32 planes in; the
+    # unconditional copy was ~150 ms/frame of pure memcpy at 1080p
+    cy = np.ascontiguousarray(packed[:h].astype(np.int32, copy=False))
+    ccb = np.ascontiguousarray(
+        packed[h:, :w // 2].astype(np.int32, copy=False))
+    ccr = np.ascontiguousarray(
+        packed[h:, w // 2:].astype(np.int32, copy=False))
     return cy, ccb, ccr
 
 
@@ -278,14 +282,24 @@ def reconstruct_coefs(low: np.ndarray, high: np.ndarray | None
     return (high.astype(np.int32) << 8) | low.astype(np.int32)
 
 
+# byte -> (lo nibble, hi nibble) sign-extended int32 pairs: turns the
+# host nibble unpack into ONE table gather (the strided-store version
+# cost ~400 ms/frame at 1080p on a 2-core host — the round-3 e2e
+# regression's root cause)
+_NIB_LUT = np.stack(
+    [((np.arange(256) & 0xF) ^ 8) - 8,
+     ((np.arange(256) >> 4) ^ 8) - 8], axis=1).astype(np.int32)
+
+
 def reconstruct_coefs_nib(nib: np.ndarray, vals: np.ndarray,
                           cols: np.ndarray) -> np.ndarray:
     """Host inverse of the nibble pack -> int32 plane (no overflow)."""
-    h, w2 = nib.shape
-    u = np.empty((h, 2 * w2), np.uint8)
-    u[:, 0::2] = nib & 0xF
-    u[:, 1::2] = nib >> 4
-    v = (u.astype(np.int32) ^ 8) - 8          # sign-extend 4-bit
+    from x266_tpu.cabac import native_bind
+
+    h = nib.shape[0]
+    v = native_bind.expand_nib(nib)           # ~10 ms/1080p frame
+    if v is None:                             # no toolchain: LUT gather
+        v = _NIB_LUT[nib].reshape(h, -1)
     v[np.arange(h)[:, None], cols.astype(np.int64)] = \
         vals.astype(np.int32)
     return v
@@ -312,6 +326,67 @@ def fetch_coefs(cfg: CodecConfig, coef_out, stats: np.ndarray
 def make_encode_step(cfg: CodecConfig, with_recon: bool = True):
     """All-intra step (no pyramid output); see make_encode_step_i."""
     return make_encode_step_i(cfg, with_recon, False)
+
+
+# ---- one-buffer wire blob (tunnel RTT consolidation, round-4) --------------
+# Each np.asarray over the remote-attached chip pays a full tunnel
+# round trip (~25 ms) REGARDLESS of size; the batched finalize used to
+# make five (stats, nib, vals, cols, flat).  This packs the four
+# always-needed outputs into ONE uint8 buffer on device so the host
+# downloads once; the low/high overflow planes stay lazy.
+
+def _blob_layout(cfg: CodecConfig, inter: bool = False):
+    """[(name, byte_off, byte_len)] within one frame's wire blob."""
+    h, w = cfg.height, cfg.width
+    hc = h + h // 2
+    k = _esc_capacity(w)
+    _, flat_len = _wire_spec(cfg, inter)
+    spec = [("nib", hc * (w // 2)), ("vals", 2 * hc * k),
+            ("cols", 2 * hc * k), ("flat", flat_len), ("stats", 20)]
+    out, pos = [], 0
+    for name, ln in spec:
+        out.append((name, pos, ln))
+        pos += ln
+    return out, pos
+
+
+def _pack_blob_device(nib, vals, cols, flat, stats):
+    def u8(x):
+        b = jax.lax.bitcast_convert_type(x.astype(jnp.uint16),
+                                         jnp.uint8)
+        return b.reshape(-1)
+
+    return jnp.concatenate(
+        [nib.reshape(-1), u8(vals), u8(cols), flat.reshape(-1),
+         jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1)])
+
+
+@functools.cache
+def make_wire_blob_batched(cfg: CodecConfig):
+    """jit(vmap) pack of a batched I step's wire outputs -> (B, L) u8."""
+    return jax.jit(jax.vmap(_pack_blob_device))
+
+
+def unpack_blob(cfg: CodecConfig, blob: np.ndarray,
+                inter: bool = False):
+    """One frame's blob row -> (nib, vals, cols, flat, stats)."""
+    h, w = cfg.height, cfg.width
+    hc = h + h // 2
+    k = _esc_capacity(w)
+    layout, total = _blob_layout(cfg, inter)
+    assert blob.shape[-1] == total, (blob.shape, total)
+    off = {name: (a, a + ln) for name, a, ln in layout}
+
+    def seg(name):
+        a, b = off[name]
+        return blob[a:b]
+
+    nib = seg("nib").reshape(hc, w // 2)
+    vals = seg("vals").view(np.int16).reshape(hc, k)
+    cols = seg("cols").view(np.int16).reshape(hc, k)
+    flat = seg("flat")
+    stats = seg("stats").view(np.float32)
+    return nib, vals, cols, flat, stats
 
 
 def make_decode_step(cfg: CodecConfig):
@@ -729,6 +804,122 @@ def make_encode_step_b_band(cfg: CodecConfig):
             return _b_body(cfg, mdb, rp, packed,
                            ext(r0y, r0cb, r0cr, y0),
                            ext(r1y, r1cb, r1cr, y0), True, False)
+
+    return jax.jit(step)
+
+
+def _rect_ext(cfg: CodecConfig):
+    """Shared 2-D halo extension for the rect (tile-grid) steps."""
+    from x266_tpu.shard import halo
+
+    bh, bw = cfg.height, cfg.width
+
+    def ext(ry, rcb, rcr, y0, x0):
+        return halo.build_ext_pyramids(
+            halo.extend_rect(ry, y0, x0, bh, bw,
+                             halo.HALO_Y, halo.HALO_Y),
+            halo.extend_rect(rcb, y0 // 2, x0 // 2, bh // 2, bw // 2,
+                             halo.HALO_C, halo.HALO_C),
+            halo.extend_rect(rcr, y0 // 2, x0 // 2, bh // 2, bw // 2,
+                             halo.HALO_C, halo.HALO_C),
+            halo_x=halo.HALO_Y, halo_xc=halo.HALO_C)
+
+    return ext
+
+
+@functools.cache
+def make_encode_step_p_rect(cfg: CodecConfig):
+    """P TILE-RECT step with 2-D reference halo extension (P4, 2-D
+    grid): step(packed_rect, y0, x0, ref planes[, wp]) — see
+    make_encode_step_p_band; cfg is the RECT config."""
+    from x266_tpu.engine.inter import (make_mode_decision_p_raw,
+                                       select_recon_inter_impl)
+
+    mdp = make_mode_decision_p_raw(cfg)
+    rp = select_recon_inter_impl(cfg, encode=True)
+    ext = _rect_ext(cfg)
+
+    if cfg.weighted_pred:
+        def step(packed, y0, x0, ry, rcb, rcr, wp):
+            return _p_body(cfg, mdp, rp, packed,
+                           *ext(ry, rcb, rcr, y0, x0), True, False, wp)
+    else:
+        def step(packed, y0, x0, ry, rcb, rcr):
+            return _p_body(cfg, mdp, rp, packed,
+                           *ext(ry, rcb, rcr, y0, x0), True, False)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_encode_step_b_rect(cfg: CodecConfig):
+    """B TILE-RECT step with L0+L1 2-D halo extension."""
+    from x266_tpu.engine.inter import (make_mode_decision_b_raw,
+                                       select_recon_inter_impl)
+
+    mdb = make_mode_decision_b_raw(cfg)
+    rp = select_recon_inter_impl(cfg, encode=True, b_mode=True)
+    ext = _rect_ext(cfg)
+
+    if cfg.weighted_pred:
+        def step(packed, y0, x0, r0y, r0cb, r0cr, r1y, r1cb, r1cr, wp):
+            return _b_body(cfg, mdb, rp, packed,
+                           ext(r0y, r0cb, r0cr, y0, x0),
+                           ext(r1y, r1cb, r1cr, y0, x0), True, False,
+                           wp)
+    else:
+        def step(packed, y0, x0, r0y, r0cb, r0cr, r1y, r1cb, r1cr):
+            return _b_body(cfg, mdb, rp, packed,
+                           ext(r0y, r0cb, r0cr, y0, x0),
+                           ext(r1y, r1cb, r1cr, y0, x0), True, False)
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_p_rect(cfg: CodecConfig):
+    """P TILE-RECT decode (2-D halo mirror)."""
+    from x266_tpu.engine.inter import select_recon_inter_impl
+
+    rp = select_recon_inter_impl(cfg, encode=False)
+    ext = _rect_ext(cfg)
+
+    if cfg.weighted_pred:
+        def step(coef, flat, y0, x0, ry, rcb, rcr, wp):
+            return _decode_inter_body(
+                cfg, rp, coef, flat, ext(ry, rcb, rcr, y0, x0),
+                False, False, wp)[0]
+    else:
+        def step(coef, flat, y0, x0, ry, rcb, rcr):
+            return _decode_inter_body(
+                cfg, rp, coef, flat, ext(ry, rcb, rcr, y0, x0),
+                False, False)[0]
+
+    return jax.jit(step)
+
+
+@functools.cache
+def make_decode_step_b_rect(cfg: CodecConfig):
+    """B TILE-RECT decode (2-D halo mirror)."""
+    from x266_tpu.engine.inter import select_recon_inter_impl
+
+    rp = select_recon_inter_impl(cfg, encode=False, b_mode=True)
+    ext = _rect_ext(cfg)
+
+    if cfg.weighted_pred:
+        def step(coef, flat, y0, x0, r0y, r0cb, r0cr,
+                 r1y, r1cb, r1cr, wp):
+            pyrs = (ext(r0y, r0cb, r0cr, y0, x0)
+                    + ext(r1y, r1cb, r1cr, y0, x0))
+            return _decode_inter_body(cfg, rp, coef, flat, pyrs, True,
+                                      False, wp)[0]
+    else:
+        def step(coef, flat, y0, x0, r0y, r0cb, r0cr,
+                 r1y, r1cb, r1cr):
+            pyrs = (ext(r0y, r0cb, r0cr, y0, x0)
+                    + ext(r1y, r1cb, r1cr, y0, x0))
+            return _decode_inter_body(cfg, rp, coef, flat, pyrs, True,
+                                      False)[0]
 
     return jax.jit(step)
 

@@ -119,31 +119,35 @@ def tiles_compute_batched_async(cfg: CodecConfig, frames: list[Frame],
 
     packed = np.stack([fused.pack_input(cfg, f) for f in frames])
     out = fused.make_encode_step_i_batched(cfg, with_recon)(packed)
+    blob_dev = None
+    if not cfg.lossless:
+        # one-buffer wire: nib+esc+flat+stats concatenated on device so
+        # the host pays ONE tunnel round trip for the whole chunk
+        blob_dev = fused.make_wire_blob_batched(cfg)(
+            out[0][0], out[0][1][0], out[0][1][1], out[1], out[2])
 
     def finalize() -> list[TileData]:
-        # Materialize whole-batch arrays in ONE transfer each (per-frame
-        # np.asarray slices would each pay a tunnel round trip).
         if cfg.lossless:
             fulls = np.asarray(out[0])
             stats = np.asarray(out[2])
             flat = np.asarray(out[1])
         else:
-            stats = np.asarray(out[2])
-            nib = np.asarray(out[0][0])
-            vals = np.asarray(out[0][1][0])
-            cols = np.asarray(out[0][1][1])
+            blob = np.asarray(blob_dev)
+            per_frame = [fused.unpack_blob(cfg, blob[i])
+                         for i in range(len(frames))]
+            stats = np.stack([p[4] for p in per_frame])
+            flat = np.stack([p[3] for p in per_frame])
             fulls = []
-            for i in range(len(frames)):
-                if stats[i, 3] == 0:
+            for i, (nib, vals, cols, _f, st) in enumerate(per_frame):
+                if st[3] == 0:
                     fulls.append(fused.reconstruct_coefs_nib(
-                        nib[i], vals[i], cols[i]))
+                        nib, vals, cols))
                 else:
                     # rare overflow: fetch this frame's byte planes
                     hi = (np.asarray(out[0][3][i])
-                          if stats[i, 4] > 0 else None)
+                          if st[4] > 0 else None)
                     fulls.append(fused.reconstruct_coefs(
                         np.asarray(out[0][2][i]), hi))
-            flat = np.asarray(out[1])
         rec = np.asarray(out[3]) if with_recon else None
         tds = []
         for i in range(len(frames)):
@@ -176,6 +180,29 @@ def split_bands(cfg: CodecConfig, frame: Frame) -> list[Frame]:
             for (y0, y1) in cfg.tile_bands()]
 
 
+def split_rects(cfg: CodecConfig, frame: Frame) -> list[Frame]:
+    """Row-major rect crops for the 2-D tile grid (== split_bands when
+    tile_cols is 0)."""
+    return [Frame(frame.y[y0:y1, x0:x1],
+                  frame.cb[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
+                  frame.cr[y0 // 2:y1 // 2, x0 // 2:x1 // 2])
+            for (y0, y1, x0, x1) in cfg.tile_rects()]
+
+
+def stitch_rects(cfg: CodecConfig, parts: list[Frame]) -> Frame:
+    """Row-major per-rect Frames -> whole picture (2-D inverse of
+    split_rects)."""
+    nx = cfg.num_tile_cols
+    rows_y, rows_cb, rows_cr = [], [], []
+    for i in range(0, len(parts), nx):
+        row = parts[i:i + nx]
+        rows_y.append(np.concatenate([p.y for p in row], axis=1))
+        rows_cb.append(np.concatenate([p.cb for p in row], axis=1))
+        rows_cr.append(np.concatenate([p.cr for p in row], axis=1))
+    return Frame(np.concatenate(rows_y), np.concatenate(rows_cb),
+                 np.concatenate(rows_cr))
+
+
 def band_alf_tuple(maps: dict) -> tuple:
     """A band's unpacked maps -> the TileData.alf parameter tuple."""
     return (maps["alf_flag"], maps["alf_coef"], maps["alf_cflag"],
@@ -195,7 +222,7 @@ def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
     coeffs = flags = ccoeffs = cflags = None
     clips = cclips = cc_coeffs = cc_flags = None
     if cfg.alf:
-        bands = cfg.tile_bands()
+        bands = cfg.tile_rects()
         if alf is None:
             def zeros_band(b):
                 bcfg = cfg.tile_cfg(b)
@@ -246,15 +273,13 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
                    with_recon: bool = True
                    ) -> tuple[bytes, Frame | None, np.ndarray]:
     """Returns (slice RBSP, reconstructed picture or None, sse (3,))."""
-    tiles = [tile_compute(cfg.tile_cfg(b), band, with_recon)
-             for b, band in zip(cfg.tile_bands(),
-                                split_bands(cfg, frame))]
+    tiles = [tile_compute(cfg.tile_cfg(r), part, with_recon)
+             for r, part in zip(cfg.tile_rects(),
+                                split_rects(cfg, frame))]
     segments = [seg for td in tiles for seg in tile_entropy(td)]
     recon = None
     if with_recon:
-        recon = Frame(np.concatenate([t.recon.y for t in tiles]),
-                      np.concatenate([t.recon.cb for t in tiles]),
-                      np.concatenate([t.recon.cr for t in tiles]))
+        recon = stitch_rects(cfg, [t.recon for t in tiles])
     sse = np.sum([t.sse for t in tiles], axis=0)
     return assemble_slice(cfg, poc, segments,
                           alf=([t.alf for t in tiles]
@@ -372,13 +397,13 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
     bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
     segments = [payload[b0:b1]
                 for b0, b1 in zip(bounds[:-1], bounds[1:])]
-    bands = cfg.tile_bands()
-    # distribute segments to tiles: each tile has its band-local count
+    rects = cfg.tile_rects()
+    # distribute segments to tiles: each tile has its tile-local count
     tiles: list[Frame] = []
     idx = 0
     ctb_off = 0
-    for bi, band in enumerate(bands):
-        bcfg = cfg.tile_cfg(band)
+    for bi, rect in enumerate(rects):
+        bcfg = cfg.tile_cfg(rect)
         n = bcfg.num_segments
         tiles.append(tile_decode(bcfg, segments[idx:idx + n], sh,
                                  bi, ctb_off))
@@ -386,9 +411,7 @@ def decode_picture(cfg: CodecConfig, sh: SliceHeader,
         ctb_off += bcfg.ctus_y * bcfg.ctus_x
     if idx != len(segments):
         raise ValueError("segment count mismatch")
-    return Frame(np.concatenate([t.y for t in tiles]),
-                 np.concatenate([t.cb for t in tiles]),
-                 np.concatenate([t.cr for t in tiles]))
+    return stitch_rects(cfg, tiles)
 
 
 # ---- tiled inter decode (P2 + P4 mirror) -----------------------------------
@@ -409,17 +432,20 @@ def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
     import jax.numpy as jnp
 
     from x266_tpu.engine.fused import (make_decode_step_b_band,
-                                       make_decode_step_p_band)
+                                       make_decode_step_b_rect,
+                                       make_decode_step_p_band,
+                                       make_decode_step_p_rect)
 
+    two_d = cfg.num_tile_cols > 1
     bounds = [0] + [int(e) for e in sh.entry_points] + [len(payload) - 1]
     segments = [payload[b0:b1]
                 for b0, b1 in zip(bounds[:-1], bounds[1:])]
     idx = 0
     ctb_off = 0
-    rec_bands = []
+    rec_tiles = []
     bcfgs = []
-    for bi, band in enumerate(cfg.tile_bands()):
-        bcfg = cfg.tile_cfg(band)
+    for bi, rect in enumerate(cfg.tile_rects()):
+        bcfg = cfg.tile_cfg(rect)
         bcfgs.append(bcfg)
         n = bcfg.num_segments
         dec = _parse_segments(bcfg, segments[idx:idx + n], is_p=True,
@@ -436,7 +462,7 @@ def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
             "mvy1": dec.mvy1_map,
             **_alf_maps_from_header(bcfg, sh, bi, ctb_off)})
         ctb_off += bcfg.ctus_y * bcfg.ctus_x
-        y0 = np.int32(band[0])
+        y0, x0 = np.int32(rect[0]), np.int32(rect[2])
         wp_args = ()
         if cfg.weighted_pred:
             ident = [64, 0, 64, 0] * (2 if refs1 is not None else 1)
@@ -444,30 +470,39 @@ def decode_picture_inter_tiled(cfg: CodecConfig, sh: SliceHeader,
                              np.int32)
             wp_args = ((wpa.reshape(2, 4),) if refs1 is not None
                        else (wpa,))
-        if refs1 is None:
+        if two_d:
+            if refs1 is None:
+                rec = make_decode_step_p_rect(bcfg)(
+                    coef, flat, y0, x0, *refs0, *wp_args)
+            else:
+                rec = make_decode_step_b_rect(bcfg)(
+                    coef, flat, y0, x0, *refs0, *refs1, *wp_args)
+        elif refs1 is None:
             rec = make_decode_step_p_band(bcfg)(coef, flat, y0,
                                                 *refs0, *wp_args)
         else:
             rec = make_decode_step_b_band(bcfg)(coef, flat, y0,
                                                 *refs0, *refs1,
                                                 *wp_args)
-        rec_bands.append(rec)
+        rec_tiles.append(rec)
     if idx != len(segments):
         raise ValueError("segment count mismatch")
-    w = cfg.width
+
+    def stitch(parts):
+        nx = cfg.num_tile_cols
+        return jnp.concatenate(
+            [jnp.concatenate(parts[i:i + nx], axis=1)
+             for i in range(0, len(parts), nx)], axis=0)
+
     new_refs = (
-        jnp.concatenate([r[:b.height]
-                         for b, r in zip(bcfgs, rec_bands)]),
-        jnp.concatenate([r[b.height:, :w // 2]
-                         for b, r in zip(bcfgs, rec_bands)]),
-        jnp.concatenate([r[b.height:, w // 2:]
-                         for b, r in zip(bcfgs, rec_bands)]))
-    frames = [fused.unpack_recon(b, np.asarray(r))
-              for b, r in zip(bcfgs, rec_bands)]
-    frame = Frame(np.concatenate([f.y for f in frames]),
-                  np.concatenate([f.cb for f in frames]),
-                  np.concatenate([f.cr for f in frames]))
-    return frame, new_refs
+        stitch([r[:b.height] for b, r in zip(bcfgs, rec_tiles)]),
+        stitch([r[b.height:, :b.width // 2]
+                for b, r in zip(bcfgs, rec_tiles)]),
+        stitch([r[b.height:, b.width // 2:]
+                for b, r in zip(bcfgs, rec_tiles)]))
+    parts = [fused.unpack_recon(b, np.asarray(r))
+             for b, r in zip(bcfgs, rec_tiles)]
+    return stitch_rects(cfg, parts), new_refs
 
 
 # ---- GOP / P-picture pipeline (M3, low-delay P, single tile v1) -----------

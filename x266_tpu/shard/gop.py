@@ -53,18 +53,34 @@ class GopScheduler:
 
     def _encode_gop(self, gop_idx: int, poc0: int, gop: list[Frame],
                     device) -> list[tuple[bytes, Frame | None, np.ndarray]]:
-        from x266_tpu.engine.picture import encode_picture_gop
+        from x266_tpu.engine.picture import encode_picture_gop_async
 
+        # Pipelined GOP loop (round-4): frame k+1's dispatch depends
+        # only on the device-resident pyramids, so it goes up BEFORE
+        # frame k's downloads + host entropy run — device compute on
+        # this worker overlaps host finalize exactly like the
+        # single-device api.Encoder loop.
         out = []
         pyramids = None
+        pending: list[tuple] = []
+
+        def drain():
+            fin, st = pending.pop(0)
+            rbsp, recon, sse = fin()
+            nal_type = NalType.IDR if st.name == "I" else NalType.TRAIL
+            out.append((write_nal(nal_type, rbsp), recon, sse))
+
         for k, frame in enumerate(gop):
             # placement: move the packed input to the worker's device;
             # the DPB pyramids then live there for the whole GOP
-            rbsp, recon, sse, pyramids, st = encode_picture_gop(
+            fin, pyramids, st = encode_picture_gop_async(
                 self.cfg, frame, poc0 + k, pyramids,
                 with_recon=True, device=device)
-            nal_type = NalType.IDR if st.name == "I" else NalType.TRAIL
-            out.append((write_nal(nal_type, rbsp), recon, sse))
+            pending.append((fin, st))
+            while len(pending) > 1:
+                drain()
+        while pending:
+            drain()
         return out
 
     def encode(self, frames: list[Frame],
@@ -114,7 +130,10 @@ class GopScheduler:
                 f"GOP {gi} failed after {self.max_retries + 1} "
                 f"attempts") from last_err
 
-        with ThreadPoolExecutor(min(4, len(self.devices))) as pool:
+        # one worker thread per device: with fewer threads than
+        # devices, idle chips can never be fed (round-3's 8-device
+        # efficiency collapse was partly this cap at 4)
+        with ThreadPoolExecutor(max(1, len(self.devices))) as pool:
             done = dict(pool.map(run_one, todo))
 
         out = [write_nal(NalType.SPS, headers.write_sps(cfg)),

@@ -116,9 +116,8 @@ def _bands_to_slice(cfg: CodecConfig, bands: list[BandOut], poc: int,
     rbsp = assemble_slice(cfg, poc, segments, st, alf=alf, wp=wp)
     recon = None
     if with_recon:
-        recon = Frame(np.concatenate([b.recon.y for b in bands]),
-                      np.concatenate([b.recon.cb for b in bands]),
-                      np.concatenate([b.recon.cr for b in bands]))
+        from x266_tpu.engine.picture import stitch_rects
+        recon = stitch_rects(cfg, [b.recon for b in bands])
     sse = np.sum([b.sse[:3] for b in bands], axis=0)
     return rbsp, recon, sse
 
@@ -181,6 +180,77 @@ class _SerialBands:
         return self._run(frame, lambda bcfg, packed, y0:
                          fused.make_encode_step_b_band(bcfg)(
                              packed, np.int32(y0), *refs0, *refs1,
+                             *self._wp_args(bcfg, wp)), qp)
+
+
+# ---- serial 2-D rect backend (SURVEY T4/P2 tile_y x tile_x) ----------------
+
+class _SerialRects:
+    """One device; per-rect jits; refs = full filtered planes.  The
+    serial oracle for the 2-D tile grid: each rect's references come
+    from extend_rect's clamped 2-D slices of the full previous
+    reconstruction (bit-identical to _ShardedRects' ppermute path)."""
+
+    def __init__(self, cfg: CodecConfig, with_recon: bool):
+        self.cfg = cfg
+        self.with_recon = with_recon
+        self.rects = cfg.tile_rects()
+        self.bcfgs = [cfg.tile_cfg(r) for r in self.rects]
+
+    def _stitch(self, parts):
+        nx = self.cfg.num_tile_cols
+        return jnp.concatenate(
+            [jnp.concatenate(parts[i:i + nx], axis=1)
+             for i in range(0, len(parts), nx)], axis=0)
+
+    def _refs_from(self, recs):
+        ys, cbs, crs = [], [], []
+        for bcfg, rec in zip(self.bcfgs, recs):
+            bh, bw = bcfg.height, bcfg.width
+            ys.append(rec[:bh])
+            cbs.append(rec[bh:, :bw // 2])
+            crs.append(rec[bh:, bw // 2:])
+        return (self._stitch(ys), self._stitch(cbs),
+                self._stitch(crs))
+
+    def _run(self, frame, stepper, qp: int | None = None,
+             inter: bool = True):
+        from x266_tpu.engine.picture import split_rects
+        bcfgs = (self.bcfgs if qp is None
+                 else [b.replace(qp=qp) for b in self.bcfgs])
+        outs = [stepper(bcfg, fused.pack_input(bcfg, part),
+                        rect[0], rect[2])
+                for bcfg, rect, part in zip(
+                    bcfgs, self.rects, split_rects(self.cfg, frame))]
+        refs = self._refs_from([o[3] for o in outs])
+        bands = [_finalize_band(bcfg, o[0], o[1], o[2], o[3],
+                                self.with_recon, inter)
+                 for bcfg, o in zip(bcfgs, outs)]
+        return bands, refs
+
+    @staticmethod
+    def _wp_args(bcfg, wp):
+        if not bcfg.weighted_pred:
+            return ()
+        return (np.asarray(wp, np.int32),)
+
+    def encode_i(self, frame, qp: int | None = None):
+        return self._run(frame, lambda bcfg, packed, y0, x0:
+                         fused.make_encode_step_i(bcfg, True, False)(
+                             packed), qp, inter=False)
+
+    def encode_p(self, frame, refs, qp: int | None = None, wp=None):
+        return self._run(frame, lambda bcfg, packed, y0, x0:
+                         fused.make_encode_step_p_rect(bcfg)(
+                             packed, np.int32(y0), np.int32(x0), *refs,
+                             *self._wp_args(bcfg, wp)), qp)
+
+    def encode_b(self, frame, refs0, refs1, qp: int | None = None,
+                 wp=None):
+        return self._run(frame, lambda bcfg, packed, y0, x0:
+                         fused.make_encode_step_b_rect(bcfg)(
+                             packed, np.int32(y0), np.int32(x0),
+                             *refs0, *refs1,
                              *self._wp_args(bcfg, wp)), qp)
 
 
@@ -382,6 +452,217 @@ class _ShardedBands:
             bcfg, True)
 
 
+def uniform_rects(cfg: CodecConfig):
+    """(ny, nx, rect cfg) when every rect has equal shape, else None."""
+    rects = cfg.tile_rects()
+    bh = rects[0][1] - rects[0][0]
+    bw = rects[0][3] - rects[0][2]
+    if any(r[1] - r[0] != bh or r[3] - r[2] != bw for r in rects):
+        return None
+    return cfg.num_tile_rows, cfg.num_tile_cols, cfg.tile_cfg(rects[0])
+
+
+class _ShardedRects:
+    """2-D rect grid over a ('tile_y', 'tile_x') mesh; halos via the
+    two-phase ppermute exchange (rows then columns of the row-extended
+    plane, which carries the diagonal corners — shard/halo.py)."""
+
+    def __init__(self, cfg: CodecConfig, mesh, with_recon: bool):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        u = uniform_rects(cfg)
+        if u is None:
+            raise ValueError("sharded rects need uniform tile shapes")
+        self.ny, self.nx, self.bcfg = u
+        if (self.ny != mesh.shape.get("tile_y")
+                or self.nx != mesh.shape.get("tile_x")):
+            raise ValueError(
+                f"({self.ny}x{self.nx}) rects vs mesh {dict(mesh.shape)}")
+        if self.bcfg.height < halo.HALO_Y or self.bcfg.width < halo.HALO_Y:
+            raise ValueError("tile shape below the halo width")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.with_recon = with_recon
+        self.sharding = NamedSharding(mesh, P("tile_y", "tile_x"))
+        self._steps: dict[tuple, object] = {}
+
+    def _pack(self, frame):
+        from x266_tpu.engine.picture import split_rects
+        parts = split_rects(self.cfg, frame)
+        stacked = np.stack([fused.pack_input(self.bcfg, p)
+                            for p in parts])
+        stacked = stacked.reshape((self.ny, self.nx)
+                                  + stacked.shape[1:])
+        return jax.device_put(stacked, self.sharding)
+
+    def _exchange_pyrs(self, ry, rcb, rcr):
+        ny, nx = self.ny, self.nx
+        hy, hc = halo.HALO_Y, halo.HALO_C
+        return halo.build_ext_pyramids(
+            halo.exchange_rect(ry, hy, hy, "tile_y", "tile_x", ny, nx),
+            halo.exchange_rect(rcb, hc, hc, "tile_y", "tile_x", ny, nx),
+            halo.exchange_rect(rcr, hc, hc, "tile_y", "tile_x", ny, nx),
+            halo_x=hy, halo_xc=hc)
+
+    def _split_rec(self, rec):
+        bh, bw = self.bcfg.height, self.bcfg.width
+        return rec[:bh], rec[bh:, :bw // 2], rec[bh:, bw // 2:]
+
+    def _out_template(self, bcfg: CodecConfig, inter: bool):
+        from x266_tpu.engine.fused import _esc_capacity, _wire_spec
+        bh, w = bcfg.height, bcfg.width
+        hc = bh + bh // 2
+        if bcfg.lossless:
+            coef = jax.ShapeDtypeStruct((hc, w), jnp.int16)
+            nsse = 3
+        else:
+            k = _esc_capacity(w)
+            coef = (jax.ShapeDtypeStruct((hc, w // 2), jnp.uint8),
+                    (jax.ShapeDtypeStruct((hc, k), jnp.int16),
+                     jax.ShapeDtypeStruct((hc, k), jnp.int16)),
+                    jax.ShapeDtypeStruct((hc, w), jnp.uint8),
+                    jax.ShapeDtypeStruct((hc, w), jnp.int8))
+            nsse = 5
+        _, flat_len = _wire_spec(bcfg, inter)
+        return (coef,
+                jax.ShapeDtypeStruct((flat_len,), jnp.uint8),
+                jax.ShapeDtypeStruct((nsse,), jnp.float32),
+                jax.ShapeDtypeStruct((hc, w), jnp.uint8),
+                jax.ShapeDtypeStruct((bh, w), jnp.uint8),
+                jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8),
+                jax.ShapeDtypeStruct((bh // 2, w // 2), jnp.uint8))
+
+    def _make(self, kind: str, bcfg: CodecConfig):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        has_wp = bcfg.weighted_pred and kind != "i"
+        if kind == "i":
+            from x266_tpu.engine.fused import _make_encode_step_i_raw
+            body = _make_encode_step_i_raw(bcfg, True, False)
+
+            def rect_fn(packed):
+                out = body(packed[0, 0])
+                out = out + self._split_rec(out[3])
+                return jax.tree.map(lambda a: a[None, None], out)
+        elif kind == "p":
+            from x266_tpu.engine.fused import _p_body
+            from x266_tpu.engine.inter import (
+                make_mode_decision_p_raw, select_recon_inter_impl)
+            mdp = make_mode_decision_p_raw(bcfg)
+            rp = select_recon_inter_impl(bcfg, encode=True)
+
+            def rect_fn(packed, ry, rcb, rcr, *wp):
+                pyrs = self._exchange_pyrs(ry[0, 0], rcb[0, 0],
+                                           rcr[0, 0])
+                out = _p_body(bcfg, mdp, rp, packed[0, 0], *pyrs,
+                              True, False, wp[0] if wp else None)
+                out = out + self._split_rec(out[3])
+                return jax.tree.map(lambda a: a[None, None], out)
+        else:
+            from x266_tpu.engine.fused import _b_body
+            from x266_tpu.engine.inter import (
+                make_mode_decision_b_raw, select_recon_inter_impl)
+            mdb = make_mode_decision_b_raw(bcfg)
+            rp = select_recon_inter_impl(bcfg, encode=True,
+                                         b_mode=True)
+
+            def rect_fn(packed, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                        *wp):
+                p0 = self._exchange_pyrs(r0y[0, 0], r0cb[0, 0],
+                                         r0cr[0, 0])
+                p1 = self._exchange_pyrs(r1y[0, 0], r1cb[0, 0],
+                                         r1cr[0, 0])
+                out = _b_body(bcfg, mdb, rp, packed[0, 0], p0, p1,
+                              True, False, wp[0] if wp else None)
+                out = out + self._split_rec(out[3])
+                return jax.tree.map(lambda a: a[None, None], out)
+
+        n_in = {"i": 1, "p": 4, "b": 7}[kind]
+        spec = P("tile_y", "tile_x")
+        in_specs = (spec,) * n_in
+        if has_wp:
+            in_specs = in_specs + (P(),)     # wp table: replicated
+        fn = shard_map(rect_fn, mesh=self.mesh,
+                       in_specs=in_specs,
+                       out_specs=jax.tree.map(
+                           lambda _: spec,
+                           self._out_template(bcfg, kind != "i")),
+                       check_vma=False)
+        return jax.jit(fn)
+
+    def _step(self, kind: str, qp: int | None = None):
+        key = (kind, qp)
+        if key not in self._steps:
+            bcfg = (self.bcfg if qp is None
+                    else self.bcfg.replace(qp=qp))
+            self._steps[key] = self._make(kind, bcfg)
+        return self._steps[key]
+
+    def _finish(self, out, bcfg: CodecConfig, inter: bool):
+        """Sharded step output -> (row-major list[BandOut], refs)."""
+        coef, flat, sse, rec, ry, rcb, rcr = out
+        refs = (ry, rcb, rcr)            # stay sharded on the mesh
+        n = self.ny * self.nx
+
+        def flat2(a):
+            a = np.asarray(a)
+            return a.reshape((n,) + a.shape[2:])
+
+        if bcfg.lossless:
+            coef_np = flat2(coef)
+            fulls = [coef_np[i].astype(np.int32) for i in range(n)]
+            stats = flat2(sse)
+        else:
+            stats = flat2(sse)
+            nib = flat2(coef[0])
+            vals = flat2(coef[1][0])
+            cols = flat2(coef[1][1])
+            fulls = []
+            for i in range(n):
+                if stats[i, 3] == 0:
+                    fulls.append(fused.reconstruct_coefs_nib(
+                        nib[i], vals[i], cols[i]))
+                else:
+                    hi = (flat2(coef[3])[i]
+                          if stats[i, 4] > 0 else None)
+                    fulls.append(fused.reconstruct_coefs(
+                        flat2(coef[2])[i], hi))
+        flat_np = flat2(flat)
+        rec_np = flat2(rec) if self.with_recon else [None] * n
+        bands = []
+        for i in range(n):
+            cy, ccb, ccr = fused.unpack_coefs(bcfg, fulls[i])
+            maps = fused.unpack_maps(bcfg, flat_np[i], inter=inter)
+            recon = (fused.unpack_recon(bcfg, rec_np[i])
+                     if self.with_recon else None)
+            bands.append(BandOut(bcfg, cy, ccb, ccr, maps,
+                                 stats[i][:3], recon))
+        return bands, refs
+
+    def _wp_args(self, wp):
+        if not self.bcfg.weighted_pred or wp is None:
+            return ()
+        return (jax.device_put(np.asarray(wp, np.int32)),)
+
+    def encode_i(self, frame, qp: int | None = None):
+        bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
+        return self._finish(self._step("i", qp)(self._pack(frame)),
+                            bcfg, False)
+
+    def encode_p(self, frame, refs, qp: int | None = None, wp=None):
+        bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
+        return self._finish(self._step("p", qp)(
+            self._pack(frame), *refs, *self._wp_args(wp)), bcfg, True)
+
+    def encode_b(self, frame, refs0, refs1, qp: int | None = None,
+                 wp=None):
+        bcfg = self.bcfg if qp is None else self.bcfg.replace(qp=qp)
+        return self._finish(self._step("b", qp)(
+            self._pack(frame), *refs0, *refs1, *self._wp_args(wp)),
+            bcfg, True)
+
+
 # ---- the shared GOP loop ----------------------------------------------------
 
 def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
@@ -399,8 +680,14 @@ def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
 
     if rate_control is not None and cfg.gop_size > 1:
         raise ValueError("rate control supports low-delay in v1")
-    be = (_ShardedBands(cfg, mesh, with_recon) if mesh is not None
-          else _SerialBands(cfg, with_recon))
+    two_d = cfg.num_tile_cols > 1
+    if mesh is not None:
+        be = (_ShardedRects(cfg, mesh, with_recon) if two_d
+              else _ShardedBands(cfg, mesh, with_recon))
+    elif two_d:
+        be = _SerialRects(cfg, with_recon)
+    else:
+        be = _SerialBands(cfg, with_recon)
     out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
            write_nal(NalType.PPS, headers.write_pps(cfg))]
     order = gop_coding_order(len(frames), cfg.intra_period,
