@@ -1,0 +1,140 @@
+"""C7 AMVP + merge-with-residual gates (round-4, VERDICT r03 item 8).
+
+The feature is ENTROPY-ONLY (the reconstruction path and MV maps are
+unchanged), so the gates are: bit-exact round trips with the flag on,
+native == Python walkers bit-for-bit, and a rate WIN on motion content
+(the point of better MV coding).
+"""
+
+import numpy as np
+import pytest
+
+from x266_tpu.api import Decoder, Encoder
+from x266_tpu.cabac import native_bind
+from x266_tpu.config import CodecConfig
+from x266_tpu.core.hashing import frame_md5
+from x266_tpu.core.yuv import Frame, synthetic_clip
+
+W, H = 192, 96
+
+
+def _pan_clip(n=4, dx=5, dy=2):
+    """Smooth panning content: every inter CU wants the same MV, the
+    best case for merge-with-residual / AMVP."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (H + 64, W + 64)).astype(np.uint8)
+    # low-pass so motion is trackable at quarter-pel
+    base = (base[:-1] + base[1:])[:, :-1] // 2 + base[1:, 1:] // 2
+    clip = []
+    for t in range(n):
+        y = base[t * dy:t * dy + H, t * dx:t * dx + W]
+        clip.append(Frame(np.ascontiguousarray(y),
+                          np.full((H // 2, W // 2), 100, np.uint8),
+                          np.full((H // 2, W // 2), 120, np.uint8)))
+    return clip
+
+
+def test_sps_roundtrip():
+    from x266_tpu.core import headers
+    cfg = CodecConfig(width=W, height=H, amvp=True)
+    assert headers.parse_sps(headers.write_sps(cfg)).amvp
+
+
+def _two_region_clip(n=4):
+    """Left half pans, right half static: along the vertical region
+    boundary the LEFT-FIRST derived predictor is wrong while the above
+    candidate is right — the case AMVP/merge-idx signalling exists
+    for."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (H, W + 64)).astype(np.uint8)
+    base = (base[:, :-1] // 2 + base[:, 1:] // 2)
+    static = base[:, :W].copy()
+    clip = []
+    for t in range(n):
+        y = static.copy()
+        y[:, :W // 2] = base[:, t * 4:t * 4 + W // 2]
+        clip.append(Frame(y, np.full((H // 2, W // 2), 100, np.uint8),
+                          np.full((H // 2, W // 2), 120, np.uint8)))
+    return clip
+
+
+def test_amvp_p_roundtrip_and_gain():
+    clip = _two_region_clip()
+    base_cfg = CodecConfig(width=W, height=H, qp=30, intra_period=8,
+                           rdoq=True)
+    base = Encoder(base_cfg).encode(clip)
+    cfg = base_cfg.replace(amvp=True)
+    res = Encoder(cfg).encode(clip)
+    _, dec = Decoder().decode(res.bitstream)
+    for r, d in zip(res.recon, dec):
+        assert frame_md5(r) == frame_md5(d)
+    # identical recon (entropy-only) at fewer INTER bits on two-region
+    # motion (the I frame is identical by construction)
+    for r, b in zip(res.recon, base.recon):
+        assert frame_md5(r) == frame_md5(b)
+    assert sum(res.frame_bits[1:]) < sum(base.frame_bits[1:])
+
+
+def test_amvp_b_gpb_roundtrip():
+    clip = _pan_clip(6)
+    cfg = CodecConfig(width=W, height=H, qp=31, intra_period=8,
+                      multi_ref=True, merge_cands=True, amvp=True)
+    res = Encoder(cfg).encode(clip)
+    _, dec = Decoder().decode(res.bitstream)
+    assert len(dec) == len(clip)
+    for r, d in zip(res.recon, dec):
+        assert frame_md5(r) == frame_md5(d)
+
+
+def test_amvp_ra_roundtrip():
+    clip = _pan_clip(5)
+    cfg = CodecConfig(width=W, height=H, qp=32, intra_period=8,
+                      gop_size=4, amvp=True, deblock=True, sao=True)
+    res = Encoder(cfg).encode(clip)
+    _, dec = Decoder().decode(res.bitstream)
+    for r, d in zip(res.recon, dec):
+        assert frame_md5(r) == frame_md5(d)
+
+
+@pytest.mark.skipif(not native_bind.available(),
+                    reason="no native toolchain")
+def test_amvp_native_matches_python():
+    """Both walkers emit identical bytes for an amvp P segment."""
+    from x266_tpu.cabac.syntax import SyntaxDecoder, SyntaxEncoder
+
+    cfg = CodecConfig(width=128, height=64, intra_period=8, amvp=True,
+                      merge_cands=True)
+    rng = np.random.default_rng(7)
+    uy, ux = cfg.units_y, cfg.units_x
+    size_map = np.full((uy, ux), 8, np.int32)
+    # inter (1) / intra (0) mix; no skip CUs — a skip CU's map MV is
+    # DERIVED on the decode side, so random skip MVs would make the
+    # fixture maps self-inconsistent for the decode half of this test
+    pred = rng.choice([1, 1, 1, 0], size=(uy, ux)).astype(np.int32)
+    mvx = rng.integers(-32, 32, (uy, ux)).astype(np.int32)
+    mvy = rng.integers(-16, 16, (uy, ux)).astype(np.int32)
+    # clusters of equal MVs so merge/amvp paths all trigger
+    mvx[:, ::2] = 8
+    mvy[:, ::2] = -4
+    mode = rng.integers(0, 35, (uy, ux)).astype(np.int32)
+    cy = np.zeros((cfg.height, cfg.width), np.int32)
+    cy[::8, ::8] = rng.integers(-9, 9, cy[::8, ::8].shape)
+    ccb = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+    ccr = np.zeros_like(ccb)
+
+    kw = dict(is_p=True, pred_map=pred, mvx_map=mvx, mvy_map=mvy)
+    py = SyntaxEncoder(cfg, size_map, mode, cy, ccb, ccr,
+                       **kw).encode_segment(0, cfg.ctus_y)
+    nat = native_bind.encode_segment(
+        cfg, size_map, mode, cy, ccb, ccr, 0, cfg.ctus_y,
+        inter_maps=(pred, mvx, mvy))
+    assert nat == py
+    # and the python decoder reproduces the maps from those bytes
+    dec = SyntaxDecoder(cfg)
+    dec.is_p = True
+    dec.decode_segment(py, 0, cfg.ctus_y)
+    inter = pred == 1
+    assert (np.where(inter, dec.mvx_map, 0)
+            == np.where(inter, mvx, 0)).all()
+    assert (np.where(inter, dec.mvy_map, 0)
+            == np.where(inter, mvy, 0)).all()

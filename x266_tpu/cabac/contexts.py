@@ -33,7 +33,9 @@ BT_FLAG = 87       # 2: binary split present (C5 MTT): [size 32, size 16]
 BT_DIR = 89        # 1: split direction (1 = vertical line / side-by-side)
 LFNST = 90         # 1: lfnst_idx > 0 (C10, luma TUs, I slices)
 MIP_FLAG = 91      # 1: matrix intra prediction flag (C6, cfg.mip)
-NUM_CONTEXTS = 92
+AMVP_MERGE = 92    # 1: merge-with-residual flag (C7, cfg.amvp)
+AMVP_IDX = 93      # 1: AMVP predictor index (C7, cfg.amvp)
+NUM_CONTEXTS = 94
 
 MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24]
 

@@ -46,7 +46,9 @@ constexpr int CTX_BT_FLAG = 87;   // MTT binary split (C5): [32, 16]
 constexpr int CTX_BT_DIR = 89;    // split direction (1 = BT-V)
 constexpr int CTX_LFNST = 90;     // lfnst_idx > 0 (C10, I slices)
 constexpr int CTX_MIP = 91;       // matrix intra pred flag (C6)
-constexpr int NUM_CONTEXTS = 92;
+constexpr int CTX_AMVP_MERGE = 92;  // merge-with-residual flag (C7)
+constexpr int CTX_AMVP_IDX = 93;    // AMVP predictor index (C7)
+constexpr int NUM_CONTEXTS = 94;
 
 const int MIN_IN_GROUP[10] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24};
 
@@ -510,6 +512,19 @@ struct SegEncoder {
     }
   }
 
+  // exact bin count code_mvd would emit (AMVP candidate choice)
+  static int mvd_bits(int v) {
+    if (v == 0) return 1;
+    int val = (v < 0 ? -v : v) - 1;
+    int m = 1, bits = 2;
+    while (val >= (1 << m)) {
+      bits++;
+      val -= 1 << m;
+      m++;
+    }
+    return bits + 1 + m;
+  }
+
   void leaf(int x, int y, int s) {
     int ux = x / 8, uy = y / 8;
     if (pic.is_p) {
@@ -534,8 +549,34 @@ struct SegEncoder {
         }
         int px, py;
         pic.mv_predictor(ux, uy, &px, &py);
-        code_mvd(pic.mvx_map[uy * pic.ux_n + ux] - px, 0);
-        code_mvd(pic.mvy_map[uy * pic.ux_n + ux] - py, 1);
+        int mvx = pic.mvx_map[uy * pic.ux_n + ux];
+        int mvy = pic.mvy_map[uy * pic.ux_n + ux];
+        if (pic.has_mts & 256) {          // AMVP + merge-with-residual
+          int ax, ay;
+          pic.mv_above(ux, uy, &ax, &ay);
+          bool same = (ax == px && ay == py);
+          if (kind != PRED_BI) {
+            bool merge = (mvx == px && mvy == py) ||
+                         (mvx == ax && mvy == ay);
+            enc.encode_bin(ctxs, CTX_AMVP_MERGE, merge);
+            if (merge) {
+              if (!same)
+                enc.encode_bin(ctxs, CTX_MERGE_IDX,
+                               !(mvx == px && mvy == py));
+              leaf_residuals(x, y, s);
+              return;
+            }
+          }
+          if (!same) {
+            int b0 = mvd_bits(mvx - px) + mvd_bits(mvy - py);
+            int b1 = mvd_bits(mvx - ax) + mvd_bits(mvy - ay);
+            int idx = b1 < b0;
+            enc.encode_bin(ctxs, CTX_AMVP_IDX, idx);
+            if (idx) { px = ax; py = ay; }
+          }
+        }
+        code_mvd(mvx - px, 0);
+        code_mvd(mvy - py, 1);
         if (kind == PRED_BI) {
           code_mvd(pic.mvx1_map[uy * pic.ux_n + ux] - px, 0);
           code_mvd(pic.mvy1_map[uy * pic.ux_n + ux] - py, 1);
@@ -849,6 +890,26 @@ struct SegDecoder {
         }
         int px, py;
         pic.mv_predictor(ux, uy, &px, &py);
+        if (pic.has_mts & 256) {          // AMVP + merge-with-residual
+          int ax, ay;
+          pic.mv_above(ux, uy, &ax, &ay);
+          bool same = (ax == px && ay == py);
+          if (kind != PRED_BI &&
+              dec.decode_bin(ctxs, CTX_AMVP_MERGE)) {
+            int mx = px, my = py;
+            if (!same && dec.decode_bin(ctxs, CTX_MERGE_IDX)) {
+              mx = ax;
+              my = ay;
+            }
+            fill_pred(ux, uy, u, kind, mx, my);
+            leaf_residuals(x, y, s);
+            return;
+          }
+          if (!same && dec.decode_bin(ctxs, CTX_AMVP_IDX)) {
+            px = ax;
+            py = ay;
+          }
+        }
         int mvx = px + decode_mvd(0);
         int mvy = py + decode_mvd(1);
         fill_pred(ux, uy, u, kind, mvx, mvy);

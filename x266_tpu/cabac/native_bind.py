@@ -174,7 +174,8 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
          | (int(cfg.merge_cands) << 2) | (int(cfg.cclm) << 3)
          | (int(cfg.mtt) << 4) | (int(cfg.lfnst) << 5)
          | (int(cfg.mip) << 6)
-         | (int(cfg.sign_data_hiding) << 7)), mtp,
+         | (int(cfg.sign_data_hiding) << 7)
+         | (int(cfg.amvp) << 8)), mtp,
         is_p, pmp, mxp, myp, mx1p, my1p,
         has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
@@ -226,7 +227,8 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
          | (int(cfg.merge_cands) << 2) | (int(cfg.cclm) << 3)
          | (int(cfg.mtt) << 4) | (int(cfg.lfnst) << 5)
          | (int(cfg.mip) << 6)
-         | (int(cfg.sign_data_hiding) << 7)), ptrs[5],
+         | (int(cfg.sign_data_hiding) << 7)
+         | (int(cfg.amvp) << 8)), ptrs[5],
         is_p, ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10],
         has_sao, ptrs[11], ptrs[12], ptrs[13],
         ctu_row0, ctu_row1, p, len(data), initp)

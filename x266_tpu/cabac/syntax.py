@@ -283,6 +283,30 @@ class SyntaxEncoder(_Walker):
             self.enc.encode_bypass(0)
             self.enc.encode_bypass_bits(val, m)
 
+    @staticmethod
+    def _mvd_bits(v: int) -> int:
+        """Exact bin count _code_mvd would emit for one component."""
+        if v == 0:
+            return 1
+        val = abs(v) - 1
+        m = 1
+        bits = 2                      # gt0 + sign
+        while val >= (1 << m):
+            bits += 1
+            val -= 1 << m
+            m += 1
+        return bits + 1 + m           # stop bit + suffix
+
+    def _amvp_choose(self, mv, c0, c1):
+        """(idx, predictor): the candidate with the cheaper MVD; ties
+        resolve to 0.  idx is SIGNALLED, so any deterministic encoder
+        rule is valid — the decoder just reads it."""
+        if c0 == c1:
+            return 0, c0
+        b0 = self._mvd_bits(mv[0] - c0[0]) + self._mvd_bits(mv[1] - c0[1])
+        b1 = self._mvd_bits(mv[0] - c1[0]) + self._mvd_bits(mv[1] - c1[1])
+        return (1, c1) if b1 < b0 else (0, c0)
+
     def _leaf(self, x, y, s):
         ux, uy = x // 8, y // 8
         if self.is_p:
@@ -310,8 +334,28 @@ class SyntaxEncoder(_Walker):
                         self.enc.encode_bin(self.ctxs, cx.BLIST + 1,
                                             int(kind == PRED_L1))
                 px, py = self._mv_predictor(ux, uy)
-                self._code_mvd(int(self.mvx_map[uy, ux]) - px, 0)
-                self._code_mvd(int(self.mvy_map[uy, ux]) - py, 1)
+                mv = (int(self.mvx_map[uy, ux]),
+                      int(self.mvy_map[uy, ux]))
+                if self.cfg.amvp:
+                    c0, c1 = (px, py), self._mv_above(ux, uy)
+                    if kind != PRED_BI:
+                        # merge-with-residual: MV == a candidate, no MVD
+                        merge = mv == c0 or mv == c1
+                        self.enc.encode_bin(self.ctxs, cx.AMVP_MERGE,
+                                            int(merge))
+                        if merge:
+                            if c0 != c1:
+                                self.enc.encode_bin(
+                                    self.ctxs, cx.MERGE_IDX,
+                                    int(mv != c0))
+                            self._leaf_residuals(x, y, s)
+                            return
+                    idx, (px, py) = self._amvp_choose(mv, c0, c1)
+                    if c0 != c1:
+                        self.enc.encode_bin(self.ctxs, cx.AMVP_IDX,
+                                            idx)
+                self._code_mvd(mv[0] - px, 0)
+                self._code_mvd(mv[1] - py, 1)
                 if kind == PRED_BI:
                     self._code_mvd(int(self.mvx1_map[uy, ux]) - px, 0)
                     self._code_mvd(int(self.mvy1_map[uy, ux]) - py, 1)
@@ -586,6 +630,23 @@ class SyntaxDecoder(_Walker):
                     elif self.dec.decode_bin(self.ctxs, cx.BLIST + 1):
                         kind = PRED_L1
                 px, py = self._mv_predictor(ux, uy)
+                if self.cfg.amvp:
+                    c0, c1 = (px, py), self._mv_above(ux, uy)
+                    if kind != PRED_BI and self.dec.decode_bin(
+                            self.ctxs, cx.AMVP_MERGE):
+                        # merge-with-residual: MV = candidate, no MVD
+                        mvx, mvy = c0
+                        if c0 != c1 and self.dec.decode_bin(
+                                self.ctxs, cx.MERGE_IDX):
+                            mvx, mvy = c1
+                        self.pred_map[uy:uy + u, ux:ux + u] = kind
+                        self.mvx_map[uy:uy + u, ux:ux + u] = mvx
+                        self.mvy_map[uy:uy + u, ux:ux + u] = mvy
+                        self._leaf_residuals(x, y, s, u, ux, uy)
+                        return
+                    if c0 != c1 and self.dec.decode_bin(
+                            self.ctxs, cx.AMVP_IDX):
+                        px, py = c1
                 mvx = px + self._decode_mvd(0)
                 mvy = py + self._decode_mvd(1)
                 self.pred_map[uy:uy + u, ux:ux + u] = kind

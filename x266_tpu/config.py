@@ -106,6 +106,13 @@ class CodecConfig:
     # C7 merge candidate list: skip CUs signal merge_idx over the
     # 2-candidate list {derived (left-first), above} (FORMAT.md §7).
     merge_cands: bool = False
+    # C7 AMVP + merge-with-residual (round-4): non-skip inter CUs code
+    # merge_flag (MV == a merge candidate, no MVD, residual follows)
+    # and otherwise an amvp_idx selecting which of the two candidates
+    # predicts the MVD.  ENTROPY-ONLY: the reconstruction path and MV
+    # maps are unchanged — the device step never sees this flag (the
+    # TPU-first place for MV-coding decisions is the host walker).
+    amvp: bool = False
     # C7 explicit weighted prediction: per inter slice and reference
     # list, luma (weight, offset) + shared chroma (weight, offset) in
     # the slice header (denominator 64).  TPU-first: the weights apply

@@ -45,6 +45,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.sign_data_hiding)
     w.flag(cfg.dep_quant)
     w.flag(cfg.weighted_pred)
+    w.flag(cfg.amvp)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.tile_cols)
@@ -83,6 +84,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     sign_data_hiding = r.flag()
     dep_quant = r.flag()
     weighted_pred = r.flag()
+    amvp = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     tile_cols = r.ue()
@@ -101,7 +103,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        multi_ref=multi_ref, ctx_init=ctx_init,
                        sign_data_hiding=sign_data_hiding,
                        dep_quant=dep_quant,
-                       weighted_pred=weighted_pred,
+                       weighted_pred=weighted_pred, amvp=amvp,
                        rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, tile_cols=tile_cols,
                        intra_period=intra_period,

@@ -91,6 +91,16 @@ def _block_gather(plane: jnp.ndarray, gy: int, gx: int,
     return blk.reshape(gy * gx, s, s)
 
 
+def _passa_pdpc() -> bool:
+    """Measurement switch (X266T_PDPC_PASSA=0): score Pass-A candidates
+    WITHOUT the PDPC blend while Pass B still applies it normatively —
+    isolates whether the blend's original-pixel scoring misleads the
+    decoupled search (FORMAT.md §9.8)."""
+    import os
+
+    return os.environ.get("X266T_PDPC_PASSA", "1") != "0"
+
+
 def _rd_modes(inter_slice: bool = False) -> int:
     """Modes surviving the SAD preselect into full RD (0 = all).
 
@@ -129,7 +139,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     refs = jnp.where(mask, refs, cfg.mid_val)
 
     preds = kintra.predict_all_modes(
-        refs, s, cfg.n_pred_modes, pdpc=cfg.pdpc,
+        refs, s, cfg.n_pred_modes, pdpc=cfg.pdpc and _passa_pdpc(),
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
         top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, s)[:, None]           # (B, 1, s, s)
@@ -209,7 +219,7 @@ def _eval_pair(plane: jnp.ndarray, t: int, cfg: CodecConfig,
         avail.ref_availability_masks(w, h, t).reshape(nb, -1))
     refs = jnp.where(mask, refs, cfg.mid_val)
     preds = kintra.predict_all_modes(
-        refs, t, cfg.n_pred_modes, pdpc=cfg.pdpc,
+        refs, t, cfg.n_pred_modes, pdpc=cfg.pdpc and _passa_pdpc(),
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
         top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, t)[:, None]
@@ -418,7 +428,7 @@ def make_mts_select_raw(cfg: CodecConfig):
         refs = jnp.where(mask, refs, cfg.mid_val)
         modes = mode_map[oy, ox]                        # (B,)
         preds = kintra.predict_all_modes(
-            refs, s, n_modes, pdpc=cfg.pdpc,
+            refs, s, n_modes, pdpc=cfg.pdpc and _passa_pdpc(),
             left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
             top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
         pred = jnp.take_along_axis(

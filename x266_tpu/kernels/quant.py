@@ -146,12 +146,18 @@ def sdh_adjust(lev: jnp.ndarray, size: int, coef: jnp.ndarray | None = None,
     # RD-aware choice: minimal D + lam*R increase, with D the
     # pixel-domain-scaled dequant error vs `coef` and R the same
     # level-magnitude rate surrogate rd_quantize uses.
+    # X266T_SDH_MODE=dist ignores the rate term (pure min-distortion
+    # move; measurement switch for tools/bd_rate.py experiments).
+    import os
+
     tsh = transform_shift(size, bit_depth)
     ishift = 6 - tsh
     dscale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
     err_scale = float(2.0 ** (-2 * tsh))
     if lam is None:
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    if os.environ.get("X266T_SDH_MODE") == "dist":
+        lam = 1e-9
     c = coef.astype(jnp.int32)[ys, xs].reshape(-1, 16)
 
     def dq(l):
