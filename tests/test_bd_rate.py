@@ -48,8 +48,8 @@ def test_curves_are_sane(table):
 
 
 def test_presets_only_ship_rd_positive_tools(table):
-    presets = [C.preset_cfg1(), C.preset_cfg2(), C.preset_cfg3(),
-               C.preset_cfg4(), C.preset_cfg5()]
+    presets = [C.preset_cfg1(), C.preset_cfg2(), C.preset_cfg2q(),
+               C.preset_cfg3(), C.preset_cfg4(), C.preset_cfg5()]
     for p in presets:
         for key, flag in FLAGS.items():
             if getattr(p, flag, False):

@@ -96,11 +96,28 @@ def main() -> None:
         if a == "--qps":
             qps = [int(q) for q in sys.argv[i + 1].split(",")]
 
+    # Per-tool subprocess isolation: one process accumulating the full
+    # sweep's compiled graphs reproducibly SIGSEGVs XLA-CPU (the same
+    # failure tests/isolation.py guards); each tool runs alone.
+    if len(tools) > 1 and "--no-isolate" not in sys.argv:
+        import subprocess
+        for key in tools:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tools",
+                 key, "--qps", ",".join(str(q) for q in qps),
+                 "--no-isolate"]).returncode
+            if rc != 0:
+                print(f"{key}: FAILED rc={rc}")
+        return
+
     from x266_tpu.config import Profile
 
     W, H = 128, 96
     results: dict[str, dict] = {}
-    path = os.path.join(ROOT, "tests", "bd_rates.json")
+    # X266T_BD_OUT: write elsewhere (experiments must not clobber the
+    # canonical table consumed by tests/test_bd_rate.py)
+    path = os.environ.get(
+        "X266T_BD_OUT", os.path.join(ROOT, "tests", "bd_rates.json"))
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)

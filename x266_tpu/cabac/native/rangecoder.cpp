@@ -321,10 +321,15 @@ struct Picture {
     int m = mode_map[(uy - 1) * ux_n + ux];
     return m >= n_modes ? PLANAR : m;
   }
+  // Predictor-eligible neighbor: coded-MV inter, NOT skip (one-hop
+  // derivation; mirrors engine.inter._coded_mv).
+  static bool coded_mv(int kind) {
+    return kind != PRED_INTRA && kind != PRED_SKIP;
+  }
   // Merge candidate 1 (C7): the above rule alone.
   void mv_above(int ux, int uy, int* px, int* py) const {
     if (uy > 0 && (uy & 7) != 0 &&
-        pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA) {
+        coded_mv(pred_map[(uy - 1) * ux_n + ux])) {
       *px = mvx_map[(uy - 1) * ux_n + ux];
       *py = mvy_map[(uy - 1) * ux_n + ux];
       return;
@@ -334,13 +339,13 @@ struct Picture {
   }
   // Skip/MVD predictor; mirrors engine.inter.mv_predictor_np.
   void mv_predictor(int ux, int uy, int* px, int* py) const {
-    if (ux > 0 && pred_map[uy * ux_n + ux - 1] != PRED_INTRA) {
+    if (ux > 0 && coded_mv(pred_map[uy * ux_n + ux - 1])) {
       *px = mvx_map[uy * ux_n + ux - 1];
       *py = mvy_map[uy * ux_n + ux - 1];
       return;
     }
     if (uy > 0 && (uy & 7) != 0 &&
-        pred_map[(uy - 1) * ux_n + ux] != PRED_INTRA) {
+        coded_mv(pred_map[(uy - 1) * ux_n + ux])) {
       *px = mvx_map[(uy - 1) * ux_n + ux];
       *py = mvy_map[(uy - 1) * ux_n + ux];
       return;

@@ -83,20 +83,26 @@ class _Walker:
         self.n_modes = cfg.n_intra_modes
         self.mode_bits = 5 if self.n_modes == 35 else 6
 
+    @staticmethod
+    def _coded_mv(kind) -> bool:
+        """Predictor-eligible neighbor: coded-MV inter, NOT skip (the
+        one-hop derivation rule; engine.inter._coded_mv)."""
+        return kind != PRED_INTRA and kind != PRED_SKIP
+
     def _mv_predictor(self, ux, uy):
         """Skip/MVD predictor; mirrors engine.inter.mv_predictor_np and
         the device rule in the recon scan exactly."""
         pm, mx, my = self.pred_map, self.mvx_map, self.mvy_map
-        if ux > 0 and pm[uy, ux - 1] != PRED_INTRA:
+        if ux > 0 and self._coded_mv(pm[uy, ux - 1]):
             return int(mx[uy, ux - 1]), int(my[uy, ux - 1])
-        if uy > 0 and (uy & 7) != 0 and pm[uy - 1, ux] != PRED_INTRA:
+        if uy > 0 and (uy & 7) != 0 and self._coded_mv(pm[uy - 1, ux]):
             return int(mx[uy - 1, ux]), int(my[uy - 1, ux])
         return 0, 0
 
     def _mv_above(self, ux, uy):
         """Merge candidate 1 (C7): the above rule alone."""
         pm, mx, my = self.pred_map, self.mvx_map, self.mvy_map
-        if uy > 0 and (uy & 7) != 0 and pm[uy - 1, ux] != PRED_INTRA:
+        if uy > 0 and (uy & 7) != 0 and self._coded_mv(pm[uy - 1, ux]):
             return int(mx[uy - 1, ux]), int(my[uy - 1, ux])
         return 0, 0
 

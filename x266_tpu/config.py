@@ -375,6 +375,18 @@ def preset_cfg2(width: int = 1920, height: int = 1080) -> CodecConfig:
                        mts=True, intra_period=1, rdoq=True)
 
 
+def preset_cfg2q(width: int = 1920, height: int = 1080) -> CodecConfig:
+    """Config 2 QUALITY variant: cfg2 + MTT binary partitioning.
+
+    MTT measures RD-POSITIVE (-2.35% BD-rate over 4 QPs,
+    tests/bd_rates.json) but costs ~3.6x device time at 1080p on v5e
+    (574 vs 158 ms unbatched; the BT pair evaluations triple the
+    Pass-A work and the MTT recon scan rides the XLA path, round-4
+    measurement), so the throughput preset keeps it off and this
+    preset trades fps for bits."""
+    return preset_cfg2(width, height).replace(mtt=True)
+
+
 def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:
     """Config 3: low-delay P 1080p, integer+fractional ME."""
     return CodecConfig(width=width, height=height, qp=32,

@@ -43,11 +43,22 @@ PRED_INTRA, PRED_INTER, PRED_SKIP = 0, 1, 2
 PRED_L1, PRED_BI = 3, 4          # B slices: L1-only and bi-prediction
 
 
+def _coded_mv(kind):
+    """Predictor-eligible neighbor: a CODED-MV inter CU (not intra,
+    not skip).  Skip CUs' MVs are DERIVED, so using them as predictors
+    would propagate a derivation chain arbitrarily far from anything
+    the decoupled Pass-A skip estimate can see — the round-4 '27 dB
+    frame' failure (tests/test_amvp.py regression notes).  One-hop
+    derivation keeps Pass A's worst-case candidate set
+    {left ME, above ME, zero} an actual bound."""
+    return (kind != PRED_INTRA) & (kind != PRED_SKIP)
+
+
 def mv_predictor_np(pred_map, mvx_map, mvy_map, ux, uy):
     """Host-side predictor rule (entropy walkers mirror this)."""
-    if ux > 0 and pred_map[uy, ux - 1] != PRED_INTRA:
+    if ux > 0 and _coded_mv(pred_map[uy, ux - 1]):
         return int(mvx_map[uy, ux - 1]), int(mvy_map[uy, ux - 1])
-    if uy > 0 and (uy & 7) != 0 and pred_map[uy - 1, ux] != PRED_INTRA:
+    if uy > 0 and (uy & 7) != 0 and _coded_mv(pred_map[uy - 1, ux]):
         return int(mvx_map[uy - 1, ux]), int(mvy_map[uy - 1, ux])
     return 0, 0
 
@@ -647,9 +658,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
         def derive_mv(ux, uy):
             uxl = jnp.maximum(ux - 1, 0)
             uyl = jnp.maximum(uy - 1, 0)
-            left_ok = (ux > 0) & (pred_map[uy, uxl] != PRED_INTRA)
+            left_ok = (ux > 0) & _coded_mv(pred_map[uy, uxl])
             above_ok = (uy > 0) & ((uy & 7) != 0) \
-                & (pred_map[uyl, ux] != PRED_INTRA)
+                & _coded_mv(pred_map[uyl, ux])
             mvx = jnp.where(left_ok, mvx_st_ref[0][uy, uxl],
                             jnp.where(above_ok, mvx_st_ref[0][uyl, ux],
                                       0))
@@ -712,7 +723,7 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                         # the (otherwise unused) skip mvx slot
                         uyl = jnp.maximum(uy - 1, 0)
                         a_ok = ((uy > 0) & ((uy & 7) != 0)
-                                & (pred_map[uyl, ux] != PRED_INTRA))
+                                & _coded_mv(pred_map[uyl, ux]))
                         ax = jnp.where(a_ok, mvx_st_ref[0][uyl, ux], 0)
                         ay = jnp.where(a_ok, mvy_st_ref[0][uyl, ux], 0)
                         use1 = mvx_map[uy, ux] == 1

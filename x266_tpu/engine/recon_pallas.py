@@ -632,8 +632,9 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
         # ---- z-order walk over the CTU's 8x8 units ----
         def derive_mv(zx, zy):
             """Skip-MV predictor (mirrors engine.inter.mv_predictor_np):
-            left unit's MV if its CU is inter, else the above unit
-            (same CTU row, i.e. zy > 0), else (0, 0)."""
+            left unit's MV if its CU is CODED-MV inter (not skip — the
+            one-hop rule, engine.inter._coded_mv; int_s records that
+            flag), else the above unit (same CTU row), else (0, 0)."""
             lidx = jnp.where(zx > 0, zx - 1, 8)
             left_ok = (((cx > 0) | (zx > 0))
                        & (int_s[zy, lidx] == 1))
@@ -724,9 +725,10 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
                        zx * 4, zy * 4, mode, cmts,
                        iargs=(is_inter, skip, cmx, cmy, pyrCr_ref,
                               cx * 32, cy * 32, bcr))
-                    # record the CU's final MV + inter flag over its units
+                    # record the CU's final MV + predictor-eligibility
+                    # flag (coded-MV inter: NOT skip) over its units
                     u = s // 8
-                    flag = is_inter.astype(I32)
+                    flag = (is_inter & ~skip).astype(I32)
                     for i in range(u):
                         for j in range(u):
                             mvx_s[zy + i, zx + j] = mvx
