@@ -69,11 +69,15 @@ def test_alf_roundtrip_p_gop():
         assert frame_md5(r) == frame_md5(d)
 
 
-def test_alf_tiles_rejected():
+def test_alf_tiles_composes():
+    """ALF + tiles composed in round 4 (band-local filter sets; the
+    full gates live in tests/test_cfg4_composed.py) — the config must
+    construct and the intra tiled encode must decode bit-exactly."""
     fr = synthetic_frame(128, 128, kind="mixed")
     cfg = CodecConfig(width=128, height=128, alf=True, tile_rows=1)
-    with pytest.raises(ValueError, match="single tile"):
-        Encoder(cfg).encode([fr])
+    res = Encoder(cfg).encode([fr])
+    _, dec = Decoder().decode(res.bitstream)
+    assert frame_md5(res.recon[0]) == frame_md5(dec[0])
 
 
 def test_alf_chroma_estimate_reduces_error():
