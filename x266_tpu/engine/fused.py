@@ -555,22 +555,30 @@ def _make_encode_step_i_raw(cfg: CodecConfig, with_recon: bool,
                             with_pyramids: bool):
     """Un-jitted I-picture step (vmappable)."""
     h, w, hp_y, wp_y, hp_c, wp_c = _geom(cfg)
-    md = make_mode_decision_raw(cfg)
-    mts_sel = (make_mts_select_raw(cfg)
-               if (cfg.mts or cfg.transform_skip or cfg.lfnst)
-               else None)
+    want_mts = cfg.mts or cfg.transform_skip or cfg.lfnst
+    # non-mtt: Pass A hands its winner residuals to the MTS stage so
+    # it need not re-run the prediction matmul (round-4: the stage was
+    # ~30% of the 1080p I step)
+    share_res = want_mts and not cfg.mtt
+    md = make_mode_decision_raw(cfg, want_res=share_res)
+    mts_sel = make_mts_select_raw(cfg) if want_mts else None
     rp = select_recon_impl(cfg, encode=True)
     uy, ux = cfg.units_y, cfg.units_x
 
     def step(packed):
         yP, cbP, crP = _unpack_padded(cfg, packed)
+        res_by_size = None
         if cfg.mtt:
             size_map, mode_map, bt_map = md(yP)
+        elif share_res:
+            size_map, mode_map, res_by_size = md(yP)
+            bt_map = None
         else:
             size_map, mode_map = md(yP)
             bt_map = None
         if mts_sel is not None:
-            mts_map = mts_sel(yP, size_map, mode_map, bt_map)
+            mts_map = mts_sel(yP, size_map, mode_map, bt_map,
+                              res_by_size)
         else:
             mts_map = jnp.zeros_like(size_map)
         if cfg.mtt:

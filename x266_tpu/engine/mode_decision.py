@@ -122,11 +122,14 @@ def _rd_modes(inter_slice: bool = False) -> int:
 
 
 def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
-               inter_slice: bool = False):
+               inter_slice: bool = False, want_res: bool = False):
     """Best mode + RD cost for every size-aligned block.
 
-    Returns (cost (gy, gx) float32, mode (gy, gx) int32).  Invalid
-    (partially outside) blocks get cost = +inf.
+    Returns (cost (gy, gx) float32, mode (gy, gx) int32), plus the
+    winning mode's residual (nb, s, s) int32 when want_res (consumed
+    by make_mts_select_raw so the MTS stage need not re-run the
+    67-mode prediction matmul — it was ~half that stage's time at
+    1080p).  Invalid (partially outside) blocks get cost = +inf.
     """
     w, h, s = cfg.width, cfg.height, size
     lam = np.float32(cfg.lambda_mode)
@@ -191,6 +194,11 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     best_cost = jnp.min(cost, axis=1)
     valid = jnp.asarray(avail.valid_block_grid(w, h, s).reshape(nb))
     best_cost = jnp.where(valid, best_cost, jnp.inf)
+    if want_res:
+        res_best = jnp.take_along_axis(
+            res_k, best_k[:, None, None, None], axis=1)[:, 0]
+        return (best_cost.reshape(gy, gx), best_mode.reshape(gy, gx),
+                res_best)
     return best_cost.reshape(gy, gx), best_mode.reshape(gy, gx)
 
 
@@ -299,18 +307,28 @@ def _upsample(a: jnp.ndarray, f: int, gy: int, gx: int) -> jnp.ndarray:
 
 
 @functools.cache
-def make_mode_decision_raw(cfg: CodecConfig):
+def make_mode_decision_raw(cfg: CodecConfig, want_res: bool = False):
     """Un-jitted Pass A (for composition under outer jit/shard_map):
     padded orig luma plane -> (size_map, mode_map), (units_y, units_x)
     int32.  With cfg.mtt also returns bt_map (0 none / 1 BT-H / 2 BT-V
     per unit): each 16/32 leaf additionally competes against its two
-    binary splits (shared-mode rectangular CUs, _eval_pair)."""
+    binary splits (shared-mode rectangular CUs, _eval_pair).
+    want_res (non-mtt only): additionally return {size: winner
+    residual (nb, s, s)} for make_mts_select_raw (saves re-running the
+    full prediction matmul in the MTS stage)."""
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
+    assert not (want_res and cfg.mtt), "want_res is the non-mtt path"
 
     def run(plane: jnp.ndarray):
         plane = plane.astype(jnp.int32)
-        cost8, mode8 = _eval_size(plane, 8, cfg)
+        res_by_size = {}
+        if want_res:
+            cost8, mode8, res8 = _eval_size(plane, 8, cfg,
+                                            want_res=True)
+            res_by_size[8] = res8
+        else:
+            cost8, mode8 = _eval_size(plane, 8, cfg)
         size_map = jnp.full((uy, ux), 8, dtype=jnp.int32)
         mode_map = mode8.astype(jnp.int32)
         bt_map = jnp.zeros((uy, ux), dtype=jnp.int32)
@@ -319,7 +337,12 @@ def make_mode_decision_raw(cfg: CodecConfig):
         for s in (16, 32):
             if cfg.max_cu_size < s:
                 continue
-            cost_s, mode_s = _eval_size(plane, s, cfg)
+            if want_res:
+                cost_s, mode_s, res_s = _eval_size(plane, s, cfg,
+                                                   want_res=True)
+                res_by_size[s] = res_s
+            else:
+                cost_s, mode_s = _eval_size(plane, s, cfg)
             gs = cost_s.shape
             child = _sum_children(best, *gs) + lam * SPLIT_BITS
             f = s // 8
@@ -381,6 +404,8 @@ def make_mode_decision_raw(cfg: CodecConfig):
 
         if cfg.mtt:
             return size_map, mode_map, bt_map
+        if want_res:
+            return size_map, mode_map, res_by_size
         return size_map, mode_map
 
     return run
@@ -401,7 +426,11 @@ def make_mts_select_raw(cfg: CodecConfig):
     candidates compete on the same RD surrogate).  Candidates are the
     5 MTS pairs (cfg.mts) and/or transform skip (cfg.transform_skip,
     mts_map value TS_IDX=5).  Returns the un-jitted
-    f(plane, size_map, mode_map) -> mts_map (units, int32)."""
+    f(plane, size_map, mode_map[, res_by_size]) -> mts_map (units,
+    int32).  res_by_size: the winner residuals from
+    make_mode_decision_raw(want_res=True) — when present, this stage
+    skips the 67-mode prediction matmul entirely (pred = orig - res;
+    identical values by construction, same inputs/masks)."""
     uy, ux = cfg.units_y, cfg.units_x
     lam = np.float32(cfg.lambda_mode)
     n_modes = cfg.n_pred_modes
@@ -413,7 +442,7 @@ def make_mts_select_raw(cfg: CodecConfig):
     if cfg.lfnst:
         vals += [1 << 6, 2 << 6]             # lfnst_idx rides bits 6-7
 
-    def eval_size(plane, size_map, mode_map, s):
+    def eval_size(plane, size_map, mode_map, s, res_pre=None):
         w, h = cfg.width, cfg.height
         xs_np, ys_np, gy, gx = _block_positions(w, h, s)
         xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
@@ -422,19 +451,23 @@ def make_mts_select_raw(cfg: CodecConfig):
         oy = (ys_np // 8).astype(np.int32)
         ox = (xs_np // 8).astype(np.int32)
 
-        refs = _gather_refs(plane, gy, gx, s)
-        mask = jnp.asarray(
-            avail.ref_availability_masks(w, h, s).reshape(nb, -1))
-        refs = jnp.where(mask, refs, cfg.mid_val)
         modes = mode_map[oy, ox]                        # (B,)
-        preds = kintra.predict_all_modes(
-            refs, s, n_modes, pdpc=cfg.pdpc and _passa_pdpc(),
-            left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
-            top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
-        pred = jnp.take_along_axis(
-            preds, modes[:, None, None, None], axis=1)[:, 0]
         orig = _block_gather(plane, gy, gx, s)
-        res = orig - pred                               # (B, s, s)
+        if res_pre is not None:
+            res = res_pre                               # (B, s, s)
+            pred = orig - res
+        else:
+            refs = _gather_refs(plane, gy, gx, s)
+            mask = jnp.asarray(
+                avail.ref_availability_masks(w, h, s).reshape(nb, -1))
+            refs = jnp.where(mask, refs, cfg.mid_val)
+            preds = kintra.predict_all_modes(
+                refs, s, n_modes, pdpc=cfg.pdpc and _passa_pdpc(),
+                left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
+                top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
+            pred = jnp.take_along_axis(
+                preds, modes[:, None, None, None], axis=1)[:, 0]
+            res = orig - pred                           # (B, s, s)
 
         costs = []
         bd = cfg.bit_depth
@@ -474,7 +507,7 @@ def make_mts_select_raw(cfg: CodecConfig):
         choice = jnp.asarray(np.asarray(vals, np.int32))[choice]
         return choice.reshape(gy, gx).astype(jnp.int32)
 
-    def run(plane, size_map, mode_map, bt_map=None):
+    def run(plane, size_map, mode_map, bt_map=None, res_by_size=None):
         plane = plane.astype(jnp.int32)
         mts_map = jnp.zeros((uy, ux), jnp.int32)
         # MTT leaves tile as square s/2 TUs: the transform choice is
@@ -484,7 +517,9 @@ def make_mts_select_raw(cfg: CodecConfig):
         for s in (8, 16, 32):
             if s > cfg.max_cu_size:
                 continue
-            choice = eval_size(plane, size_map, mode_map, s)
+            res_pre = (res_by_size.get(s)
+                       if res_by_size is not None else None)
+            choice = eval_size(plane, size_map, mode_map, s, res_pre)
             up = _upsample(choice, s // 8, uy, ux)
             mts_map = jnp.where(eff == s, up, mts_map)
         return mts_map
