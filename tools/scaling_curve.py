@@ -98,7 +98,9 @@ def main() -> None:
             out = []
             for k, _frame in enumerate(gop):
                 time.sleep(sim_ms / 1e3)   # the 'device' latency
-                payload = bytes([gop_idx & 0xFF, k]) * 64
+                # deterministic payload; 0x80 tail keeps the RBSP
+                # rule (must not end 0x00) for any (gop_idx, k)
+                payload = bytes([gop_idx & 0xFF, k]) * 64 + b"\x80"
                 nal = write_nal(
                     NalType.IDR if k == 0 else NalType.TRAIL, payload)
                 out.append((nal, None, None))
