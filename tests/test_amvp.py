@@ -22,9 +22,11 @@ def _pan_clip(n=4, dx=5, dy=2):
     """Smooth panning content: every inter CU wants the same MV, the
     best case for merge-with-residual / AMVP."""
     rng = np.random.default_rng(3)
-    base = rng.integers(0, 256, (H + 64, W + 64)).astype(np.uint8)
-    # low-pass so motion is trackable at quarter-pel
-    base = (base[:-1] + base[1:])[:, :-1] // 2 + base[1:, 1:] // 2
+    base = rng.integers(0, 256, (H + 64, W + 64)).astype(np.int32)
+    # 3-tap low-pass in int32 (uint8 addition would wrap and alias)
+    # so motion is trackable at quarter-pel
+    base = (((base[:-1] + base[1:])[:, :-1] + base[1:, 1:]) // 3
+            ).astype(np.uint8)
     clip = []
     for t in range(n):
         y = base[t * dy:t * dy + H, t * dx:t * dx + W]

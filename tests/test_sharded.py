@@ -50,3 +50,19 @@ def test_placement_invariance(frames):
     two = ShardedEncoder(cfg, devices=jax.devices()[:2]).encode(frames[:2])
     alld = ShardedEncoder(cfg).encode(frames[:2])
     assert two.bitstream == alld.bitstream
+
+
+def test_sharded_2d_grid_and_alf_equals_serial(frames):
+    """Round-4 regression (review finding): ShardedEncoder must honor
+    tile_cols (2-D rect grid) and carry the per-tile ALF sections —
+    it previously split 1-D bands and dropped ALF params, emitting
+    undecodable/mis-filtered streams."""
+    cfg = CodecConfig(width=128, height=192, qp=33, tile_rows=1,
+                      tile_cols=1, deblock=True, sao=True,
+                      sao_chroma=True, alf=True, alf_chroma=True)
+    serial = Encoder(cfg).encode(frames[:2])
+    sharded = ShardedEncoder(cfg).encode(frames[:2])
+    assert sharded.bitstream == serial.bitstream
+    _, dec = Decoder().decode(sharded.bitstream)
+    for a, d in zip(sharded.recon, dec):
+        assert frame_md5(a) == frame_md5(d)

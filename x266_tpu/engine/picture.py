@@ -95,7 +95,8 @@ def _finalize_one(cfg, out, with_recon) -> TileData:
     batched caller downloads whole-batch arrays in one transfer each,
     reconstructs coef planes and slices per frame."""
     full, flat, stats = out[0], out[1], out[2]
-    cy, ccb, ccr = fused.unpack_coefs(cfg, full.astype(np.int32))
+    cy, ccb, ccr = fused.unpack_coefs(
+        cfg, full.astype(np.int32, copy=False))
     sse = stats[:3]
     maps = fused.unpack_maps(cfg, np.asarray(flat), inter=False)
     recon = (fused.unpack_recon(cfg, np.asarray(out[3]))

@@ -38,7 +38,7 @@ class GopScheduler:
 
     def __init__(self, cfg: CodecConfig, devices=None,
                  max_retries: int = 2, fault_hook=None):
-        if cfg.tile_rows:
+        if cfg.tile_rows or cfg.tile_cols:
             raise ValueError("GOP scheduler expects single-tile configs")
         self.cfg = cfg
         self.devices = list(devices) if devices else jax.devices()

@@ -25,8 +25,8 @@ from x266_tpu.core import headers
 from x266_tpu.core.nal import NalType, write_nal
 from x266_tpu.core.yuv import Frame
 from x266_tpu.engine.picture import (TileData, assemble_slice,
-                                     split_bands, tile_compute,
-                                     tile_entropy)
+                                     split_rects, stitch_rects,
+                                     tile_compute, tile_entropy)
 
 
 class ShardedEncoder:
@@ -52,18 +52,18 @@ class ShardedEncoder:
     # -- front-end ----------------------------------------------------------
     def encode(self, frames: list[Frame]) -> EncodeResult:
         cfg = self.cfg
-        bands = cfg.tile_bands()
+        rects = cfg.tile_rects()        # row-major; 1-D bands included
         ndev = len(self.devices)
 
         # device passes: round-robin placement, async dispatch
         tiles: dict[tuple[int, int], TileData] = {}
         for fi, frame in enumerate(frames):
-            for bi, band in enumerate(split_bands(cfg, frame)):
-                dev = self.devices[(fi * len(bands) + bi) % ndev]
+            for bi, part in enumerate(split_rects(cfg, frame)):
+                dev = self.devices[(fi * len(rects) + bi) % ndev]
                 tiles[(fi, bi)] = self._band_compute(
-                    cfg.tile_cfg(bands[bi]), band, dev)
+                    cfg.tile_cfg(rects[bi]), part, dev)
 
-        # host entropy: every (frame, band) in parallel threads
+        # host entropy: every (frame, tile) in parallel threads
         keys = sorted(tiles.keys())
         with ThreadPoolExecutor(self.entropy_threads) as pool:
             segs = dict(zip(keys, pool.map(
@@ -76,20 +76,17 @@ class ShardedEncoder:
         frame_bits: list[int] = []
         sses: list = []
         for fi in range(len(frames)):
-            segments = [s for bi in range(len(bands))
+            per_tile = [tiles[(fi, bi)] for bi in range(len(rects))]
+            segments = [s for bi in range(len(rects))
                         for s in segs[(fi, bi)]]
-            rbsp = assemble_slice(cfg, fi, segments)
+            rbsp = assemble_slice(cfg, fi, segments,
+                                  alf=([t.alf for t in per_tile]
+                                       if cfg.alf else None))
             nal = write_nal(NalType.IDR, rbsp)
             out.append(nal)
             frame_bits.append(8 * len(nal))
             if self.with_recon:
-                recons.append(Frame(
-                    np.concatenate([tiles[(fi, bi)].recon.y
-                                    for bi in range(len(bands))]),
-                    np.concatenate([tiles[(fi, bi)].recon.cb
-                                    for bi in range(len(bands))]),
-                    np.concatenate([tiles[(fi, bi)].recon.cr
-                                    for bi in range(len(bands))])))
-            sses.append(np.sum([tiles[(fi, bi)].sse
-                                for bi in range(len(bands))], axis=0))
+                recons.append(stitch_rects(
+                    cfg, [t.recon for t in per_tile]))
+            sses.append(np.sum([t.sse for t in per_tile], axis=0))
         return EncodeResult(b"".join(out), recons, frame_bits, sse=sses)

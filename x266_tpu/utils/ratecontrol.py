@@ -117,8 +117,13 @@ class LambdaRateControl:
         # Bound the excursion around the configured QP: every distinct QP
         # compiles a fresh device step, so an unbounded roam (1..51) can
         # spend most wall-clock recompiling on long bitrate encodes.
+        # Targets more than ~2.5x away from cfg.qp's natural rate are
+        # therefore unreachable; a one-time warning fires when the
+        # controller saturates (below) so callers see it.
         self.qp_min = max(1, cfg.qp - 8)
         self.qp_max = min(51, cfg.qp + 8)
+        self._sat_frames = 0
+        self._warned = False
         self._poc = 0
         self._pending: tuple[str, float, int] | None = None
 
@@ -152,8 +157,25 @@ class LambdaRateControl:
         qp = int(round(_LQP_A * math.log(lam) + _LQP_B))
         prev = self.qp
         span = 5 if kind == "I" else 3
+        want = qp
         qp = min(max(qp, prev - span), prev + span)
         qp = min(max(qp, self.qp_min), self.qp_max)
+        if want > self.qp_max or want < self.qp_min:
+            self._sat_frames += 1
+            if self._sat_frames >= 8 and not self._warned:
+                import warnings
+
+                warnings.warn(
+                    f"LambdaRateControl saturated at QP "
+                    f"[{self.qp_min}, {self.qp_max}] for "
+                    f"{self._sat_frames} frames (model wants "
+                    f"{want}): the bitrate target is outside the "
+                    f"bounded excursion around cfg.qp; raise/lower "
+                    f"cfg.qp toward the target's natural QP",
+                    RuntimeWarning, stacklevel=2)
+                self._warned = True
+        else:
+            self._sat_frames = 0
         self.qp = qp
         lam_used = 0.57 * 2.0 ** ((qp - 12) / 3.0)
         self._pending = (kind, lam_used, qp)
