@@ -56,8 +56,9 @@ def cmd_encode(args) -> int:
         sign_data_hiding=args.sdh, dep_quant=args.dep_quant,
         weighted_pred=args.weighted_pred,
         merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
-        lfnst=args.lfnst,
-        tile_rows=args.tile_rows,
+        lfnst=args.lfnst, mip=args.mip, multi_ref=args.multi_ref,
+        amvp=args.amvp, ctx_init=args.ctx_init,
+        tile_rows=args.tile_rows, tile_cols=args.tile_cols,
         rows_per_segment=args.segment_rows,
         intra_period=args.gop, gop_size=args.bframes)
     if frames is None:
@@ -197,6 +198,19 @@ def main(argv=None) -> int:
     e.add_argument("--mtt", action="store_true",
                    help="multi-type tree: binary splits into "
                         "rectangular CUs (requires --profile vvc)")
+    e.add_argument("--mip", action="store_true",
+                   help="matrix intra prediction (C6, VVC profile)")
+    e.add_argument("--multi-ref", action="store_true",
+                   dest="multi_ref",
+                   help="low-delay GPB 2-reference chain (C16)")
+    e.add_argument("--amvp", action="store_true",
+                   help="AMVP index + merge-with-residual MV coding "
+                        "(C7, entropy-only)")
+    e.add_argument("--ctx-init", action="store_true", dest="ctx_init",
+                   help="trained per-slice-type context init tables "
+                        "(C3)")
+    e.add_argument("--tile-cols", type=int, default=0,
+                   help="CTU columns per tile column (2-D tile grid)")
     e.add_argument("--lfnst", action="store_true",
                    help="secondary low-frequency transform "
                         "(requires --profile vvc)")
