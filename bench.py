@@ -37,8 +37,14 @@ def _jax_setup():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
-def bench_1080p_vvc() -> dict:
-    """Config 2 exactly as spec'd: all-intra 1080p VVC + MTS + CABAC."""
+def bench_1080p_vvc(samples: int = 2) -> dict:
+    """Config 2 exactly as spec'd: all-intra 1080p VVC + MTS + CABAC.
+
+    Returns `samples` independently-timed encode passes (the ambient
+    tunnel variance is ±35% on single samples — ROADMAP round-4 log —
+    so the headline is computed as a median over many samples by
+    main(), which interleaves 1080p/4K subprocess legs over time).
+    """
     _jax_setup()
     from x266_tpu.api import Decoder, Encoder
     from x266_tpu.config import preset_cfg2
@@ -53,12 +59,17 @@ def bench_1080p_vvc() -> dict:
     # frames batch 4-per-device-call (vmapped over the Pallas recon
     # kernel) to amortize the per-call dispatch/transfer latency
     enc = Encoder(cfg, with_recon=False, batch_frames=4)
+    t_c0 = time.time()
     enc.encode(frames[:4])              # warm-up: compile + first chunk
+    compile_s = time.time() - t_c0
 
-    t0 = time.time()
-    res = enc.encode(frames)
-    dt = time.time() - t0
-    fps = len(frames) / dt
+    fps_samples = []
+    for _ in range(max(1, samples)):
+        t0 = time.time()
+        res = enc.encode(frames)
+        dt = time.time() - t0
+        fps_samples.append(len(frames) / dt)
+    fps = fps_samples[-1]
 
     # correctness gate (untimed): the stream must decode, twice,
     # identically (encoder-recon equality is covered by tests/)
@@ -101,12 +112,13 @@ def bench_1080p_vvc() -> dict:
         roofline.append_metrics(recs)
     except Exception:               # noqa: BLE001 — never lose headline
         pass
-    return {"fps": fps, "qp": cfg.qp,
+    return {"fps": fps, "fps_samples": [round(f, 3) for f in fps_samples],
+            "compile_s": round(compile_s, 1), "qp": cfg.qp,
             "bits_per_frame": int(res.total_bits / len(frames)),
             "psnr_y_db": round(psnr_y, 2), "frames": len(frames)}
 
 
-def bench_4k_ra() -> dict:
+def bench_4k_ra(samples: int = 2) -> dict:
     """Config 4's shape: 4K RA GOP-16, deblock+SAO+ALF, single chip."""
     _jax_setup()
     from x266_tpu.api import Encoder
@@ -120,12 +132,19 @@ def bench_4k_ra() -> dict:
     enc = Encoder(cfg, with_recon=False)
     # warm-up: a full pass so every step variant (I, P anchor, B ref,
     # B leaf) is compiled before the timed window
+    t_c0 = time.time()
     enc.encode(frames)
+    compile_s = time.time() - t_c0
 
-    t0 = time.time()
-    res = enc.encode(frames)
-    dt = time.time() - t0
-    return {"fps_4k_ra": round(n / dt, 3),
+    fps_samples = []
+    for _ in range(max(1, samples)):
+        t0 = time.time()
+        res = enc.encode(frames)
+        dt = time.time() - t0
+        fps_samples.append(n / dt)
+    return {"fps_4k_ra": round(fps_samples[-1], 3),
+            "fps_4k_samples": [round(f, 3) for f in fps_samples],
+            "compile_4k_s": round(compile_s, 1),
             "bits_per_frame_4k": int(res.total_bits / n),
             "psnr_y_4k_db": round(float(np.mean(
                 res.psnr_y(width, height))), 2)}
@@ -144,6 +163,12 @@ def _run_leg(flag: str, timeout: float):
     return json.loads(proc.stdout.strip().split("\n")[-1]), None
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 def main() -> None:
     if "--4k" in sys.argv:              # subprocess entry
         print(json.dumps(bench_4k_ra()))
@@ -152,31 +177,68 @@ def main() -> None:
         print(json.dumps(bench_1080p_vvc()))
         return
 
-    try:
-        d, err = _run_leg("--1080p", 2400)
-    except Exception as e:              # noqa: BLE001
-        d, err = None, str(e)[:300]
-    if d is None:
-        # never lose the headline: fall back to in-process
-        sys.stderr.write(f"1080p subprocess failed ({err}); "
-                         "running in-process\n")
-        d = bench_1080p_vvc()
-    detail = {k: v for k, v in d.items() if k != "fps"}
-    detail["fps_4k_ra"] = None
-    try:
-        leg, err = _run_leg("--4k", 1800)
+    # The ambient tunnel variance is ±35% on single samples (four
+    # identical-code runs spread 3.59-6.90 fps, ROADMAP round-4 log), so
+    # the headline is a MEDIAN over >=5 samples, gathered from subprocess
+    # legs interleaved 1080p/4K over the bench's wall time.  Each leg is
+    # fail-soft: a dead subprocess costs its samples, never the headline.
+    t_start = time.time()
+    budget_s = float(os.environ.get("X266_BENCH_BUDGET_S", "2100"))
+    fps1080, fps4k = [], []
+    detail: dict = {}
+    errors = []
+    for rnd in range(3):                 # 3 x (1080p + 4K) = 6+6 samples
+        elapsed = time.time() - t_start
+        if rnd > 0 and fps1080 and elapsed > budget_s:
+            break
+        try:
+            d, err = _run_leg("--1080p", 2400 if rnd == 0 else 900)
+        except Exception as e:          # noqa: BLE001
+            d, err = None, str(e)[:300]
+        if d is not None:
+            fps1080.extend(d.pop("fps_samples", [d["fps"]]))
+            d.pop("fps", None)
+            detail.update(d)
+        else:
+            errors.append(f"1080p[{rnd}]: {err}")
+        elapsed = time.time() - t_start
+        if rnd > 0 and fps4k and elapsed > budget_s:
+            break
+        try:
+            leg, err = _run_leg("--4k", 1800 if rnd == 0 else 900)
+        except Exception as e:          # noqa: BLE001
+            leg, err = None, str(e)[:300]
         if leg is not None:
+            fps4k.extend(leg.pop("fps_4k_samples", [leg["fps_4k_ra"]]))
+            leg.pop("fps_4k_ra", None)
             detail.update(leg)
         else:
-            detail["fps_4k_ra_error"] = err
-    except Exception as e:              # noqa: BLE001 — never lose headline
-        detail["fps_4k_ra_error"] = str(e)[:300]
+            errors.append(f"4k[{rnd}]: {err}")
+
+    if not fps1080:
+        # never lose the headline: fall back to in-process
+        sys.stderr.write(f"all 1080p subprocesses failed ({errors}); "
+                         "running in-process\n")
+        d = bench_1080p_vvc()
+        fps1080 = d.pop("fps_samples", [d.pop("fps")])
+        detail.update(d)
+
+    med = _median(fps1080)
+    detail["fps_samples_1080p"] = [round(f, 3) for f in fps1080]
+    detail["fps_1080p_min_max"] = [round(min(fps1080), 3),
+                                   round(max(fps1080), 3)]
+    detail["fps_4k_ra"] = round(_median(fps4k), 3) if fps4k else None
+    if fps4k:
+        detail["fps_samples_4k"] = [round(f, 3) for f in fps4k]
+    if errors:
+        detail["leg_errors"] = errors[:4]
+    detail["bench_wall_s"] = round(time.time() - t_start, 1)
 
     print(json.dumps({
         "metric": "1080p_allintra_vvc_mts_encode_fps_chip",
-        "value": round(d["fps"], 3),
+        "value": round(med, 3),
         "unit": "frames/s",
-        "vs_baseline": round(d["fps"] / 60.0, 4),
+        "vs_baseline": round(med / 60.0, 4),
         "detail": detail,
     }))
 

@@ -40,3 +40,23 @@ def _periodic_cache_clear():
     _test_counter["n"] += 1
     if _test_counter["n"] % 5 == 0:
         jax.clear_caches()
+
+
+# Smoke tier (`pytest -m smoke`, <5 min warm-cache): the bit-exactness
+# gates every commit must keep green — encode->decode round trip, halo
+# exchange == clamped-slice oracle, native/Python entropy differential,
+# golden-bitstream decode, and one sharded-tiles==serial identity.
+_SMOKE_MODULES = {
+    "test_roundtrip", "test_halo", "test_native_entropy", "test_bitio",
+    "test_fixtures",
+}
+_SMOKE_TESTS = {
+    "test_tiles2d_sharded_2x2_equals_serial",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in _SMOKE_MODULES
+                or item.name.split("[")[0] in _SMOKE_TESTS):
+            item.add_marker(pytest.mark.smoke)
