@@ -39,12 +39,15 @@ def test_table_covers_tools(table):
 
 def test_curves_are_sane(table):
     for key, rec in table.items():
-        for leg in ("anchor", "test"):
-            pts = rec[leg]
-            bits = [p[0] for p in pts]
-            # qps ascend -> bits must descend strictly
-            assert all(b0 > b1 for b0, b1 in zip(bits, bits[1:])), \
-                (key, leg, bits)
+        # round-5 schema nests per-clip curves under "points"
+        groups = (rec["points"].values() if "points" in rec
+                  else [rec])
+        for g in groups:
+            for leg in ("anchor", "test"):
+                bits = [p[0] for p in g[leg]]
+                # qps ascend -> bits must descend strictly
+                assert all(b0 > b1 for b0, b1 in zip(bits, bits[1:])), \
+                    (key, leg, bits)
 
 
 def test_presets_only_ship_rd_positive_tools(table):

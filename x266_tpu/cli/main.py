@@ -52,7 +52,8 @@ def cmd_encode(args) -> int:
         alf=args.alf, alf_chroma=args.alf_chroma,
         alf_nonlinear=args.alf_nonlinear, ccalf=args.ccalf,
         mts=args.mts, transform_skip=args.transform_skip,
-        pdpc=args.pdpc, rdoq=args.rdoq,
+        pdpc=args.pdpc, ref_substitute=args.ref_subst,
+        rdoq=args.rdoq,
         sign_data_hiding=args.sdh, dep_quant=args.dep_quant,
         weighted_pred=args.weighted_pred,
         merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
@@ -180,6 +181,11 @@ def main(argv=None) -> int:
                    help="per-TU transform skip (screen content)")
     e.add_argument("--pdpc", action="store_true",
                    help="PDPC intra blend (requires --profile vvc)")
+    e.add_argument("--ref-subst", action="store_true",
+                   dest="ref_subst",
+                   help="HEVC-style reference-sample substitution "
+                        "(C6): fill unavailable intra refs from the "
+                        "nearest available instead of mid-gray")
     e.add_argument("--rdoq", action="store_true",
                    help="RD-optimized quantization (encoder-only)")
     e.add_argument("--sdh", action="store_true",

@@ -82,6 +82,15 @@ class CodecConfig:
     # C6 VVC PDPC: position-dependent blend of the intra prediction with
     # the unfiltered references for planar/DC/H/V on luma (FORMAT.md §8).
     pdpc: bool = False              # requires profile=VVC
+    # C6 reference-sample substitution [STD, HEVC 8.4.4.2.2-shaped]:
+    # unavailable intra reference samples take the nearest available
+    # sample along the substitution scan (left bottom->top, corner,
+    # top left->right) instead of the x266t constant mid-gray rule.
+    # NORMATIVE (in the SPS).  Round-4 falsification showed mid-gray
+    # references are what made the PDPC blend RD-negative; this flag
+    # removes the FORMAT.md §9.2 deviation.  Runs on the XLA recon
+    # path (the Pallas Pass-B kernel falls back, as 10-bit does).
+    ref_substitute: bool = False
     # C11 RDOQ (encoder-only, NOT in the SPS — the quantizer is
     # non-normative [STD]): per-coefficient D + lambda*R level decision
     # (kernels.quant.rd_quantize) instead of the fixed deadzone.

@@ -35,6 +35,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.mts)
     w.flag(cfg.transform_skip)
     w.flag(cfg.pdpc)
+    w.flag(cfg.ref_substitute)
     w.flag(cfg.merge_cands)
     w.flag(cfg.cclm)
     w.flag(cfg.mtt)
@@ -74,6 +75,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     mts = r.flag()
     transform_skip = r.flag()
     pdpc = r.flag()
+    ref_substitute = r.flag()
     merge_cands = r.flag()
     cclm = r.flag()
     mtt = r.flag()
@@ -98,7 +100,8 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        alf=alf, alf_chroma=alf_chroma,
                        alf_nonlinear=alf_nonlinear, ccalf=ccalf, mts=mts,
                        transform_skip=transform_skip,
-                       pdpc=pdpc, merge_cands=merge_cands,
+                       pdpc=pdpc, ref_substitute=ref_substitute,
+                       merge_cands=merge_cands,
                        cclm=cclm, mtt=mtt, lfnst=lfnst, mip=mip,
                        multi_ref=multi_ref, ctx_init=ctx_init,
                        sign_data_hiding=sign_data_hiding,

@@ -199,6 +199,13 @@ def synthetic_frame(width: int, height: int, t: int = 0,
       "noise"     seeded uniform noise (stresses residual coding)
       "mixed"     gradient + texture + moving edge (general purpose; the
                   moving edge makes consecutive frames ME-friendly)
+      "motion"    rich static texture under exact global translation
+                  (dx=2t, dy=t) + a contrasting moving patch — the
+                  class-D-shaped ME/merge/multi-ref workload (VERDICT r04
+                  weak #5: tool verdicts need >=416x240 multi-frame clips)
+      "text"      screen content: sharp glyph-like strokes on flat
+                  background with a slow scroll (the transform-skip /
+                  intra workload; hard edges, no natural-image statistics)
     """
     yy, xx = np.mgrid[0:height, 0:width].astype(np.int64)
 
@@ -208,6 +215,54 @@ def synthetic_frame(width: int, height: int, t: int = 0,
     elif kind == "noise":
         rng = np.random.default_rng(seed * 1000003 + t)
         y = rng.integers(0, 256, size=(height, width))
+    elif kind == "motion":
+        rng = np.random.default_rng(seed * 1000003 + 23)
+        pad = 16 * max(1, (8 * max(width, height)) // 256 // 16)
+        th, tw = height + pad, width + pad
+        # band-limited texture: smoothed noise + sinusoidal detail
+        base = rng.integers(-40, 41, size=(th, tw)).astype(np.float64)
+        k = np.ones(5) / 5.0
+        base = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, base)
+        base = np.apply_along_axis(
+            lambda c: np.convolve(c, k, mode="same"), 0, base)
+        tyy, txx = np.mgrid[0:th, 0:tw].astype(np.float64)
+        tex = (128 + 3.0 * base + 24 * np.sin(txx / 7.0)
+               * np.cos(tyy / 11.0) + 16 * np.sin((txx + tyy) / 23.0))
+        dx, dy = (2 * t) % pad, t % pad
+        y = tex[dy:dy + height, dx:dx + width].astype(np.int64)
+        # moving patch with its own (opposite) motion
+        ph, pw = height // 5, width // 5
+        py0 = (height // 3 + 2 * t) % max(height - ph, 1)
+        px0 = (width // 2 - 3 * t) % max(width - pw, 1)
+        patch = y[py0:py0 + ph, px0:px0 + pw]
+        y[py0:py0 + ph, px0:px0 + pw] = np.clip(255 - patch, 0, 255)
+        y = np.clip(y, 0, 255)
+    elif kind == "text":
+        # static glyph canvas (t-independent), scrolled by slicing so
+        # frames are exact translations of each other (ME-coherent)
+        rng = np.random.default_rng(seed * 1000003 + 41)
+        pad = 32
+        canvas = np.full((height + pad, width), 32, np.int64)
+        for row0 in range(4, height + pad - 12, 16):
+            x0 = 4
+            while x0 < width - 12:
+                gw = int(rng.integers(4, 11))
+                gh = int(rng.integers(6, 11))
+                v = int(rng.integers(190, 256))
+                sty = int(rng.integers(0, 3))
+                if sty == 0:       # filled block
+                    canvas[row0:row0 + gh, x0:x0 + gw] = v
+                elif sty == 1:     # vertical bar + serif
+                    canvas[row0:row0 + gh, x0:x0 + 2] = v
+                    canvas[row0 + gh - 2:row0 + gh, x0:x0 + gw] = v
+                else:              # outline box
+                    canvas[row0:row0 + gh, x0:x0 + gw] = v
+                    canvas[row0 + 1:row0 + gh - 1,
+                           x0 + 1:x0 + gw - 1] = 32
+                x0 += gw + int(rng.integers(2, 6))
+        scroll = (2 * t) % pad
+        y = canvas[scroll:scroll + height, :]
     else:  # mixed
         rng = np.random.default_rng(seed * 1000003 + 17)
         y = (96 + ((xx + 2 * t) * 160) // max(width - 1, 1)) % 256

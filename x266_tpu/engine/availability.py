@@ -52,33 +52,72 @@ def decoded_before(px: np.ndarray, py: np.ndarray,
     return inside & ((c_p < c_b) | ((c_p == c_b) & (zp < zb)))
 
 
+def _decoded_before_gen(px, py, bx: int, by: int, width: int,
+                        height: int, scale: int,
+                        btv_leaf: int) -> np.ndarray:
+    """Generalized coding-order predicate for reference masks.
+
+    scale=2 evaluates chroma-plane coords against the LUMA coding
+    order (chroma TUs ride the same z-scan as their luma CU, coded
+    within the same unit).  btv_leaf > 0: the block's enclosing
+    btv_leaf-sized (plane-coords) leaf is a BT-V MTT leaf whose
+    t-blocks code in x-half-first order (left CU's two stacked TUs,
+    then the right CU's) instead of z-order; samples inside that leaf
+    compare by the BT-V order, samples outside by the z predicate at
+    unit granularity (z-order is hierarchical, so whole-leaf
+    comparisons agree with it).
+    """
+    px, py = np.asarray(px), np.asarray(py)
+    base = decoded_before(px * scale, py * scale, bx * scale,
+                          by * scale, width, height)
+    if not btv_leaf:
+        return base
+    lf = btv_leaf
+    lx, ly = (bx // lf) * lf, (by // lf) * lf
+    inside = ((px >= lx) & (px < lx + lf) & (py >= ly) & (py < ly + lf)
+              & (px >= 0) & (py >= 0))
+    t = lf // 2
+    # BT-V order id: left half's TUs top->bottom, then right half's
+    oid = 2 * ((px - lx) // t) + ((py - ly) // t)
+    bid = 2 * ((bx - lx) // t) + ((by - ly) // t)
+    return np.where(inside, oid < bid, base)
+
+
 @functools.cache
-def ref_availability_masks(width: int, height: int, size: int
-                           ) -> np.ndarray:
+def ref_masks(width: int, height: int, size: int, scale: int = 1,
+              btv_leaf: int = 0) -> np.ndarray:
     """(grid_y, grid_x, R) bool: availability of each reference-vector
-    entry for every size-aligned block of the picture (True = real sample,
-    False = reads 128).  Grid dims are ceil(height/size) x ceil(width/size).
+    entry for every size-aligned block of the (width//scale,
+    height//scale) plane (True = really-reconstructed sample, False =
+    reads mid-gray / substituted).  Grid dims are
+    ceil(plane_h/size) x ceil(plane_w/size).  See _decoded_before_gen
+    for scale (chroma) and btv_leaf (MTT BT-V order) semantics.
     """
     s = size
-    gy = -(-height // s)
-    gx = -(-width // s)
+    pw, ph = width // scale, height // scale
+    gy = -(-ph // s)
+    gx = -(-pw // s)
     r = 4 * s + 1
     masks = np.zeros((gy, gx, r), dtype=bool)
+    ks = np.arange(2 * s)
     for iy in range(gy):
         for ix in range(gx):
             x, y = ix * s, iy * s
-            # corner
-            masks[iy, ix, 0] = decoded_before(x - 1, y - 1, x, y,
-                                              width, height)
-            # top 2s: samples (x+k, y-1)
-            ks = np.arange(2 * s)
-            masks[iy, ix, 1:1 + 2 * s] = decoded_before(
-                x + ks, np.full(2 * s, y - 1), x, y, width, height)
-            # left 2s: samples (x-1, y+j)
-            js = np.arange(2 * s)
-            masks[iy, ix, 1 + 2 * s:] = decoded_before(
-                np.full(2 * s, x - 1), y + js, x, y, width, height)
+            masks[iy, ix, 0] = _decoded_before_gen(
+                x - 1, y - 1, x, y, width, height, scale, btv_leaf)
+            masks[iy, ix, 1:1 + 2 * s] = _decoded_before_gen(
+                x + ks, np.full(2 * s, y - 1), x, y, width, height,
+                scale, btv_leaf)
+            masks[iy, ix, 1 + 2 * s:] = _decoded_before_gen(
+                np.full(2 * s, x - 1), y + ks, x, y, width, height,
+                scale, btv_leaf)
     return masks
+
+
+def ref_availability_masks(width: int, height: int, size: int
+                           ) -> np.ndarray:
+    """Luma z-order masks (the Pass-A / square-CU tables)."""
+    return ref_masks(width, height, size)
 
 
 @functools.cache

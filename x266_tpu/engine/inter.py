@@ -586,7 +586,8 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
                   else flag != "0")
     if use_pallas and cfg.bit_depth == 8 \
             and not cfg.sign_data_hiding \
-            and not cfg.dep_quant:          # 10-bit/SDH/DQ: XLA scan
+            and not cfg.dep_quant \
+            and not cfg.ref_substitute:     # 10-bit/SDH/DQ/subst: XLA
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
         return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)
@@ -631,6 +632,24 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
     rdoq_lam = cfg.lambda_mode if (cfg.rdoq and encode) else None
     sdh_on = cfg.sign_data_hiding
     dq_on = cfg.dep_quant
+    mid = cfg.mid_val
+
+    # reference-substitution mask tables (C6, shared rule with the
+    # intra scan — engine.recon; P/B slices infer bt=0 so only the
+    # square z-order tables apply)
+    use_subst = cfg.ref_substitute
+    if use_subst:
+        from x266_tpu.engine import availability as avail
+        sizes = [s for s in (8, 16, 32) if s <= cfg.max_cu_size]
+        tabL = {s: np.asarray(avail.ref_masks(w, h, s)) for s in sizes}
+        tabC = {s // 2: np.asarray(avail.ref_masks(w, h, s // 2,
+                                                   scale=2))
+                for s in sizes}
+
+    def _mask_at(tab, by, bx):
+        r = tab.shape[-1]
+        return jax.lax.dynamic_slice(jnp.asarray(tab), (by, bx, 0),
+                                     (1, 1, r))[0, 0]
 
     def run(a, b, c, size_map, mode_map, mts_map, pred_map, mvx_map,
             mvy_map, pyr_y, pyr_cb, pyr_cr, pyr1_y=None, pyr1_cb=None,
@@ -754,6 +773,10 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
 
                 # luma prediction: intra refs or MC gather
                 ref = _gather_ref(yP, x, y, s)
+                if use_subst:
+                    ml = _mask_at(tabL[s], uy // (s // 8),
+                                  ux // (s // 8))
+                    ref = kintra.substitute_refs(ref, ml, mid)
                 pred_i = kintra.predict_mode(ref, mode, s, n_modes,
                                              pdpc=cfg.pdpc,
                                              left_ok=x > 0, top_ok=y > 0)
@@ -771,6 +794,9 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 xc, yc = x // 2, y // 2
                 cmx, cmy = mvx >> 1, mvy >> 1
                 refb = _gather_ref(cbP, xc, yc, cs)
+                if use_subst:
+                    mc_ = _mask_at(tabC[cs], yc // cs, xc // cs)
+                    refb = kintra.substitute_refs(refb, mc_, mid)
                 pb_i = kintra.predict_mode(refb, mode_c, cs, n_modes)
                 pb_m = mc2(pyr_cb, pyr1_cb, xc, yc, cmx, cmy,
                            (m1x >> 1) if b_mode else cmx,
@@ -784,6 +810,8 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                 cCb = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
 
                 refr = _gather_ref(crP, xc, yc, cs)
+                if use_subst:
+                    refr = kintra.substitute_refs(refr, mc_, mid)
                 pr_i = kintra.predict_mode(refr, mode_c, cs, n_modes)
                 pr_m = mc2(pyr_cr, pyr1_cr, xc, yc, cmx, cmy,
                            (m1x >> 1) if b_mode else cmx,

@@ -91,6 +91,15 @@ def _block_gather(plane: jnp.ndarray, gy: int, gx: int,
     return blk.reshape(gy * gx, s, s)
 
 
+def _mask_refs(refs, mask, cfg):
+    """Apply the availability rule to gathered reference vectors:
+    constant mid-gray (the x266t v1 rule) or, with cfg.ref_substitute,
+    the HEVC-style propagation fill (kernels.intra.substitute_refs)."""
+    if cfg.ref_substitute:
+        return kintra.substitute_refs(refs, mask, cfg.mid_val)
+    return jnp.where(mask, refs, cfg.mid_val)
+
+
 def _passa_pdpc() -> bool:
     """Measurement switch (X266T_PDPC_PASSA=0): score Pass-A candidates
     WITHOUT the PDPC blend while Pass B still applies it normatively —
@@ -139,7 +148,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     refs = _gather_refs(plane, gy, gx, s)                     # (B, R)
     mask = jnp.asarray(
         avail.ref_availability_masks(w, h, s).reshape(nb, -1))
-    refs = jnp.where(mask, refs, cfg.mid_val)
+    refs = _mask_refs(refs, mask, cfg)
 
     preds = kintra.predict_all_modes(
         refs, s, cfg.n_pred_modes, pdpc=cfg.pdpc and _passa_pdpc(),
@@ -225,7 +234,7 @@ def _eval_pair(plane: jnp.ndarray, t: int, cfg: CodecConfig,
     refs = _gather_refs(plane, gy, gx, t)
     mask = jnp.asarray(
         avail.ref_availability_masks(w, h, t).reshape(nb, -1))
-    refs = jnp.where(mask, refs, cfg.mid_val)
+    refs = _mask_refs(refs, mask, cfg)
     preds = kintra.predict_all_modes(
         refs, t, cfg.n_pred_modes, pdpc=cfg.pdpc and _passa_pdpc(),
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
@@ -460,7 +469,7 @@ def make_mts_select_raw(cfg: CodecConfig):
             refs = _gather_refs(plane, gy, gx, s)
             mask = jnp.asarray(
                 avail.ref_availability_masks(w, h, s).reshape(nb, -1))
-            refs = jnp.where(mask, refs, cfg.mid_val)
+            refs = _mask_refs(refs, mask, cfg)
             preds = kintra.predict_all_modes(
                 refs, s, n_modes, pdpc=cfg.pdpc and _passa_pdpc(),
                 left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),

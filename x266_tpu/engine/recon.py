@@ -178,17 +178,22 @@ def _inv_mts(lev, s, qp, mts_idx, use_mts, use_ts=False, bd=8,
 def _tu(plane, src, coef, x, y, mode, s, qp, encode, lossless,
         n_modes, mts_idx=None, pdpc=False, rdoq_lam=None,
         use_mts=False, use_ts=False, bd=8, pred_override=None,
-        lfnst=None, sdh=False, dq=False):
+        lfnst=None, sdh=False, dq=False, subst_mask=None):
     """One TU: returns (recon_block (s,s), coef_block (s,s)).
     mts_idx: traced scalar transform candidate (luma TUs, when cfg.mts
     or cfg.transform_skip; TS_IDX selects transform skip) or None.
     pred_override: (s, s) prediction replacing the mode predictor
-    (CCLM chroma).  lfnst: (lfnst_idx, mode, n_modes) or None (C10)."""
+    (CCLM chroma).  lfnst: (lfnst_idx, mode, n_modes) or None (C10).
+    subst_mask: (4s+1,) bool availability vector enabling HEVC-style
+    reference substitution (cfg.ref_substitute) on the gathered refs."""
     maxv = (1 << bd) - 1
     if pred_override is not None:
         pred = pred_override
     else:
         ref = _gather_ref(plane, x, y, s)
+        if subst_mask is not None:
+            ref = kintra.substitute_refs(ref, subst_mask,
+                                         1 << (bd - 1))
         pred = kintra.predict_mode(ref, mode, s, n_modes, pdpc=pdpc,
                                    left_ok=x > 0, top_ok=y > 0)
     if encode:
@@ -240,6 +245,32 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     use_mts = cfg.mts
     use_ts = cfg.transform_skip
 
+    # Reference-substitution mask tables (C6, cfg.ref_substitute):
+    # static per-block availability vectors, one table per TU size and
+    # plane (+ BT-V-order variants for MTT rect leaves whose coding
+    # order deviates from z-order — engine.availability.ref_masks).
+    use_subst = cfg.ref_substitute
+    if use_subst:
+        from x266_tpu.engine import availability as avail
+        sizes = [s for s in (8, 16, 32) if s <= cfg.max_cu_size]
+        tabL = {s: np.asarray(avail.ref_masks(w, h, s)) for s in sizes}
+        tabC = {s // 2: np.asarray(avail.ref_masks(w, h, s // 2,
+                                                   scale=2))
+                for s in sizes}
+        if cfg.mtt:
+            tabLv = {s // 2: np.asarray(
+                avail.ref_masks(w, h, s // 2, btv_leaf=s))
+                for s in (16, 32) if s <= cfg.max_cu_size}
+            tabCv = {s // 4: np.asarray(
+                avail.ref_masks(w, h, s // 4, scale=2,
+                                btv_leaf=s // 2))
+                for s in (16, 32) if s <= cfg.max_cu_size}
+
+    def _mask_at(tab, by, bx):
+        r = tab.shape[-1]
+        return jax.lax.dynamic_slice(jnp.asarray(tab), (by, bx, 0),
+                                     (1, 1, r))[0, 0]
+
     def run(a, b, c, size_map, mode_map, mts_map):
         # Inputs may arrive in narrow dtypes (uint8 pixels / int16 levels)
         # to keep host<->device transfers small; all internal math is
@@ -281,14 +312,18 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                            if (use_mts or use_ts) else None)
                 lf = (((mts_map[uy, ux] >> 6) & 3, mode, n_modes)
                       if cfg.lfnst else None)
+                ml = (_mask_at(tabL[s], uy // (s // 8), ux // (s // 8))
+                      if use_subst else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
                                pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
                                use_mts=use_mts, use_ts=use_ts, bd=bd,
-                               lfnst=lf)
+                               lfnst=lf, subst_mask=ml)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
                 cY2 = jax.lax.dynamic_update_slice(cY, lev, (y, x))
                 xc, yc = x // 2, y // 2
+                mc = (_mask_at(tabC[cs], yc // cs, xc // cs)
+                      if use_subst else None)
                 pob = por = None
                 mts_out = None
                 if cfg.cclm:
@@ -301,12 +336,16 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                     # plumbing or syntax arrays are needed.
                     cc_b = cclm_pred(yP2, cbP, xc, yc, cs, maxv_c)
                     cc_r = cclm_pred(yP2, crP, xc, yc, cs, maxv_c)
-                    dm_b = kintra.predict_mode(
-                        _gather_ref(cbP, xc, yc, cs), mode_c, cs,
-                        n_modes)
-                    dm_r = kintra.predict_mode(
-                        _gather_ref(crP, xc, yc, cs), mode_c, cs,
-                        n_modes)
+                    def _dm_ref(p):
+                        r = _gather_ref(p, xc, yc, cs)
+                        if use_subst:
+                            r = kintra.substitute_refs(r, mc, mid)
+                        return r
+
+                    dm_b = kintra.predict_mode(_dm_ref(cbP), mode_c,
+                                               cs, n_modes)
+                    dm_r = kintra.predict_mode(_dm_ref(crP), mode_c,
+                                               cs, n_modes)
                     if encode:
                         ob = jax.lax.dynamic_slice(
                             srcCb, (yc + 1, xc + 1), (cs, cs))
@@ -326,14 +365,14 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c, cs,
                                  qp, encode, lossless, n_modes,
                                  rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd,
-                                 pred_override=pob)
+                                 pred_override=pob, subst_mask=mc)
                 cbP2 = jax.lax.dynamic_update_slice(cbP, recb,
                                                     (yc + 1, xc + 1))
                 cCb2 = jax.lax.dynamic_update_slice(cCb, levb, (yc, xc))
                 recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c, cs,
                                  qp, encode, lossless, n_modes,
                                  rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd,
-                                 pred_override=por)
+                                 pred_override=por, subst_mask=mc)
                 crP2 = jax.lax.dynamic_update_slice(crP, recr,
                                                     (yc + 1, xc + 1))
                 cCr2 = jax.lax.dynamic_update_slice(cCr, levr, (yc, xc))
@@ -373,25 +412,37 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                                if (use_mts or use_ts) else None)
                     lf = (((mts_tu >> 6) & 3, mode, n_modes)
                           if cfg.lfnst else None)
+                    if use_subst:
+                        mlt = _mask_at(tabLv[t] if vert else tabL[t],
+                                       yt // t, xt // t)
+                    else:
+                        mlt = None
                     rec, lev = _tu(yP, srcY, cY, xt, yt, mode, t, qp,
                                    encode, lossless, n_modes, mts_idx,
                                    pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
                                    use_mts=use_mts, use_ts=use_ts,
-                                   bd=bd, lfnst=lf)
+                                   bd=bd, lfnst=lf, subst_mask=mlt)
                     yP = jax.lax.dynamic_update_slice(
                         yP, rec, (yt + 1, xt + 1))
                     cY = jax.lax.dynamic_update_slice(cY, lev, (yt, xt))
                     xc, yc = xt // 2, yt // 2
+                    if use_subst:
+                        mct = _mask_at(tabCv[ct] if vert else tabC[ct],
+                                       yc // ct, xc // ct)
+                    else:
+                        mct = None
                     recb, levb = _tu(cbP, srcCb, cCb, xc, yc, mode_c,
                                      ct, qp, encode, lossless, n_modes,
-                                     rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd)
+                                     rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd,
+                                     subst_mask=mct)
                     cbP = jax.lax.dynamic_update_slice(
                         cbP, recb, (yc + 1, xc + 1))
                     cCb = jax.lax.dynamic_update_slice(
                         cCb, levb, (yc, xc))
                     recr, levr = _tu(crP, srcCr, cCr, xc, yc, mode_c,
                                      ct, qp, encode, lossless, n_modes,
-                                     rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd)
+                                     rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on, bd=bd,
+                                     subst_mask=mct)
                     crP = jax.lax.dynamic_update_slice(
                         crP, recr, (yc + 1, xc + 1))
                     cCr = jax.lax.dynamic_update_slice(
@@ -517,7 +568,8 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     # CCLM/MTT/LFNST/SDH; those ride the XLA scan (capability first)
     if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
             and not cfg.mtt and not cfg.lfnst \
-            and not cfg.sign_data_hiding and not cfg.dep_quant:
+            and not cfg.sign_data_hiding and not cfg.dep_quant \
+            and not cfg.ref_substitute:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)

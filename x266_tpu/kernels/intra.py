@@ -30,6 +30,49 @@ def _consts(size: int, n_modes: int = spec.NUM_MODES):
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+# ---- reference-sample substitution (C6 [STD-shaped], round-5) --------------
+
+@functools.cache
+def _subst_perm(size: int):
+    """Substitution scan permutation for the [corner, top 2s, left 2s]
+    reference layout (engine.recon._gather_ref): HEVC's scan runs left
+    column bottom->top, then corner, then top row left->right."""
+    s = size
+    perm = np.concatenate([np.arange(4 * s, 2 * s, -1), [0],
+                           np.arange(1, 2 * s + 1)]).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    return perm, inv
+
+
+def substitute_refs(refs: jnp.ndarray, mask: jnp.ndarray,
+                    mid: int) -> jnp.ndarray:
+    """HEVC-style reference substitution (C6 [STD], the 8.4.4.2.2
+    propagation scan; replaces the x266t constant-mid-gray deviation
+    when cfg.ref_substitute — FORMAT.md §9.2).
+
+    refs: (..., 4s+1) int32 gathered reference vectors; mask: same
+    shape bool, True = sample really reconstructed.  Each unavailable
+    entry takes the value of the nearest preceding available entry in
+    the scan order (left bottom->top, corner, top left->right);
+    entries before the first available one take the first available
+    value; a fully unavailable vector reads mid.  Pure VPU math: one
+    cummax + two gathers, batched over any leading dims.
+    """
+    s = (refs.shape[-1] - 1) // 4
+    perm, inv = _subst_perm(s)
+    v = refs[..., perm]
+    m = mask[..., perm]
+    n = v.shape[-1]
+    j = jnp.arange(n, dtype=jnp.int32)
+    last_av = jax.lax.cummax(jnp.where(m, j, -1), axis=v.ndim - 1)
+    first_av = jnp.argmax(m, axis=-1).astype(jnp.int32)[..., None]
+    src = jnp.where(last_av >= 0, last_av, first_av)
+    filled = jnp.take_along_axis(v, src, axis=-1)
+    any_av = jnp.any(m, axis=-1, keepdims=True)
+    filled = jnp.where(any_av, filled, mid)
+    return filled[..., inv]
+
+
 def extend_refs(refs: jnp.ndarray, size: int) -> jnp.ndarray:
     """(B, R) int32 raw refs -> (B, 2R) [raw, smoothed].
 
