@@ -54,16 +54,22 @@ def bd_rate(anchor: list[tuple[float, float]],
     return float((np.exp(vt - va) - 1.0) * 100.0)
 
 
-# tool key -> (anchor overrides, test overrides)
+# tool key -> (anchor overrides, test overrides).
+# pdpc/cclm/mip are measured ON TOP of reference substitution (their
+# shipping form: round-4 falsification proved the mid-gray rule is what
+# made the PDPC blend lose, VERDICT r04 item 3), so the anchor carries
+# ref_substitute too and the row isolates the tool itself.
+_RS = dict(ref_substitute=True)
 TOOLS = {
+    "refsubst": (dict(), dict(ref_substitute=True)),
     "sdh": (dict(), dict(sign_data_hiding=True)),
     "dq": (dict(), dict(dep_quant=True)),
     "lfnst": (dict(), dict(lfnst=True)),
-    "mip": (dict(), dict(mip=True)),
-    "pdpc": (dict(), dict(pdpc=True)),
+    "mip": (_RS, dict(mip=True, **_RS)),
+    "pdpc": (_RS, dict(pdpc=True, **_RS)),
     "mtt": (dict(), dict(mtt=True)),
     "ts": (dict(), dict(transform_skip=True)),
-    "cclm": (dict(), dict(cclm=True)),
+    "cclm": (_RS, dict(cclm=True, **_RS)),
     "sdh_inter": (dict(intra_period=8),
                   dict(intra_period=8, sign_data_hiding=True)),
     "dq_inter": (dict(intra_period=8),

@@ -778,7 +778,8 @@ def make_recon_inter_raw(cfg: CodecConfig, encode: bool,
                                   ux // (s // 8))
                     ref = kintra.substitute_refs(ref, ml, mid)
                 pred_i = kintra.predict_mode(ref, mode, s, n_modes,
-                                             pdpc=cfg.pdpc,
+                                             pdpc=kintra._pdpc_on(
+                                                 cfg.pdpc, s),
                                              left_ok=x > 0, top_ok=y > 0)
                 pred_m = mc2(pyr_y, pyr1_y, x, y, mvx, mvy,
                              m1x if b_mode else mvx,

@@ -151,7 +151,7 @@ def _eval_size(plane: jnp.ndarray, size: int, cfg: CodecConfig,
     refs = _mask_refs(refs, mask, cfg)
 
     preds = kintra.predict_all_modes(
-        refs, s, cfg.n_pred_modes, pdpc=cfg.pdpc and _passa_pdpc(),
+        refs, s, cfg.n_pred_modes, pdpc=kintra._pdpc_on(cfg.pdpc, s) and _passa_pdpc(),
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
         top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, s)[:, None]           # (B, 1, s, s)
@@ -236,7 +236,7 @@ def _eval_pair(plane: jnp.ndarray, t: int, cfg: CodecConfig,
         avail.ref_availability_masks(w, h, t).reshape(nb, -1))
     refs = _mask_refs(refs, mask, cfg)
     preds = kintra.predict_all_modes(
-        refs, t, cfg.n_pred_modes, pdpc=cfg.pdpc and _passa_pdpc(),
+        refs, t, cfg.n_pred_modes, pdpc=kintra._pdpc_on(cfg.pdpc, t) and _passa_pdpc(),
         left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
         top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
     orig = _block_gather(plane, gy, gx, t)[:, None]
@@ -471,7 +471,7 @@ def make_mts_select_raw(cfg: CodecConfig):
                 avail.ref_availability_masks(w, h, s).reshape(nb, -1))
             refs = _mask_refs(refs, mask, cfg)
             preds = kintra.predict_all_modes(
-                refs, s, n_modes, pdpc=cfg.pdpc and _passa_pdpc(),
+                refs, s, n_modes, pdpc=kintra._pdpc_on(cfg.pdpc, s) and _passa_pdpc(),
                 left_ok=jnp.asarray((xs_np > 0).astype(np.int32)),
                 top_ok=jnp.asarray((ys_np > 0).astype(np.int32)))
             pred = jnp.take_along_axis(

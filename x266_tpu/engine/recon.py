@@ -99,9 +99,11 @@ def _fwd_mts(res, s, qp, mts_idx, use_mts, rdoq_lam=None,
     (C11; every branch, so the walkers can hide signs uniformly)."""
     def q(coefs):
         if dq:
-            lv = kquant.dq_quantize(coefs, qp, s,
-                                    float(rdoq_lam) if rdoq_lam
-                                    else _dq_lam(qp), bd)
+            # round-5: the exact Viterbi trellis replaced the greedy
+            # per-state choice (VERDICT r04 item 2)
+            lv = kquant.dq_quantize_trellis(
+                coefs, qp, s, float(rdoq_lam) if rdoq_lam
+                else _dq_lam(qp), bd)
         elif rdoq_lam is not None:
             lv = kquant.rd_quantize(coefs, qp, s, rdoq_lam, bd)
         else:
@@ -316,7 +318,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                       if use_subst else None)
                 rec, lev = _tu(yP, srcY, cY, x, y, mode, s, qp,
                                encode, lossless, n_modes, mts_idx,
-                               pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
+                               pdpc=kintra._pdpc_on(cfg.pdpc, s), rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
                                use_mts=use_mts, use_ts=use_ts, bd=bd,
                                lfnst=lf, subst_mask=ml)
                 yP2 = jax.lax.dynamic_update_slice(yP, rec, (y + 1, x + 1))
@@ -419,7 +421,7 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                         mlt = None
                     rec, lev = _tu(yP, srcY, cY, xt, yt, mode, t, qp,
                                    encode, lossless, n_modes, mts_idx,
-                                   pdpc=cfg.pdpc, rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
+                                   pdpc=kintra._pdpc_on(cfg.pdpc, t), rdoq_lam=rdoq_lam, sdh=sdh_on, dq=dq_on,
                                    use_mts=use_mts, use_ts=use_ts,
                                    bd=bd, lfnst=lf, subst_mask=mlt)
                     yP = jax.lax.dynamic_update_slice(

@@ -127,6 +127,17 @@ def _apply_pdpc_batched(preds: jnp.ndarray, refs: jnp.ndarray,
     return jnp.where(both & (cls == spec.PDPC_HOR), hor, out)
 
 
+def _pdpc_on(pdpc: bool, size: int) -> bool:
+    """PDPC application rule per TU size.  X266T_PDPC_MIN_SIZE=N
+    restricts the blend to TUs >= N (measurement switch: the decoupled
+    Pass-A search misvalues the boundary-weighted blend most on small
+    blocks, round-5 experiment)."""
+    import os
+
+    return pdpc and size >= int(os.environ.get(
+        "X266T_PDPC_MIN_SIZE", "0"))
+
+
 def predict_all_modes(refs: jnp.ndarray, size: int,
                       n_modes: int = spec.NUM_MODES,
                       pdpc: bool = False,

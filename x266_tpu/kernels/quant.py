@@ -309,6 +309,130 @@ def dq_quantize(coef: jnp.ndarray, qp: int, size: int, lam: float,
     return out.at[..., ys, xs].set(lev)
 
 
+def _minplus(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(min,+) matrix product over the trailing (4, 4) dims:
+    (x @ y)[a, c] = min_b x[a, b] + y[b, c]."""
+    return jnp.min(x[..., :, :, None] + y[..., None, :, :], axis=-2)
+
+
+def dq_quantize_trellis(coef: jnp.ndarray, qp: int, size: int,
+                        lam: float, bit_depth: int = 8) -> jnp.ndarray:
+    """Exact 4-state Viterbi dependent quantization (C11, round-5 —
+    VERDICT r04 item 2: the trellis the greedy dq_quantize lacked).
+
+    Per coding-order position j and DQ state a, the legal moves are
+    the two parities p (next state DQ_TRANS[a][p]); each move's cost
+    is the best level of that parity under state a's quantizer
+    (D + lambda*R, the rd_quantize surrogate).  The joint
+    minimization over the whole TU is a shortest path through the
+    4-state trellis, computed TPU-first: per-position (4, 4) (min,+)
+    transition matrices composed with jax.lax.associative_scan
+    (prefix AND suffix products, log depth instead of VVC's
+    sequential sweep), then the optimal state at every position read
+    off as argmin_b prefix[j][0, b] + min_c suffix[j+1][b, c].
+
+    Tie-broken state sequences can in principle disagree with the
+    transition structure at a position; the emitted level then comes
+    from a legal-parity fallback and the DECODER is unaffected either
+    way — it re-derives states from the levels' parities
+    (dq_dequantize), so any emitted level field is decodable and the
+    cost model is exact for consistent paths.
+
+    Batched over leading dims; coef (..., size, size) -> levels.
+    """
+    tsh = transform_shift(size, bit_depth)
+    qbits = 14 + qp // 6 + tsh
+    scale = int(QUANT_SCALES[qp % 6])
+    ishift = 6 - tsh
+    dscale = int(DEQUANT_SCALES[qp % 6]) << (qp // 6)
+    err_scale = float(2.0 ** (-2 * tsh))
+
+    ys, xs = _dq_perm(size)
+    c = coef.astype(jnp.int32)[..., ys, xs]       # (..., n) coding order
+    a = jnp.abs(c)
+    n = a.shape[-1]
+
+    def lev_cost(k, q1):
+        dq = ((2 * k - q1 * (k > 0)) * dscale
+              + (1 << ishift)) >> (ishift + 1)
+        e = (a - dq).astype(jnp.float32)
+        rate = jnp.where(
+            k > 0, 3.0 + 2.0 * jnp.log2(k.astype(jnp.float32) + 1.0),
+            0.0625)
+        return e * e * err_scale + lam * rate
+
+    BIG = jnp.float32(3.0e38)
+    # best level + cost per (quantizer q1, parity p), elementwise
+    levs = []          # [q1][p] -> (..., n) int32
+    costs = []         # [q1][p] -> (..., n) f32
+    for q1 in (0, 1):
+        u = (a * scale + (1 << (qbits - 2))) >> (qbits - 1)
+        kup = jnp.clip((u + q1 + 1) >> 1, 0, 32767)
+        kdn = jnp.maximum(kup - 1, 0)
+        cu, cd = lev_cost(kup, q1), lev_cost(kdn, q1)
+        c0 = lev_cost(jnp.zeros_like(a), q1)
+        lrow, crow = [], []
+        for p in (0, 1):
+            ku_ok = (kup & 1) == p
+            kd_ok = (kdn & 1) == p
+            cu_p = jnp.where(ku_ok, cu, BIG)
+            cd_p = jnp.where(kd_ok, cd, BIG)
+            kbest = jnp.where(cu_p <= cd_p, kup, kdn)
+            cbest = jnp.minimum(cu_p, cd_p)
+            if p == 0:             # k = 0 always has parity 0
+                kbest = jnp.where(c0 <= cbest, 0, kbest)
+                cbest = jnp.minimum(c0, cbest)
+            lrow.append(kbest)
+            crow.append(cbest)
+        levs.append(lrow)
+        costs.append(crow)
+
+    # (..., n, 4, 4) transition matrices M[j][a][b]
+    trans = np.asarray(DQ_TRANS)                  # [a][p] -> b
+    m = jnp.full(a.shape + (4, 4), BIG)
+    for st in range(4):
+        q1 = int(st >= 2)
+        for p in (0, 1):
+            b = int(trans[st][p])
+            m = m.at[..., st, b].set(
+                jnp.minimum(m[..., st, b], costs[q1][p]))
+
+    axis = a.ndim                                 # the n axis of m
+    pref = jax.lax.associative_scan(_minplus, m, axis=axis - 1)
+    # suffix products M_j (x) ... (x) M_{n-1}: reverse=True composes in
+    # flipped order, so scan the TRANSPOSES ((A(x)B)^T = B^T (x) A^T)
+    # and transpose back.
+    mt = jnp.swapaxes(m, -1, -2)
+    suff = jnp.swapaxes(
+        jax.lax.associative_scan(_minplus, mt, axis=axis - 1,
+                                 reverse=True), -1, -2)
+    alpha = pref[..., 0, :]                       # (..., n, 4) from state 0
+    beta = jnp.min(suff, axis=-1)                 # (..., n, 4) to any end
+    # optimal state AFTER position j
+    tail = jnp.concatenate(
+        [beta[..., 1:, :], jnp.zeros_like(beta[..., :1, :])], axis=-2)
+    sigma = jnp.argmin(alpha + tail, axis=-1)     # (..., n)
+    # state BEFORE position j (sigma shifted; start state 0)
+    before = jnp.concatenate(
+        [jnp.zeros_like(sigma[..., :1]), sigma[..., :-1]], axis=-1)
+    # parity implied by the transition before -> sigma (legal p, else 0)
+    t_of = jnp.asarray(trans)                     # (4, 2)
+    p1_next = t_of[:, 1][before]                  # state if p=1 chosen
+    p_j = (p1_next == sigma).astype(jnp.int32)    # else parity 0
+    q_j = (before >= 2).astype(jnp.int32)
+    lev_pp = jnp.stack(
+        [jnp.stack(levs[0], axis=-1), jnp.stack(levs[1], axis=-1)],
+        axis=-2)                                  # (..., n, q, p)
+    k = jnp.take_along_axis(
+        jnp.take_along_axis(lev_pp, q_j[..., None, None],
+                            axis=-2)[..., 0, :],
+        p_j[..., None], axis=-1)[..., 0]
+    k = jnp.where(a > 0, k, 0)    # zero coefs emit 0 (sign would drop
+    lev = jnp.sign(c) * k         # the level; keep parity consistent)
+    out = jnp.zeros_like(coef)
+    return out.at[..., ys, xs].set(lev)
+
+
 def dq_dequantize(lev: jnp.ndarray, qp: int, size: int,
                   bit_depth: int = 8) -> jnp.ndarray:
     """Dependent dequantization: derive the state sequence from the
