@@ -21,7 +21,8 @@ PATH = os.path.join(os.path.dirname(__file__), "bd_rates.json")
 # preset-relevant tool key -> CodecConfig flag
 FLAGS = {"sdh": "sign_data_hiding", "dq": "dep_quant",
          "lfnst": "lfnst", "mip": "mip", "pdpc": "pdpc", "mtt": "mtt",
-         "cclm": "cclm", "ts": "transform_skip"}
+         "cclm": "cclm", "ts": "transform_skip",
+         "refsubst": "ref_substitute"}
 
 
 @pytest.fixture(scope="module")

@@ -39,7 +39,7 @@ class Decoder:
                     rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x,
                     cfg.alf_chroma, cfg.alf_nonlinear, cfg.ccalf,
                     has_wp=cfg.weighted_pred,
-                    n_bands=cfg.num_tiles)
+                    n_bands=cfg.num_tiles, has_rpl=cfg.rpl)
                 use = cfg if sh.qp == cfg.qp else cfg.replace(qp=sh.qp)
                 poc = sh.poc
                 if (cfg.tile_rows or cfg.tile_cols) \
@@ -50,14 +50,21 @@ class Decoder:
                     from x266_tpu.engine.picture import (
                         decode_picture_inter_tiled, refs_from_frame)
                     if sh.slice_type == SliceType.B:
-                        l0 = max(p for p in dpb if p < poc)
-                        l1 = min(p for p in dpb if p > poc)
+                        if sh.rpl is not None:
+                            l0 = poc - sh.rpl[0][0]
+                            l1 = poc - sh.rpl[1][0]
+                        else:
+                            l0 = max(p for p in dpb if p < poc)
+                            l1 = min(p for p in dpb if p > poc)
                         frame, refs = decode_picture_inter_tiled(
                             use, sh, rbsp[off:], dpb[l0], dpb[l1])
                         if poc % 2 == 0:
                             dpb[poc] = refs
                     elif sh.slice_type == SliceType.P:
-                        ref = dpb[max(p for p in dpb if p < poc)]
+                        rp = (poc - sh.rpl[0][0]
+                              if sh.rpl is not None
+                              else max(p for p in dpb if p < poc))
+                        ref = dpb[rp]
                         frame, refs = decode_picture_inter_tiled(
                             use, sh, rbsp[off:], ref)
                         dpb[poc] = refs
@@ -74,19 +81,26 @@ class Decoder:
                             dpb = {poc: dpb[poc]}
                     continue
                 if sh.slice_type == SliceType.B:
-                    below = sorted(p for p in dpb if p < poc)
-                    above = [p for p in dpb if p > poc]
-                    l0 = below[-1]
-                    if above:
-                        # random-access hierarchy: nearest future ref
-                        l1 = min(above)
-                        is_ref = poc % 2 == 0   # leaf-B rule (mirror)
+                    if sh.rpl is not None:
+                        # signalled RPL (C16, round-5): the header
+                        # names the active references directly
+                        l0 = poc - sh.rpl[0][0]
+                        l1 = poc - sh.rpl[1][0]
+                        is_ref = (poc % 2 == 0 if l1 > poc else True)
                     else:
-                        # low-delay GPB (cfg.multi_ref): L1 = the
-                        # second-nearest PAST picture; every picture
-                        # stays referenceable
-                        l1 = below[-2]
-                        is_ref = True
+                        below = sorted(p for p in dpb if p < poc)
+                        above = [p for p in dpb if p > poc]
+                        l0 = below[-1]
+                        if above:
+                            # random-access: nearest future ref
+                            l1 = min(above)
+                            is_ref = poc % 2 == 0   # leaf-B mirror
+                        else:
+                            # low-delay GPB (cfg.multi_ref): L1 = the
+                            # second-nearest PAST picture; every
+                            # picture stays referenceable
+                            l1 = below[-2]
+                            is_ref = True
                     frame, pyr = decode_picture_b(
                         use, sh, rbsp[off:], dpb[l0], dpb[l1],
                         with_pyramids=is_ref)
@@ -94,8 +108,11 @@ class Decoder:
                         dpb[poc] = pyr
                 elif (sh.slice_type == SliceType.P
                       or nal_type == NalType.TRAIL):
-                    ref = (dpb[max(p for p in dpb if p < poc)]
-                           if dpb else last_ref)
+                    if sh.rpl is not None and dpb:
+                        ref = dpb[poc - sh.rpl[0][0]]
+                    else:
+                        ref = (dpb[max(p for p in dpb if p < poc)]
+                               if dpb else last_ref)
                     frame, pyr = decode_picture_gop(
                         use, sh, rbsp[off:], ref)
                     dpb[poc] = pyr
@@ -118,8 +135,11 @@ class Decoder:
                             del dpb[p]
                 elif poc in dpb:
                     # low-delay chain: the latest picture (GPB: the
-                    # latest two) stays referenceable
-                    keep = sorted(dpb)[-2 if cfg.multi_ref else -1:]
+                    # latest two; signalled-RPL GPB: four) stays
+                    # referenceable
+                    n_keep = (4 if (cfg.rpl and cfg.multi_ref)
+                              else 2 if cfg.multi_ref else 1)
+                    keep = sorted(dpb)[-n_keep:]
                     dpb = {p: dpb[p] for p in keep}
             elif nal_type == NalType.EOS:
                 break

@@ -211,7 +211,8 @@ class Encoder:
                   if (cfg.weighted_pred and poc % cfg.intra_period)
                   else None)
             fin, pyramids, st = encode_picture_gop_async(
-                fcfg, frame, poc, pyramids, self.with_recon, wp=wp)
+                fcfg, frame, poc, pyramids, self.with_recon, wp=wp,
+                ref_poc=poc - 1)
             pending.append((fin, st))
             while len(pending) > (1 if rc is None else 0):
                 drain()
@@ -235,7 +236,14 @@ class Encoder:
         recons: list[Frame] = []
         frame_bits: list[int] = []
         sses: list = []
-        refs: list = []               # device pyramids, newest LAST
+        # 4-entry DPB, newest last: [(poc, pyramids)].  Without
+        # cfg.rpl the active pair is fixed {t-1, t-2} (the decoder's
+        # decode-history derivation); with cfg.rpl the encoder picks
+        # the best two of up to four by decimated-SAD against the
+        # source and SIGNALS them (C16 signalled RPL + adaptive
+        # reference selection, round-5).
+        dpb_n = 4 if cfg.rpl else 2
+        refs: list[tuple] = []
         pending: list[tuple] = []
 
         def drain():
@@ -248,27 +256,41 @@ class Encoder:
             frame_bits.append(8 * len(nal))
             sses.append(sse)
 
+        def pick_refs(frame):
+            if not cfg.rpl or len(refs) == 2:
+                return refs[-1], refs[-2]
+            cur = frame.y[::4, ::4].astype(np.int32)
+            scored = sorted(
+                refs, key=lambda e: int(np.abs(
+                    frames[e[0]].y[::4, ::4].astype(np.int32)
+                    - cur).sum()))
+            a, b = scored[0], scored[1]
+            return a, b
+
         for poc, frame in enumerate(frames):
             if poc % cfg.intra_period == 0:
                 fin, pyr, _ = encode_picture_gop_async(
                     cfg, frame, poc, None, self.with_recon)
-                refs = [pyr]
+                refs = [(poc, pyr)]
                 nt = NalType.IDR
             elif len(refs) < 2:
                 wp = (fit_weight(frame, frames[poc - 1])
                       if cfg.weighted_pred else None)
                 fin, pyr, _ = encode_picture_gop_async(
-                    cfg, frame, poc, refs[-1], self.with_recon, wp=wp)
-                refs.append(pyr)
+                    cfg, frame, poc, refs[-1][1], self.with_recon,
+                    wp=wp, ref_poc=refs[-1][0])
+                refs.append((poc, pyr))
                 nt = NT.TRAIL
             else:
-                wp = ([fit_weight(frame, frames[poc - 1]),
-                       fit_weight(frame, frames[poc - 2])]
+                (p0, r0), (p1, r1) = pick_refs(frame)
+                wp = ([fit_weight(frame, frames[p0]),
+                       fit_weight(frame, frames[p1])]
                       if cfg.weighted_pred else None)
                 fin, pyr = encode_picture_b_async(
-                    cfg, frame, poc, refs[-1], refs[-2],
-                    self.with_recon, with_pyramids=True, wp=wp)
-                refs = [refs[-1], pyr]
+                    cfg, frame, poc, r0, r1,
+                    self.with_recon, with_pyramids=True, wp=wp,
+                    ref_pocs=[[p0], [p1]])
+                refs = (refs + [(poc, pyr)])[-dpb_n:]
                 nt = NT.TRAIL
             pending.append((fin, nt))
             while len(pending) > 1:
@@ -325,7 +347,8 @@ class Encoder:
                       if cfg.weighted_pred else None)
                 fin, pyr = encode_picture_b_async(
                     bc, frames[poc], poc, dpb[l0], dpb[l1],
-                    self.with_recon, with_pyramids=is_ref, wp=wp)
+                    self.with_recon, with_pyramids=is_ref, wp=wp,
+                    ref_pocs=[[l0], [l1]])
                 nal_slot[poc] = NalType.TRAIL
             else:
                 rpoc = (None if kind == "I"
@@ -335,7 +358,8 @@ class Encoder:
                       if (cfg.weighted_pred and rpoc is not None)
                       else None)
                 fin, pyr, st = encode_picture_gop_async(
-                    cfg, frames[poc], poc, ref, self.with_recon, wp=wp)
+                    cfg, frames[poc], poc, ref, self.with_recon, wp=wp,
+                    ref_poc=rpoc)
                 nal_slot[poc] = (NT.IDR if st.name == "I"
                                  else NT.TRAIL)
             if pyr is not None:

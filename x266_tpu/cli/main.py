@@ -53,7 +53,7 @@ def cmd_encode(args) -> int:
         alf_nonlinear=args.alf_nonlinear, ccalf=args.ccalf,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, ref_substitute=args.ref_subst,
-        rdoq=args.rdoq,
+        rpl=args.rpl, rdoq=args.rdoq,
         sign_data_hiding=args.sdh, dep_quant=args.dep_quant,
         weighted_pred=args.weighted_pred,
         merge_cands=args.merge_cands, cclm=args.cclm, mtt=args.mtt,
@@ -146,6 +146,55 @@ def _force_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def cmd_stats(args) -> int:
+    """Bitstream analyzer (C19): NAL walk printing sequence geometry,
+    tool flags and per-slice type/QP/size/segment count + the SIGNALLED
+    reference lists (C16 RPL, round-5) or the derivation rule."""
+    from x266_tpu.core import headers
+    from x266_tpu.core.nal import NalType, split_nals
+
+    with open(args.input, "rb") as f:
+        stream = f.read()
+    cfg = None
+    for nal_type, rbsp in split_nals(stream):
+        if nal_type == NalType.SPS:
+            cfg = headers.parse_sps(rbsp)
+            flags = [k for k in (
+                "lossless deblock sao sao_chroma alf alf_chroma "
+                "alf_nonlinear ccalf mts transform_skip pdpc "
+                "ref_substitute merge_cands cclm mtt lfnst mip "
+                "multi_ref ctx_init sign_data_hiding dep_quant "
+                "weighted_pred amvp rpl").split()
+                if getattr(cfg, k)]
+            print(f"SPS  {cfg.width}x{cfg.height} {cfg.bit_depth}-bit "
+                  f"profile={cfg.profile.name} ip={cfg.intra_period} "
+                  f"gop={cfg.gop_size} tiles={cfg.num_tiles} "
+                  f"segs={cfg.num_segments}")
+            print(f"     tools: {' '.join(flags) or '(none)'}")
+        elif nal_type == NalType.PPS:
+            print(f"PPS  qp={headers.parse_pps(rbsp)['qp']}")
+        elif nal_type in (NalType.IDR, NalType.TRAIL) and cfg:
+            sh, off = headers.parse_slice_header(
+                rbsp, cfg.alf, cfg.ctus_y * cfg.ctus_x,
+                cfg.alf_chroma, cfg.alf_nonlinear, cfg.ccalf,
+                has_wp=cfg.weighted_pred, n_bands=cfg.num_tiles,
+                has_rpl=cfg.rpl)
+            if sh.rpl is not None:
+                lists = " ".join(
+                    f"L{i}=[{','.join(str(sh.poc - d) for d in l)}]"
+                    for i, l in enumerate(sh.rpl))
+                refs = f"refs(signalled) {lists}"
+            elif sh.slice_type != 0:
+                refs = "refs derived from decode history"
+            else:
+                refs = ""
+            print(f"{'IDR' if nal_type == NalType.IDR else 'SLC'} "
+                  f"poc={sh.poc:4d} {sh.slice_type.name} qp={sh.qp} "
+                  f"{len(rbsp)} bytes {len(sh.entry_points) + 1} seg "
+                  f"{refs}")
+    return 0
+
+
 def main(argv=None) -> int:
     _force_platform()
     p = argparse.ArgumentParser(prog="x266t")
@@ -186,6 +235,11 @@ def main(argv=None) -> int:
                    help="HEVC-style reference-sample substitution "
                         "(C6): fill unavailable intra refs from the "
                         "nearest available instead of mid-gray")
+    e.add_argument("--rpl", action="store_true",
+                   help="signalled reference picture lists (C16): "
+                        "inter slice headers carry their active "
+                        "reference POCs; enables the 4-entry DPB with "
+                        "adaptive reference selection in GPB mode")
     e.add_argument("--rdoq", action="store_true",
                    help="RD-optimized quantization (encoder-only)")
     e.add_argument("--sdh", action="store_true",
@@ -250,6 +304,11 @@ def main(argv=None) -> int:
     d.add_argument("-i", "--input", required=True)
     d.add_argument("-o", "--output", required=True)
     d.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("stats", help="analyze an x266t bitstream: "
+                       "per-slice type/QP/bits/segments/ref lists")
+    s.add_argument("-i", "--input", required=True)
+    s.set_defaults(fn=cmd_stats)
 
     v = sub.add_parser("version")
     v.set_defaults(fn=lambda a: print("x266t", __import__(

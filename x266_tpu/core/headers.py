@@ -47,6 +47,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.dep_quant)
     w.flag(cfg.weighted_pred)
     w.flag(cfg.amvp)
+    w.flag(cfg.rpl)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.tile_cols)
@@ -87,6 +88,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     dep_quant = r.flag()
     weighted_pred = r.flag()
     amvp = r.flag()
+    rpl = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     tile_cols = r.ue()
@@ -107,7 +109,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        sign_data_hiding=sign_data_hiding,
                        dep_quant=dep_quant,
                        weighted_pred=weighted_pred, amvp=amvp,
-                       rows_per_segment=rows_per_segment,
+                       rpl=rpl, rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, tile_cols=tile_cols,
                        intra_period=intra_period,
                        gop_size=gop_size)
@@ -161,6 +163,16 @@ class SliceHeader:
     # per reference list [w_luma, o_luma, w_chroma, o_chroma], denom 64
     # (4 ints for P, 8 for B)
     wp: list[int] | None = None
+    # signalled reference picture lists (C16, iff SPS rpl and inter
+    # slice; round-5): per list, the active references as POC deltas
+    # (this POC - ref POC; negative = future, RA L1).  [[L0], [L1]]
+    # for B, [[L0]] for P.  A per-slice presence flag lets encode
+    # paths that have not plumbed ref POCs fall back to the legacy
+    # decode-history derivation.
+    rpl: list[list[int]] | None = None
+    # writer-side: SPS rpl is on and this is an inter slice, so the
+    # presence flag must be emitted even when rpl is None (legacy path)
+    rpl_expected: bool = False
 
 
 def write_slice_header(sh: SliceHeader) -> bytes:
@@ -195,6 +207,14 @@ def write_slice_header(sh: SliceHeader) -> bytes:
     if sh.wp is not None:
         for i, v in enumerate(sh.wp):
             w.se(int(v) - (64 if i % 2 == 0 else 0))
+    if sh.rpl is not None:
+        w.flag(True)
+        for lst in sh.rpl:
+            w.ue(len(lst))
+            for d in lst:
+                w.se(int(d))
+    elif sh.rpl_expected:
+        w.flag(False)
     w.align()
     return w.bytes_value()
 
@@ -205,7 +225,8 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
                        has_alf_nonlinear: bool = False,
                        has_ccalf: bool = False,
                        has_wp: bool = False,
-                       n_bands: int = 1
+                       n_bands: int = 1,
+                       has_rpl: bool = False
                        ) -> tuple[SliceHeader, int]:
     """Returns (header, payload_byte_offset_within_rbsp).
 
@@ -238,8 +259,13 @@ def parse_slice_header(rbsp: bytes, has_alf: bool = False,
     if has_wp and st != SliceType.I:
         n_wp = 8 if st == SliceType.B else 4
         wp = [r.se() + (64 if i % 2 == 0 else 0) for i in range(n_wp)]
+    rpl = None
+    if has_rpl and st != SliceType.I and r.flag():
+        n_lists = 2 if st == SliceType.B else 1
+        rpl = [[r.se() for _ in range(r.ue())]
+               for _ in range(n_lists)]
     r.align()
     return SliceHeader(st, poc, qp, entries, alf_coeffs,
                        alf_flags, alf_ccoeffs, alf_cflags,
                        alf_clips, alf_cclips, ccalf_coeffs,
-                       ccalf_flags, wp), r.byte_position
+                       ccalf_flags, wp, rpl), r.byte_position

@@ -214,10 +214,13 @@ def band_alf_tuple(maps: dict) -> tuple:
 def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
                    slice_type: SliceType = SliceType.I,
                    alf: tuple | list | None = None,
-                   wp: list[int] | None = None) -> bytes:
+                   wp: list[int] | None = None,
+                   ref_pocs: list[list[int]] | None = None) -> bytes:
     """alf: the per-band ALF parameter tuples — a list with one tuple
     per tile band (band-major header layout, SliceHeader docstring), or
-    a bare tuple for the common single-band case."""
+    a bare tuple for the common single-band case.  ref_pocs: the
+    active reference POCs per list ([[L0], [L1]] for B) — signalled as
+    POC deltas when cfg.rpl (C16 signalled RPL, round-5)."""
     entry_points = list(np.cumsum([len(s) for s in segments[:-1]]))
     payload = b"".join(segments) + b"\x80"   # stop byte: RBSP can't end 00
     coeffs = flags = ccoeffs = cflags = None
@@ -260,13 +263,19 @@ def assemble_slice(cfg: CodecConfig, poc: int, segments: list[bytes],
             ccoeffs = cflags = cclips = None
         if not cfg.ccalf:
             cc_coeffs = cc_flags = None
+    rpl = None
+    if cfg.rpl and slice_type != SliceType.I and ref_pocs is not None:
+        rpl = [[poc - rp for rp in lst] for lst in ref_pocs]
     sh = SliceHeader(slice_type, poc=poc, qp=cfg.qp,
                      entry_points=[int(e) for e in entry_points],
                      alf_coeffs=coeffs, alf_flags=flags,
                      alf_ccoeffs=ccoeffs, alf_cflags=cflags,
                      alf_clips=clips, alf_cclips=cclips,
                      ccalf_coeffs=cc_coeffs, ccalf_flags=cc_flags,
-                     wp=(None if slice_type == SliceType.I else wp))
+                     wp=(None if slice_type == SliceType.I else wp),
+                     rpl=rpl,
+                     rpl_expected=(cfg.rpl
+                                   and slice_type != SliceType.I))
     return write_slice_header(sh) + payload
 
 
@@ -522,7 +531,7 @@ def _finalize_common(cfg, out, with_recon, n_fixed=3, inter=True):
 
 def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
                              pyramids, with_recon: bool = True,
-                             device=None, wp=None):
+                             device=None, wp=None, ref_poc=None):
     """Dispatch one GOP picture's device step WITHOUT blocking.
 
     Returns (finalize, new_pyramids, slice_type): new_pyramids are
@@ -578,7 +587,9 @@ def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
                 maps["ccalf_flag"]) if cfg.alf else None)
         rbsp = assemble_slice(
             cfg, poc, segments, st, alf,
-            wp=(wp if (is_p and cfg.weighted_pred) else None))
+            wp=(wp if (is_p and cfg.weighted_pred) else None),
+            ref_pocs=([[ref_poc]] if (is_p and ref_poc is not None)
+                      else None))
         return rbsp, recon, sse
 
     return finalize, new_pyr, st
@@ -646,7 +657,8 @@ def gop_coding_order(n: int, intra_period: int, gop: int
 
 def encode_picture_b_async(cfg: CodecConfig, frame: Frame, poc: int,
                            pyr0, pyr1, with_recon: bool = True,
-                           with_pyramids: bool = True, wp=None):
+                           with_pyramids: bool = True, wp=None,
+                           ref_pocs=None):
     """Dispatch one B picture's device step WITHOUT blocking; see
     encode_picture_gop_async.  Returns (finalize, new_pyramids|None);
     finalize() -> (rbsp, recon|None, sse)."""
@@ -690,7 +702,8 @@ def encode_picture_b_async(cfg: CodecConfig, frame: Frame, poc: int,
                 maps["ccalf_flag"]) if cfg.alf else None)
         rbsp = assemble_slice(
             cfg, poc, segments, SliceType.B, alf,
-            wp=([*wp[0], *wp[1]] if cfg.weighted_pred else None))
+            wp=([*wp[0], *wp[1]] if cfg.weighted_pred else None),
+            ref_pocs=ref_pocs)
         return rbsp, recon, sse
 
     return finalize, new_pyr
