@@ -113,3 +113,18 @@ def test_y4m_roundtrip(tmp_path):
     for a, b in zip(frames, got):
         assert (a.y == b.y).all() and (a.cb == b.cb).all() \
             and (a.cr == b.cr).all()
+
+
+def test_vps_roundtrip_and_level():
+    from x266_tpu.config import CodecConfig, Profile
+    from x266_tpu.core import headers
+
+    cfg = CodecConfig(width=1920, height=1080, profile=Profile.VVC,
+                      mts=True, rdoq=True)
+    v = headers.parse_vps(headers.write_vps(cfg))
+    assert v["profile_idc"] == headers.PROFILE_IDS[Profile.VVC]
+    assert v["level_idc"] == 40          # 1080p class
+    assert v["max_dpb_pictures"] == 2
+    cfg4k = CodecConfig(width=3840, height=2160, rpl=True)
+    v4 = headers.parse_vps(headers.write_vps(cfg4k))
+    assert v4["level_idc"] == 50 and v4["max_dpb_pictures"] == 4

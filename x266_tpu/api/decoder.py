@@ -27,9 +27,22 @@ class Decoder:
         frames: dict[int, Frame] = {}
         dpb: dict[int, tuple] = {}    # poc -> device pyramids (C16)
         last_ref = None               # low-delay chain reference
+        vps = None
         for nal_type, rbsp in split_nals(stream):
-            if nal_type == NalType.SPS:
+            if nal_type == NalType.VPS:
+                vps = headers.parse_vps(rbsp)
+            elif nal_type == NalType.SPS:
                 cfg = headers.parse_sps(rbsp)
+                if vps is not None:
+                    want = headers.PROFILE_IDS[cfg.profile]
+                    if vps["profile_idc"] != want:
+                        raise ValueError(
+                            f"VPS profile {vps['profile_idc']} != SPS "
+                            f"profile {want}")
+                    if vps["level_idc"] < headers.level_for(cfg):
+                        raise ValueError(
+                            f"stream exceeds its signalled level "
+                            f"{vps['level_idc']}")
             elif nal_type == NalType.PPS:
                 qp = headers.parse_pps(rbsp)["qp"]
             elif nal_type in (NalType.IDR, NalType.TRAIL):

@@ -90,7 +90,8 @@ class Encoder:
         for frame in frames:
             if (frame.height, frame.width) != (cfg.height, cfg.width):
                 raise ValueError("frame size does not match config")
-        out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+        out = [write_nal(NalType.VPS, headers.write_vps(cfg)),
+               write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
         if cfg.intra_period != 1 or self.rate_control is not None:
             return self._encode_gop(cfg, frames, out)

@@ -157,7 +157,13 @@ def cmd_stats(args) -> int:
         stream = f.read()
     cfg = None
     for nal_type, rbsp in split_nals(stream):
-        if nal_type == NalType.SPS:
+        if nal_type == NalType.VPS:
+            v = headers.parse_vps(rbsp)
+            tier = "high" if v["tier"] else "main"
+            print(f"VPS  profile_idc={v['profile_idc']} tier={tier} "
+                  f"level={v['level_idc']} "
+                  f"max_dpb={v['max_dpb_pictures']}")
+        elif nal_type == NalType.SPS:
             cfg = headers.parse_sps(rbsp)
             flags = [k for k in (
                 "lossless deblock sao sao_chroma alf alf_chroma "

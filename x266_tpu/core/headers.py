@@ -16,6 +16,51 @@ from x266_tpu.config import CodecConfig, Profile, SliceType
 from x266_tpu.core.bitio import BitReader, BitWriter
 
 
+PROFILE_IDS = {Profile.HEVC_SUBSET: 1, Profile.VVC: 2}
+
+# level limits: max luma samples per picture (level id -> cap), an
+# HEVC/VVC general-level analog on this format's geometry
+LEVELS = [(30, 552960),     # ~480p class
+          (40, 2228224),    # 1080p class
+          (50, 8912896),    # 4K class
+          (60, 35651584)]   # 8K class
+
+
+def level_for(cfg: CodecConfig) -> int:
+    samples = cfg.width * cfg.height
+    for lid, cap in LEVELS:
+        if samples <= cap:
+            return lid
+    return LEVELS[-1][0]
+
+
+def write_vps(cfg: CodecConfig) -> bytes:
+    """VPS (C2): profile / tier / level + layer info.  x266t streams
+    are single-layer; the VPS pins the decoder capability contract
+    (profile id, tier flag, level id, max DPB pictures) ahead of the
+    SPS, mirroring the standards' parameter-set layering [STD]."""
+    w = BitWriter()
+    w.u(1, 4)                          # vps id space (single)
+    w.u(PROFILE_IDS[cfg.profile], 7)   # general_profile_idc
+    w.flag(False)                      # general_tier_flag (main tier)
+    w.u(level_for(cfg), 8)             # general_level_idc
+    w.ue(1)                            # max_layers
+    w.ue(4 if cfg.rpl else 2)          # max_dpb_pictures
+    w.align()
+    return w.bytes_value()
+
+
+def parse_vps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    out = {"vps_id": r.u(4)}
+    out["profile_idc"] = r.u(7)
+    out["tier"] = bool(r.flag())
+    out["level_idc"] = r.u(8)
+    out["max_layers"] = r.ue()
+    out["max_dpb_pictures"] = r.ue()
+    return out
+
+
 def write_sps(cfg: CodecConfig) -> bytes:
     w = BitWriter()
     w.u(int(cfg.profile), 8)

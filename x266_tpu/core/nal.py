@@ -12,6 +12,7 @@ from enum import IntEnum
 
 
 class NalType(IntEnum):
+    VPS = 0          # video parameter set (C2, round-5)
     SPS = 1
     PPS = 2
     IDR = 3          # intra random access picture slice
