@@ -29,6 +29,32 @@ def test_native_matches_python_encode(seed, density, mag):
     assert nat == py, (len(nat), len(py))
 
 
+def test_native_matches_python_cu64():
+    """64-CU trees (low-band 64-TU coding, round-5): native == Python
+    byte-for-byte, and both decoders reproduce the maps."""
+    from x266_tpu.config import Profile
+
+    cfg = CodecConfig(width=128, height=128, profile=Profile.VVC,
+                      max_cu_size=64)
+    rng = np.random.default_rng(8)
+    sm, mm, cy, ccb, ccr = random_maps(cfg, rng, 0.2, 40)
+    assert (sm == 64).any(), "no 64-CU in the random tree"
+    py = SyntaxEncoder(cfg, sm, mm, cy, ccb, ccr).encode_segment(
+        0, cfg.ctus_y)
+    nat = native_bind.encode_segment(cfg, sm, mm, cy, ccb, ccr,
+                                     0, cfg.ctus_y)
+    assert nat == py
+    dec = SyntaxDecoder(cfg)
+    native_bind.decode_segment(cfg, dec.size_map, dec.mode_map,
+                               dec.coef["y"], dec.coef["cb"],
+                               dec.coef["cr"], 0, cfg.ctus_y, nat)
+    assert (dec.size_map == sm).all()
+    assert (dec.coef["y"] == cy).all()
+    dec2 = SyntaxDecoder(cfg)
+    dec2.decode_segment(py, 0, cfg.ctus_y)
+    assert (dec2.coef["y"] == cy).all()
+
+
 @pytest.mark.parametrize("seed", [0, 2, 4])
 def test_native_decode_roundtrip(seed):
     cfg = CodecConfig(width=128, height=64)

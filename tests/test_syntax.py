@@ -44,6 +44,13 @@ def random_maps(cfg: CodecConfig, rng, coef_density=0.2, coef_mag=12):
     cy_ = coef_plane(cfg.height, cfg.width, coef_mag)
     ccb = coef_plane(cfg.height // 2, cfg.width // 2, coef_mag)
     ccr = coef_plane(cfg.height // 2, cfg.width // 2, coef_mag)
+    if cfg.max_cu_size >= 64:
+        # 64-TUs carry only the low 32x32 band (zero-out rule)
+        for (yy, xx) in zip(*np.nonzero(size_map == 64)):
+            y0, x0 = int(yy) * 8, int(xx) * 8
+            if y0 % 64 == 0 and x0 % 64 == 0:
+                cy_[y0:y0 + 64, x0 + 32:x0 + 64] = 0
+                cy_[y0 + 32:y0 + 64, x0:x0 + 64] = 0
     return size_map, mode_map, cy_, ccb, ccr
 
 

@@ -600,6 +600,9 @@ struct SegEncoder {
   void leaf_residuals(int x, int y, int s) {
     int ux = x / 8, uy = y / 8;
     int w = pic.width, cw = w / 2;
+    // a 64-TU codes only its low 32x32 band (DCT-II zero-out, C10
+    // round-5); MTS/TS/LFNST are implicitly off at 64
+    int ls = (s == 64) ? 32 : s;
     auto any_nz = [](const int32_t* p, int stride, int x0, int y0,
                      int n) {
       for (int j = 0; j < n; j++)
@@ -607,25 +610,26 @@ struct SegEncoder {
           if (p[(y0 + j) * stride + x0 + i]) return 1;
       return 0;
     };
-    int cbf_y = any_nz(pic.coef_y, w, x, y, s);
+    int cbf_y = any_nz(pic.coef_y, w, x, y, ls);
     int cbf_cb = any_nz(pic.coef_cb, cw, x / 2, y / 2, s / 2);
     int cbf_cr = any_nz(pic.coef_cr, cw, x / 2, y / 2, s / 2);
     enc.encode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1), cbf_y);
     enc.encode_bin(ctxs, CTX_CBF_C + 0, cbf_cb);
     enc.encode_bin(ctxs, CTX_CBF_C + 1, cbf_cr);
     int mts = pic.mts_map[uy * pic.ux_n + ux] & 7;  // bit 3 is CCLM
-    if ((pic.has_mts & 2) && cbf_y)
+    if ((pic.has_mts & 2) && cbf_y && s < 64)
       enc.encode_bin(ctxs, CTX_TS_FLAG, mts == 5);
-    if ((pic.has_mts & 1) && cbf_y && mts != 5) {
+    if ((pic.has_mts & 1) && cbf_y && mts != 5 && s < 64) {
       enc.encode_bin(ctxs, CTX_MTS, mts > 0);
       if (mts > 0) enc.encode_bypass_bits((uint32_t)(mts - 1), 2);
     }
-    if ((pic.has_mts & 32) && !pic.is_p && cbf_y && mts == 0) {
+    if ((pic.has_mts & 32) && !pic.is_p && cbf_y && mts == 0
+        && s < 64) {
       int lf = (pic.mts_map[uy * pic.ux_n + ux] >> 6) & 3;
       enc.encode_bin(ctxs, CTX_LFNST, lf > 0);
       if (lf) enc.encode_bypass(lf == 2);
     }
-    if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
+    if (cbf_y) residual(pic.coef_y, w, x, y, ls, false);
     if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
     if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
   }
@@ -950,11 +954,12 @@ struct SegDecoder {
   void leaf_residuals(int x, int y, int s) {
     int ux = x / 8, uy = y / 8;
     int u = s / 8;
+    int ls = (s == 64) ? 32 : s;   // 64-TU: low-band, no MTS/TS/LFNST
     int cbf_y = dec.decode_bin(ctxs, CTX_CBF_Y + (s >= 16 ? 0 : 1));
     int cbf_cb = dec.decode_bin(ctxs, CTX_CBF_C + 0);
     int cbf_cr = dec.decode_bin(ctxs, CTX_CBF_C + 1);
     int mts = 0;
-    if ((pic.has_mts & 3) && cbf_y) {
+    if ((pic.has_mts & 3) && cbf_y && s < 64) {
       int ts = (pic.has_mts & 2) && dec.decode_bin(ctxs, CTX_TS_FLAG);
       if (ts) {
         mts = 5;
@@ -966,7 +971,8 @@ struct SegDecoder {
         for (int i = 0; i < u; i++)
           pic.mts_map[(uy + j) * pic.ux_n + ux + i] |= mts;
     }
-    if ((pic.has_mts & 32) && !pic.is_p && cbf_y && mts == 0) {
+    if ((pic.has_mts & 32) && !pic.is_p && cbf_y && mts == 0
+        && s < 64) {
       if (dec.decode_bin(ctxs, CTX_LFNST)) {
         int lf = dec.decode_bypass() ? 2 : 1;
         for (int j = 0; j < u; j++)
@@ -975,7 +981,7 @@ struct SegDecoder {
       }
     }
     int w = pic.width, cw = w / 2;
-    if (cbf_y) residual(pic.coef_y, w, x, y, s, false);
+    if (cbf_y) residual(pic.coef_y, w, x, y, ls, false);
     if (cbf_cb) residual(pic.coef_cb, cw, x / 2, y / 2, s / 2, true);
     if (cbf_cr) residual(pic.coef_cr, cw, x / 2, y / 2, s / 2, true);
   }

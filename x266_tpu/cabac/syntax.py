@@ -378,7 +378,10 @@ class SyntaxEncoder(_Walker):
 
     def _leaf_residuals(self, x, y, s):
         ux, uy = x // 8, y // 8
-        by = self.coef["y"][y:y + s, x:x + s]
+        # a 64-TU codes only its low 32x32 band (DCT-II zero-out,
+        # C10 round-5); MTS/TS/LFNST are implicitly off at 64
+        ls = 32 if s == 64 else s
+        by = self.coef["y"][y:y + ls, x:x + ls]
         bcb = self.coef["cb"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
         bcr = self.coef["cr"][y // 2:(y + s) // 2, x // 2:(x + s) // 2]
         cbf_y = int(by.any())
@@ -389,19 +392,20 @@ class SyntaxEncoder(_Walker):
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 0, cbf_cb)
         self.enc.encode_bin(self.ctxs, cx.CBF_C + 1, cbf_cr)
         mts = int(self.mts_map[uy, ux]) & 7     # bit 3 is CCLM
-        if self.cfg.transform_skip and cbf_y:
+        if self.cfg.transform_skip and cbf_y and s < 64:
             self.enc.encode_bin(self.ctxs, cx.TS_FLAG, int(mts == 5))
-        if self.cfg.mts and cbf_y and mts != 5:
+        if self.cfg.mts and cbf_y and mts != 5 and s < 64:
             self.enc.encode_bin(self.ctxs, cx.MTS, int(mts > 0))
             if mts > 0:
                 self.enc.encode_bypass_bits(mts - 1, 2)
-        if (self.cfg.lfnst and not self.is_p and cbf_y and mts == 0):
+        if (self.cfg.lfnst and not self.is_p and cbf_y and mts == 0
+                and s < 64):
             lf = (int(self.mts_map[uy, ux]) >> 6) & 3
             self.enc.encode_bin(self.ctxs, cx.LFNST, int(lf > 0))
             if lf:
                 self.enc.encode_bypass(int(lf == 2))
         if cbf_y:
-            self._residual(by, s, chroma=False)
+            self._residual(by, ls, chroma=False)
         if cbf_cb:
             self._residual(bcb, s // 2, chroma=True)
         if cbf_cr:
@@ -679,8 +683,10 @@ class SyntaxDecoder(_Walker):
                                     cx.CBF_Y + (0 if s >= 16 else 1))
         cbf_cb = self.dec.decode_bin(self.ctxs, cx.CBF_C + 0)
         cbf_cr = self.dec.decode_bin(self.ctxs, cx.CBF_C + 1)
-        mts = 0
-        if (self.cfg.mts or self.cfg.transform_skip) and cbf_y:
+        ls = 32 if s == 64 else s    # 64-TU: low-band coding, no
+        mts = 0                      # MTS/TS/LFNST flags (zero-out)
+        if (self.cfg.mts or self.cfg.transform_skip) and cbf_y \
+                and s < 64:
             ts = (self.cfg.transform_skip
                   and self.dec.decode_bin(self.ctxs, cx.TS_FLAG))
             if ts:
@@ -689,12 +695,14 @@ class SyntaxDecoder(_Walker):
                 if self.dec.decode_bin(self.ctxs, cx.MTS):
                     mts = 1 + self.dec.decode_bypass_bits(2)
             self.mts_map[uy:uy + u, ux:ux + u] |= mts
-        if (self.cfg.lfnst and not self.is_p and cbf_y and mts == 0):
+        if (self.cfg.lfnst and not self.is_p and cbf_y and mts == 0
+                and s < 64):
             if self.dec.decode_bin(self.ctxs, cx.LFNST):
                 lf = 2 if self.dec.decode_bypass() else 1
                 self.mts_map[uy:uy + u, ux:ux + u] |= lf << 6
         if cbf_y:
-            self.coef["y"][y:y + s, x:x + s] = self._residual(s, False)
+            self.coef["y"][y:y + ls, x:x + ls] = self._residual(
+                ls, False)
         if cbf_cb:
             self.coef["cb"][y // 2:(y + s) // 2,
                             x // 2:(x + s) // 2] = self._residual(

@@ -51,6 +51,7 @@ def cmd_encode(args) -> int:
         sao_chroma=args.sao_chroma,
         alf=args.alf, alf_chroma=args.alf_chroma,
         alf_nonlinear=args.alf_nonlinear, ccalf=args.ccalf,
+        max_cu_size=args.max_cu,
         mts=args.mts, transform_skip=args.transform_skip,
         pdpc=args.pdpc, ref_substitute=args.ref_subst,
         rpl=args.rpl, rdoq=args.rdoq,
@@ -231,6 +232,10 @@ def main(argv=None) -> int:
                         "transposes (requires --alf)")
     e.add_argument("--ccalf", action="store_true",
                    help="cross-component ALF (requires --alf)")
+    e.add_argument("--max-cu", type=int, default=32, dest="max_cu",
+                   choices=(8, 16, 32, 64),
+                   help="largest CU size; 64 enables the 64-pt DCT-II "
+                        "with high-frequency zero-out (VVC, all-intra)")
     e.add_argument("--mts", action="store_true")
     e.add_argument("--transform-skip", action="store_true",
                    help="per-TU transform skip (screen content)")

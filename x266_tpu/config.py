@@ -196,8 +196,20 @@ class CodecConfig:
             raise ValueError("bit_depth must be 8 or 10")
         if self.ctu_size != 64:
             raise ValueError("v1 supports ctu_size=64 only")
-        if self.max_cu_size not in (8, 16, 32):
-            raise ValueError("max_cu_size must be 8, 16 or 32 in v1")
+        if self.max_cu_size not in (8, 16, 32, 64):
+            raise ValueError("max_cu_size must be 8..64")
+        if self.max_cu_size == 64:
+            # 64x64 CUs (64-pt DCT-II with zero-out, C10/C5 round-5):
+            # all-intra VVC v1; the low 32x32 band is coded
+            if self.profile != Profile.VVC:
+                raise ValueError("max_cu_size=64 requires VVC profile")
+            if self.intra_period != 1 or self.gop_size > 1:
+                raise ValueError("max_cu_size=64 is all-intra in v1")
+            for bad in ("mip", "mtt", "lossless", "dep_quant",
+                        "sign_data_hiding"):
+                if getattr(self, bad):
+                    raise ValueError(f"max_cu_size=64 + {bad} is not "
+                                     "supported in v1")
         if self.min_cu_size != 8:
             raise ValueError("v1 supports min_cu_size=8 only")
         if self.mts and self.profile != Profile.VVC:

@@ -68,7 +68,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.ue(cfg.height // 8)
     w.ue(cfg.bit_depth - 8)
     w.ue({64: 0}[cfg.ctu_size])
-    w.ue({8: 0, 16: 1, 32: 2}[cfg.max_cu_size])
+    w.ue({8: 0, 16: 1, 32: 2, 64: 3}[cfg.max_cu_size])
     w.flag(cfg.lossless)
     w.flag(cfg.deblock)
     w.flag(cfg.sao)
@@ -109,7 +109,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     height = r.ue() * 8
     bit_depth = r.ue() + 8
     ctu_size = {0: 64}[r.ue()]
-    max_cu = {0: 8, 1: 16, 2: 32}[r.ue()]
+    max_cu = {0: 8, 1: 16, 2: 32, 3: 64}[r.ue()]
     lossless = r.flag()
     deblock = r.flag()
     sao = r.flag()

@@ -343,7 +343,7 @@ def make_mode_decision_raw(cfg: CodecConfig, want_res: bool = False):
         bt_map = jnp.zeros((uy, ux), dtype=jnp.int32)
         best = cost8
 
-        for s in (16, 32):
+        for s in (16, 32, 64):
             if cfg.max_cu_size < s:
                 continue
             if want_res:

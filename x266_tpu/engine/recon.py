@@ -254,7 +254,8 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
     use_subst = cfg.ref_substitute
     if use_subst:
         from x266_tpu.engine import availability as avail
-        sizes = [s for s in (8, 16, 32) if s <= cfg.max_cu_size]
+        sizes = [s for s in (8, 16, 32, 64)
+                 if s <= cfg.max_cu_size]
         tabL = {s: np.asarray(avail.ref_masks(w, h, s)) for s in sizes}
         tabC = {s // 2: np.asarray(avail.ref_masks(w, h, s // 2,
                                                    scale=2))
@@ -454,6 +455,8 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
             return branch
 
         branches = [make_branch(8), make_branch(16), make_branch(32)]
+        if cfg.max_cu_size >= 64:
+            branches.append(make_branch(64))
         if cfg.mtt:
             branches += [make_branch_rect(16, False),
                          make_branch_rect(16, True),
@@ -495,7 +498,8 @@ def make_recon_pass_raw(cfg: CodecConfig, encode: bool):
                 origin = (((ux & (units - 1)) == 0)
                           & ((uy & (units - 1)) == 0))
                 code = (sz == 16).astype(jnp.int32) \
-                    + 2 * (sz == 32).astype(jnp.int32)
+                    + 2 * (sz == 32).astype(jnp.int32) \
+                    + 3 * (sz == 64).astype(jnp.int32)
 
             def do(ops):
                 return jax.lax.switch(code, branches, ops)
@@ -571,7 +575,7 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
             and not cfg.mtt and not cfg.lfnst \
             and not cfg.sign_data_hiding and not cfg.dep_quant \
-            and not cfg.ref_substitute:
+            and not cfg.ref_substitute and cfg.max_cu_size <= 32:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)

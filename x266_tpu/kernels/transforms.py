@@ -86,7 +86,16 @@ def forward_transform(residual: jnp.ndarray, size: int,
     tmp = _rshift_round(tmp, log2s + bit_depth - 9)
     coef = _exact_mm(tmp, th, "bkm,lm->bkl", limb=True)
     coef = _rshift_round(coef, log2s + 6)
-    return jnp.clip(coef, -32768, 32767)
+    coef = jnp.clip(coef, -32768, 32767)
+    if size == 64:
+        # 64-pt high-frequency zero-out (C10, VVC-shaped): only the
+        # low 32x32 band is retained (and coded — the entropy walkers
+        # code a 64-TU as its low band)
+        z = spec.ZO64
+        keep = ((jnp.arange(size) < z)[:, None]
+                & (jnp.arange(size) < z)[None, :])
+        coef = jnp.where(keep, coef, 0)
+    return coef
 
 
 def inverse_transform(coef: jnp.ndarray, size: int,
