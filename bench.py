@@ -52,7 +52,8 @@ def bench_1080p_vvc(samples: int = 2) -> dict:
     from x266_tpu.core.yuv import synthetic_clip
 
     width, height = 1920, 1080
-    cfg = preset_cfg2(width, height).replace(rows_per_segment=1)
+    cfg = preset_cfg2(width, height).replace(rows_per_segment=1,
+                                             ctx_inherit=True)
     frames = synthetic_clip(width, height, 8, kind="mixed")
 
     # serving path: bitstream leaves the chip, recon stays on device;

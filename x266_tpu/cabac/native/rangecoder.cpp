@@ -74,6 +74,13 @@ struct Contexts {
       ps[i] = t[NUM_CONTEXTS + i];
     }
   }
+  // WPP context inheritance (P6, round-5): snapshot in load() layout
+  void store(int32_t* t) const {
+    for (int i = 0; i < NUM_CONTEXTS; i++) {
+      t[i] = pf[i];
+      t[NUM_CONTEXTS + i] = ps[i];
+    }
+  }
   int prob(int idx) const {
     int p = (pf[idx] + ps[idx]) >> 1;
     if (p < PROB_MIN) p = PROB_MIN;
@@ -1093,7 +1100,8 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
                              const int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, uint8_t* out,
                              int64_t out_capacity,
-                             const int32_t* ctx_init) {
+                             const int32_t* ctx_init,
+                             int32_t snap_after, int32_t* ctx_out) {
   Picture pic;
   pic.width = width;
   pic.height = height;
@@ -1125,10 +1133,14 @@ int64_t x266t_encode_segment(int32_t width, int32_t height, int32_t max_cu,
 
   SegEncoder se(pic);
   if (ctx_init) se.ctxs.load(ctx_init);
+  int coded = 0;
   for (int cy = ctu_row0; cy < ctu_row1; cy++)
     for (int cx = 0; cx < pic.ctus_x; cx++) {
       if (pic.has_sao) se.sao_params(cy, cx);
       se.node(cx * 64, cy * 64, 64);
+      // WPP inheritance (P6): snapshot the adaptive states after the
+      // segment's first snap_after CTUs (the next segment inits here)
+      if (ctx_out && ++coded == snap_after) se.ctxs.store(ctx_out);
     }
   se.enc.finish();
   // drop the leading zero byte (mirror of engine.py finish())
@@ -1151,7 +1163,8 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
                              int32_t* sao_type, int32_t* sao_band,
                              int32_t* sao_off, int32_t ctu_row0,
                              int32_t ctu_row1, const uint8_t* data,
-                             int64_t len, const int32_t* ctx_init) {
+                             int64_t len, const int32_t* ctx_init,
+                             int32_t snap_after, int32_t* ctx_out) {
   Picture pic;
   pic.width = width;
   pic.height = height;
@@ -1183,10 +1196,12 @@ int64_t x266t_decode_segment(int32_t width, int32_t height, int32_t max_cu,
 
   SegDecoder sd(pic, data, len);
   if (ctx_init) sd.ctxs.load(ctx_init);
+  int coded = 0;
   for (int cy = ctu_row0; cy < ctu_row1; cy++)
     for (int cx = 0; cx < pic.ctus_x; cx++) {
       if (pic.has_sao) sd.sao_params(cy, cx);
       sd.node(cx * 64, cy * 64, 64);
+      if (ctx_out && ++coded == snap_after) sd.ctxs.store(ctx_out);
     }
   return sd.dec.error ? -1 : 0;
 }

@@ -81,7 +81,7 @@ def _load():
             ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
-            i32p]
+            i32p, ctypes.c_int32, i32p]
         lib.x266t_decode_segment.restype = ctypes.c_int64
         lib.x266t_decode_segment.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -91,7 +91,7 @@ def _load():
             ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
-            i32p]
+            i32p, ctypes.c_int32, i32p]
         lib.x266t_expand_nib.restype = None
         lib.x266t_expand_nib.argtypes = [u8p, i32p, ctypes.c_int64]
         _lib = lib
@@ -140,8 +140,12 @@ def _inter_args(cfg, inter_maps):
 
 def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                    ctu_row0: int, ctu_row1: int, sao_params=None,
-                   mts_map=None, inter_maps=None) -> bytes:
+                   mts_map=None, inter_maps=None, init_states=None,
+                   snapshot=None) -> bytes:
     # inter_maps: (pred_map, mvx_map, mvy_map) for P slices, else None
+    # init_states: flat [pf, ps] int32 overriding the trained init
+    # (WPP inheritance, P6); snapshot: int32 out-buffer (2n) filled
+    # with the states after the segment's first min(2, ctus_x) CTUs
     lib = _load()
     assert lib is not None
     if mts_map is None:
@@ -162,9 +166,13 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
     st, stp = _i32(st)
     sb, sbp = _i32(sb)
     so, sop = _i32(so)
-    init = _ctx_init.flat_i32(cfg, is_p)
+    init = (init_states if init_states is not None
+            else _ctx_init.flat_i32(cfg, is_p))
     initp = (init.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
              if init is not None else None)
+    snap_after = min(2, cfg.ctus_x) if snapshot is not None else 0
+    snapp = (snapshot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+             if snapshot is not None else None)
     cap = 32 + 4 * (cfg.width * cfg.height * 3) // 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     n = lib.x266t_encode_segment(
@@ -179,7 +187,7 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
         is_p, pmp, mxp, myp, mx1p, my1p,
         has_sao, stp, sbp, sop, ctu_row0, ctu_row1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-        initp)
+        initp, snap_after, snapp)
     if n < 0:
         raise RuntimeError(f"native encode_segment failed ({n})")
     return out[:n].tobytes()
@@ -188,7 +196,8 @@ def encode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
 def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                    ctu_row0: int, ctu_row1: int, data: bytes,
                    sao_params=None, mts_map=None,
-                   inter_maps=None) -> None:
+                   inter_maps=None, init_states=None,
+                   snapshot=None) -> None:
     # Fills the passed arrays in place (C-contiguous int32).  When
     # cfg.sao pass sao_params=(type, band, off); when cfg.mts pass
     # mts_map; for P slices pass inter_maps=(pred, mvx, mvy) to fill.
@@ -218,8 +227,12 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
                      ctypes.POINTER(ctypes.c_uint8)))
     i32 = ctypes.POINTER(ctypes.c_int32)
     ptrs = [a.ctypes.data_as(i32) for a in arrays]
-    init = _ctx_init.flat_i32(cfg, is_p)
+    init = (init_states if init_states is not None
+            else _ctx_init.flat_i32(cfg, is_p))
     initp = (init.ctypes.data_as(i32) if init is not None else None)
+    snap_after = min(2, cfg.ctus_x) if snapshot is not None else 0
+    snapp = (snapshot.ctypes.data_as(i32)
+             if snapshot is not None else None)
     rc = lib.x266t_decode_segment(
         cfg.width, cfg.height, cfg.max_cu_size, cfg.n_intra_modes,
         ptrs[0], ptrs[1], ptrs[2], ptrs[3], ptrs[4],
@@ -231,7 +244,7 @@ def decode_segment(cfg, size_map, mode_map, coef_y, coef_cb, coef_cr,
          | (int(cfg.amvp) << 8)), ptrs[5],
         is_p, ptrs[6], ptrs[7], ptrs[8], ptrs[9], ptrs[10],
         has_sao, ptrs[11], ptrs[12], ptrs[13],
-        ctu_row0, ctu_row1, p, len(data), initp)
+        ctu_row0, ctu_row1, p, len(data), initp, snap_after, snapp)
     if rc != 0:
         raise ValueError("corrupt or truncated entropy payload (native)")
 

@@ -127,6 +127,18 @@ class _Walker:
         return left, above
 
 
+def flat_states(ctxs: "ContextSet") -> np.ndarray:
+    """Context states -> flat int32 [pf(n), ps(n)] (the native load()
+    layout, shared by the WPP-inheritance snapshots)."""
+    return np.concatenate([ctxs.p[:, 0], ctxs.p[:, 1]]).astype(np.int32)
+
+
+def states_init(flat: np.ndarray) -> np.ndarray:
+    """Flat [pf, ps] -> the (n, 2) uint16 ContextSet init layout."""
+    n = flat.shape[0] // 2
+    return np.stack([flat[:n], flat[n:]], axis=1).astype(np.uint16)
+
+
 class SyntaxEncoder(_Walker):
     def __init__(self, cfg: CodecConfig, size_map, mode_map,
                  coef_y, coef_cb, coef_cr, sao_params=None,
@@ -166,16 +178,29 @@ class SyntaxEncoder(_Walker):
         else:
             self.sao = None
 
-    def encode_segment(self, ctu_row0: int, ctu_row1: int) -> bytes:
+    def encode_segment(self, ctu_row0: int, ctu_row1: int,
+                       init_states=None, snapshot: bool = False
+                       ) -> bytes:
+        """init_states: flat [pf, ps] int32 overriding the trained
+        init (WPP context inheritance, P6 round-5); snapshot=True
+        captures self.snapshot (same layout) after the segment's
+        first min(2, ctus_x) CTUs — the next segment inits there."""
         self.enc = RangeEncoder()
-        self.ctxs = ContextSet(cx.NUM_CONTEXTS,
-                               ctx_init.table(self.cfg, self.is_p,
-                                              self.is_b))
+        self.ctxs = ContextSet(
+            cx.NUM_CONTEXTS,
+            states_init(init_states) if init_states is not None
+            else ctx_init.table(self.cfg, self.is_p, self.is_b))
+        self.snapshot = None
+        snap_after = min(2, self.cfg.ctus_x) if snapshot else 0
+        coded = 0
         for cy in range(ctu_row0, ctu_row1):
             for cxi in range(self.cfg.ctus_x):
                 if self.cfg.sao:
                     self._sao_params(cy, cxi)
                 self._node(cxi * 64, cy * 64, 64)
+                coded += 1
+                if coded == snap_after:
+                    self.snapshot = flat_states(self.ctxs)
         return self.enc.finish()
 
     def _sao_params(self, cy, cxi):
@@ -503,16 +528,24 @@ class SyntaxDecoder(_Walker):
         self.mvy1_map = np.zeros(u, dtype=np.int32)
 
     def decode_segment(self, data: bytes, ctu_row0: int,
-                       ctu_row1: int) -> None:
+                       ctu_row1: int, init_states=None,
+                       snapshot: bool = False) -> None:
         self.dec = RangeDecoder(data)
-        self.ctxs = ContextSet(cx.NUM_CONTEXTS,
-                               ctx_init.table(self.cfg, self.is_p,
-                                              self.is_b))
+        self.ctxs = ContextSet(
+            cx.NUM_CONTEXTS,
+            states_init(init_states) if init_states is not None
+            else ctx_init.table(self.cfg, self.is_p, self.is_b))
+        self.snapshot = None
+        snap_after = min(2, self.cfg.ctus_x) if snapshot else 0
+        coded = 0
         for cy in range(ctu_row0, ctu_row1):
             for cxi in range(self.cfg.ctus_x):
                 if self.cfg.sao:
                     self._sao_params(cy, cxi)
                 self._node(cxi * 64, cy * 64, 64)
+                coded += 1
+                if coded == snap_after:
+                    self.snapshot = flat_states(self.ctxs)
 
     def _sao_params(self, cy, cxi):
         planes = 3 if self.cfg.sao_chroma else 1

@@ -163,6 +163,14 @@ class CodecConfig:
     # DPB and may pick any signalled subset; api.encoder selects the
     # best 2 by decimated SAD in the low-delay GPB mode).
     rpl: bool = False
+    # P6 WPP context inheritance (round-5): each entropy segment
+    # after a tile's first initializes its adaptive contexts from a
+    # SNAPSHOT of the previous segment's states taken after that
+    # segment's first min(2, ctus_x) CTUs — the standard's WPP answer
+    # to the fresh-context cost (trained init recovered it to +3..5%
+    # at rows_per_segment=1; inheritance removes most of the rest).
+    # Normative (in the SPS): the decoder chains identically.
+    ctx_inherit: bool = False
     # C3 "context init tables per slice type": every entropy segment
     # starts its adaptive contexts from trained per-slice-type tables
     # (cabac/ctx_init.py) instead of p=0.5 — recovers most of the
@@ -456,4 +464,5 @@ def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:
     with wavefront entropy segments; multi-host DCN is round 2."""
     return CodecConfig(width=width, height=height, qp=32,
                        intra_period=16, deblock=True, sao=True,
-                       sao_chroma=True, rows_per_segment=1, rdoq=True)
+                       sao_chroma=True, rows_per_segment=1, rdoq=True,
+                       ctx_inherit=True)

@@ -93,6 +93,7 @@ def write_sps(cfg: CodecConfig) -> bytes:
     w.flag(cfg.weighted_pred)
     w.flag(cfg.amvp)
     w.flag(cfg.rpl)
+    w.flag(cfg.ctx_inherit)
     w.ue(cfg.rows_per_segment)
     w.ue(cfg.tile_rows)
     w.ue(cfg.tile_cols)
@@ -134,6 +135,7 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
     weighted_pred = r.flag()
     amvp = r.flag()
     rpl = r.flag()
+    ctx_inherit = r.flag()
     rows_per_segment = r.ue()
     tile_rows = r.ue()
     tile_cols = r.ue()
@@ -154,7 +156,8 @@ def parse_sps(rbsp: bytes) -> CodecConfig:
                        sign_data_hiding=sign_data_hiding,
                        dep_quant=dep_quant,
                        weighted_pred=weighted_pred, amvp=amvp,
-                       rpl=rpl, rows_per_segment=rows_per_segment,
+                       rpl=rpl, ctx_inherit=ctx_inherit,
+                       rows_per_segment=rows_per_segment,
                        tile_rows=tile_rows, tile_cols=tile_cols,
                        intra_period=intra_period,
                        gop_size=gop_size)

@@ -160,19 +160,52 @@ def tiles_compute_batched_async(cfg: CodecConfig, frames: list[Frame],
     return finalize
 
 
+def code_segments(cfg: CodecConfig, size_map, mode_map, cy, ccb, ccr,
+                  sao_params=None, mts_map=None,
+                  inter_maps=None) -> list[bytes]:
+    """Entropy-code a tile's segments in order, chaining WPP context
+    inheritance when cfg.ctx_inherit (P6 round-5): segment i > 0
+    initializes from the snapshot of segment i-1's states after its
+    first min(2, ctus_x) CTUs; segment 0 uses the trained init."""
+    from x266_tpu.cabac.contexts import NUM_CONTEXTS
+
+    rows = cfg.segment_ctu_rows()
+    inherit = cfg.ctx_inherit and len(rows) > 1
+    segs: list[bytes] = []
+    prev = None
+    if native_bind.available():
+        for i, (r0, r1) in enumerate(rows):
+            snap = (np.zeros(2 * NUM_CONTEXTS, np.int32)
+                    if inherit and i < len(rows) - 1 else None)
+            segs.append(native_bind.encode_segment(
+                cfg, size_map, mode_map, cy, ccb, ccr, r0, r1,
+                sao_params, mts_map, inter_maps,
+                init_states=prev, snapshot=snap))
+            prev = snap
+        return segs
+    is_p = inter_maps is not None and len(inter_maps) == 3
+    is_b = inter_maps is not None and len(inter_maps) == 5
+    enc = SyntaxEncoder(
+        cfg, size_map, mode_map, cy, ccb, ccr, sao_params, mts_map,
+        is_p=is_p, is_b=is_b,
+        pred_map=inter_maps[0] if inter_maps else None,
+        mvx_map=inter_maps[1] if inter_maps else None,
+        mvy_map=inter_maps[2] if inter_maps else None,
+        mvx1_map=inter_maps[3] if is_b else None,
+        mvy1_map=inter_maps[4] if is_b else None)
+    for i, (r0, r1) in enumerate(rows):
+        segs.append(enc.encode_segment(
+            r0, r1, init_states=prev,
+            snapshot=inherit and i < len(rows) - 1))
+        prev = enc.snapshot
+    return segs
+
+
 def tile_entropy(td: TileData) -> list[bytes]:
     """Entropy-code one tile band -> its segment payloads (host/native)."""
-    cfg = td.cfg
-    if native_bind.available():
-        return [native_bind.encode_segment(
-            cfg, td.size_map, td.mode_map, td.coef_y, td.coef_cb,
-            td.coef_cr, r0, r1, td.sao_params, td.mts_map)
-            for (r0, r1) in cfg.segment_ctu_rows()]
-    enc = SyntaxEncoder(cfg, td.size_map, td.mode_map, td.coef_y,
-                        td.coef_cb, td.coef_cr, td.sao_params,
-                        td.mts_map)
-    return [enc.encode_segment(r0, r1)
-            for (r0, r1) in cfg.segment_ctu_rows()]
+    return code_segments(td.cfg, td.size_map, td.mode_map, td.coef_y,
+                         td.coef_cb, td.coef_cr, td.sao_params,
+                         td.mts_map)
 
 
 def split_bands(cfg: CodecConfig, frame: Frame) -> list[Frame]:
@@ -298,11 +331,15 @@ def encode_picture(cfg: CodecConfig, frame: Frame, poc: int,
 
 def _parse_segments(cfg: CodecConfig, segments: list[bytes],
                     is_p: bool, is_b: bool = False) -> SyntaxDecoder:
+    from x266_tpu.cabac.contexts import NUM_CONTEXTS
+
     dec = SyntaxDecoder(cfg)
     dec.is_p = is_p or is_b
     dec.is_b = is_b
     rows = cfg.segment_ctu_rows()
     assert len(segments) == len(rows)
+    inherit = cfg.ctx_inherit and len(rows) > 1
+    prev = None
     if native_bind.available():
         if is_b:
             imaps = (dec.pred_map, dec.mvx_map, dec.mvy_map,
@@ -311,15 +348,20 @@ def _parse_segments(cfg: CodecConfig, segments: list[bytes],
             imaps = (dec.pred_map, dec.mvx_map, dec.mvy_map)
         else:
             imaps = None
-        for (r0, r1), data in zip(rows, segments):
+        for i, ((r0, r1), data) in enumerate(zip(rows, segments)):
+            snap = (np.zeros(2 * NUM_CONTEXTS, np.int32)
+                    if inherit and i < len(rows) - 1 else None)
             native_bind.decode_segment(
                 cfg, dec.size_map, dec.mode_map, dec.coef["y"],
                 dec.coef["cb"], dec.coef["cr"], r0, r1, data,
                 sao_params=dec.sao, mts_map=dec.mts_map,
-                inter_maps=imaps)
+                inter_maps=imaps, init_states=prev, snapshot=snap)
+            prev = snap
     else:
-        for (r0, r1), data in zip(rows, segments):
-            dec.decode_segment(data, r0, r1)
+        for i, ((r0, r1), data) in enumerate(zip(rows, segments)):
+            dec.decode_segment(data, r0, r1, init_states=prev,
+                               snapshot=inherit and i < len(rows) - 1)
+            prev = dec.snapshot
     return dec
 
 
@@ -375,18 +417,7 @@ def tile_decode(cfg: CodecConfig, segments: list[bytes],
     """Decode one tile band from its segment payloads (band-local cfg):
     host entropy parse, then one fused device call.  bi/ctb_off locate
     the band's ALF section in the slice header (band-major layout)."""
-    dec = SyntaxDecoder(cfg)
-    rows = cfg.segment_ctu_rows()
-    assert len(segments) == len(rows)
-    if native_bind.available():
-        for (r0, r1), data in zip(rows, segments):
-            native_bind.decode_segment(
-                cfg, dec.size_map, dec.mode_map, dec.coef["y"],
-                dec.coef["cb"], dec.coef["cr"], r0, r1, data,
-                sao_params=dec.sao, mts_map=dec.mts_map)
-    else:
-        for (r0, r1), data in zip(rows, segments):
-            dec.decode_segment(data, r0, r1)
+    dec = _parse_segments(cfg, segments, is_p=False)
 
     coef = fused.pack_coefs_host(cfg, dec.coef["y"], dec.coef["cb"],
                                  dec.coef["cr"])
@@ -568,19 +599,9 @@ def encode_picture_gop_async(cfg: CodecConfig, frame: Frame, poc: int,
                        maps["sao_off"]) if cfg.sao else None)
         inter_maps = ((maps["pred"], maps["mvx"], maps["mvy"])
                       if is_p else None)
-        if native_bind.available():
-            segments = [native_bind.encode_segment(
-                cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
-                sao_params, maps["mts"], inter_maps)
-                for (r0, r1) in cfg.segment_ctu_rows()]
-        else:
-            enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy,
-                                ccb, ccr, sao_params, maps["mts"],
-                                is_p=is_p, pred_map=maps["pred"],
-                                mvx_map=maps["mvx"],
-                                mvy_map=maps["mvy"])
-            segments = [enc.encode_segment(r0, r1)
-                        for (r0, r1) in cfg.segment_ctu_rows()]
+        segments = code_segments(cfg, maps["size"], maps["mode"], cy,
+                                 ccb, ccr, sao_params, maps["mts"],
+                                 inter_maps)
         alf = ((maps["alf_flag"], maps["alf_coef"],
                 maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
                 maps["alf_cclip"], maps["ccalf_coef"],
@@ -681,21 +702,9 @@ def encode_picture_b_async(cfg: CodecConfig, frame: Frame, poc: int,
                        maps["sao_off"]) if cfg.sao else None)
         inter_maps = (maps["pred"], maps["mvx"], maps["mvy"],
                       maps["mvx1"], maps["mvy1"])
-        if native_bind.available():
-            segments = [native_bind.encode_segment(
-                cfg, maps["size"], maps["mode"], cy, ccb, ccr, r0, r1,
-                sao_params, maps["mts"], inter_maps)
-                for (r0, r1) in cfg.segment_ctu_rows()]
-        else:
-            enc = SyntaxEncoder(cfg, maps["size"], maps["mode"], cy,
-                                ccb, ccr, sao_params, maps["mts"],
-                                is_b=True, pred_map=maps["pred"],
-                                mvx_map=maps["mvx"],
-                                mvy_map=maps["mvy"],
-                                mvx1_map=maps["mvx1"],
-                                mvy1_map=maps["mvy1"])
-            segments = [enc.encode_segment(r0, r1)
-                        for (r0, r1) in cfg.segment_ctu_rows()]
+        segments = code_segments(cfg, maps["size"], maps["mode"], cy,
+                                 ccb, ccr, sao_params, maps["mts"],
+                                 inter_maps)
         alf = ((maps["alf_flag"], maps["alf_coef"],
                 maps["alf_cflag"], maps["alf_ccoef"], maps["alf_clip"],
                 maps["alf_cclip"], maps["ccalf_coef"],

@@ -88,23 +88,9 @@ def _band_segments(b: BandOut, st: SliceType) -> list[bytes]:
         imaps = (maps["pred"], maps["mvx"], maps["mvy"])
     else:
         imaps = None
-    if native_bind.available():
-        return [native_bind.encode_segment(
-            bcfg, maps["size"], maps["mode"], b.cy, b.ccb, b.ccr,
-            r0, r1, sao_params, maps["mts"], imaps)
-            for (r0, r1) in bcfg.segment_ctu_rows()]
-    kw = {}
-    if st == SliceType.P:
-        kw = dict(is_p=True, pred_map=maps["pred"],
-                  mvx_map=maps["mvx"], mvy_map=maps["mvy"])
-    elif st == SliceType.B:
-        kw = dict(is_b=True, pred_map=maps["pred"],
-                  mvx_map=maps["mvx"], mvy_map=maps["mvy"],
-                  mvx1_map=maps["mvx1"], mvy1_map=maps["mvy1"])
-    enc = SyntaxEncoder(bcfg, maps["size"], maps["mode"], b.cy, b.ccb,
-                        b.ccr, sao_params, maps["mts"], **kw)
-    return [enc.encode_segment(r0, r1)
-            for (r0, r1) in bcfg.segment_ctu_rows()]
+    from x266_tpu.engine.picture import code_segments
+    return code_segments(bcfg, maps["size"], maps["mode"], b.cy,
+                         b.ccb, b.ccr, sao_params, maps["mts"], imaps)
 
 
 def _bands_to_slice(cfg: CodecConfig, bands: list[BandOut], poc: int,
