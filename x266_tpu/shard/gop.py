@@ -106,6 +106,8 @@ class GopScheduler:
                 writer._bytes = byte_off
             else:
                 writer = CheckpointWriter(checkpoint_path, cfg)
+                writer.append_nal(write_nal(NalType.VPS,
+                                            headers.write_vps(cfg)))
                 writer.append_nal(write_nal(NalType.SPS,
                                             headers.write_sps(cfg)))
                 writer.append_nal(write_nal(NalType.PPS,
@@ -136,7 +138,8 @@ class GopScheduler:
         with ThreadPoolExecutor(max(1, len(self.devices))) as pool:
             done = dict(pool.map(run_one, todo))
 
-        out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+        out = [write_nal(NalType.VPS, headers.write_vps(cfg)),
+           write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
         recons: list[Frame] = []
         frame_bits: list[int] = []

@@ -113,7 +113,8 @@ def encode_multihost(cfg: CodecConfig, frames: list[Frame]):
         if ln:
             poc = int(np.frombuffer(row[0:4].tobytes(), np.uint32)[0])
             by_poc[poc] = row[8:8 + ln].tobytes()
-    out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+    out = [write_nal(NalType.VPS, headers.write_vps(cfg)),
+           write_nal(NalType.SPS, headers.write_sps(cfg)),
            write_nal(NalType.PPS, headers.write_pps(cfg))]
     out += [by_poc[p] for p in sorted(by_poc)]
     return b"".join(out)

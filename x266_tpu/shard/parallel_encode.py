@@ -70,7 +70,8 @@ class ShardedEncoder:
                 lambda k: tile_entropy(tiles[k]), keys)))
 
         # stitch in POC order
-        out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+        out = [write_nal(NalType.VPS, headers.write_vps(cfg)),
+           write_nal(NalType.SPS, headers.write_sps(cfg)),
                write_nal(NalType.PPS, headers.write_pps(cfg))]
         recons: list[Frame] = []
         frame_bits: list[int] = []

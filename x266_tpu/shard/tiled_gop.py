@@ -674,7 +674,8 @@ def encode_inter_tiled(cfg: CodecConfig, frames: list[Frame],
         be = _SerialRects(cfg, with_recon)
     else:
         be = _SerialBands(cfg, with_recon)
-    out = [write_nal(NalType.SPS, headers.write_sps(cfg)),
+    out = [write_nal(NalType.VPS, headers.write_vps(cfg)),
+           write_nal(NalType.SPS, headers.write_sps(cfg)),
            write_nal(NalType.PPS, headers.write_pps(cfg))]
     order = gop_coding_order(len(frames), cfg.intra_period,
                              max(cfg.gop_size, 1))
