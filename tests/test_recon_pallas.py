@@ -42,6 +42,9 @@ CFGS = [
     CodecConfig(width=128, height=64, qp=30, profile=Profile.VVC,
                 mts=True, pdpc=True, rdoq=True),
     CodecConfig(width=104, height=72, qp=30, transform_skip=True),
+    CodecConfig(width=128, height=64, qp=30, profile=Profile.VVC,
+                mts=True, pdpc=True, rdoq=True, ref_substitute=True),
+    CodecConfig(width=104, height=72, qp=30, ref_substitute=True),
 ]
 
 
@@ -50,6 +53,7 @@ CFGS = [
     f"{'-mts' if c.mts else ''}{'-ll' if c.lossless else ''}"
     f"{'-pdpc' if c.pdpc else ''}{'-rdoq' if c.rdoq else ''}"
     f"{'-ts' if c.transform_skip else ''}"
+    f"{'-subst' if c.ref_substitute else ''}"
     f"-cu{c.max_cu_size}"))
 def test_encode_matches_scan(cfg):
     y, cb, cr = _frame(cfg.width, cfg.height, seed=7)
@@ -83,12 +87,15 @@ PCFGS = [
                 lossless=False, max_cu_size=16),
     CodecConfig(width=112, height=80, qp=30, intra_period=8,
                 merge_cands=True),
+    CodecConfig(width=112, height=80, qp=30, intra_period=8,
+                ref_substitute=True),
 ]
 
 
 @pytest.mark.parametrize("cfg", PCFGS, ids=lambda c: (
     f"{c.width}x{c.height}-qp{c.qp}-cu{c.max_cu_size}"
-    f"{'-merge' if c.merge_cands else ''}"))
+    f"{'-merge' if c.merge_cands else ''}"
+    f"{'-subst' if c.ref_substitute else ''}"))
 def test_inter_matches_scan(cfg):
     """P-picture recon: Pallas kernel == XLA scan (incl. derived skip
     MVs, MC, and the final MV map outputs)."""
@@ -233,3 +240,24 @@ def test_decode_matches_scan(cfg):
         cY, cCb, cCr, size_map, mode_map, mts_map)
     for n, r, g in zip(["reconY", "reconCb", "reconCr"], ref[:3], got[:3]):
         assert (np.asarray(r) == np.asarray(g)).all(), f"{n} mismatch"
+
+
+def test_subst_availability_is_contiguous():
+    """The Pallas substitution relies on availability being ONE
+    contiguous run along the substitution scan (left bottom->top,
+    corner, top left->right) — property-check the z-order tables."""
+    from x266_tpu.engine.availability import ref_masks
+    from x266_tpu.kernels.intra import _subst_perm
+
+    for (w, h) in ((104, 72), (128, 64), (192, 192)):
+        for s in (4, 8, 16, 32):
+            for scale in (1, 2):
+                if scale == 2 and s == 32:
+                    continue
+                m = ref_masks(w, h, s, scale=scale)
+                perm, _ = _subst_perm(s)
+                scan = m.reshape(-1, m.shape[-1])[:, perm]
+                # one contiguous run per block: at most one 0->1 edge
+                edges = (scan[:, 1:].astype(int)
+                         - scan[:, :-1].astype(int) == 1).sum(axis=1)
+                assert (edges <= 1).all(), (w, h, s, scale)

@@ -409,7 +409,8 @@ def preset_cfg1(width: int = 416, height: int = 240) -> CodecConfig:
 def preset_cfg2(width: int = 1920, height: int = 1080) -> CodecConfig:
     """Config 2: all-intra 1080p VVC with MTS + CABAC, one chip."""
     return CodecConfig(width=width, height=height, profile=Profile.VVC,
-                       mts=True, intra_period=1, rdoq=True)
+                       mts=True, intra_period=1, rdoq=True,
+                       ref_substitute=True)
 
 
 def preset_cfg2q(width: int = 1920, height: int = 1080) -> CodecConfig:
@@ -422,8 +423,8 @@ def preset_cfg2q(width: int = 1920, height: int = 1080) -> CodecConfig:
     measurement), so the throughput preset keeps it off and this
     preset trades fps for bits.  Round-5 adds reference-sample
     substitution (-3.45% mean BD-rate on the 416x240 corpus,
-    tests/bd_rates.json refsubst row) — it rides the same XLA scan
-    this preset already uses."""
+    tests/bd_rates.json refsubst row; in EVERY preset now that the
+    Pallas recon kernels carry the closed-form fill) and SDH."""
     return preset_cfg2(width, height).replace(mtt=True,
                                               ref_substitute=True,
                                               sign_data_hiding=True)
@@ -442,7 +443,8 @@ def preset_cfg2s(width: int = 1920, height: int = 1080) -> CodecConfig:
 def preset_cfg3(width: int = 1920, height: int = 1080) -> CodecConfig:
     """Config 3: low-delay P 1080p, integer+fractional ME."""
     return CodecConfig(width=width, height=height, qp=32,
-                       intra_period=32, rdoq=True)
+                       intra_period=32, rdoq=True,
+                       ref_substitute=True)
 
 
 def preset_cfg4(width: int = 3840, height: int = 2160,
@@ -456,7 +458,7 @@ def preset_cfg4(width: int = 3840, height: int = 2160,
                        intra_period=32, gop_size=16, deblock=True,
                        sao=True, sao_chroma=True, alf=True,
                        alf_chroma=True, rdoq=True,
-                       tile_rows=tile_rows)
+                       ref_substitute=True, tile_rows=tile_rows)
 
 
 def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:
@@ -465,4 +467,4 @@ def preset_cfg5(width: int = 3840, height: int = 2160) -> CodecConfig:
     return CodecConfig(width=width, height=height, qp=32,
                        intra_period=16, deblock=True, sao=True,
                        sao_chroma=True, rows_per_segment=1, rdoq=True,
-                       ctx_inherit=True)
+                       ctx_inherit=True, ref_substitute=True)

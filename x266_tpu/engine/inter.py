@@ -586,8 +586,7 @@ def select_recon_inter_impl(cfg: CodecConfig, encode: bool,
                   else flag != "0")
     if use_pallas and cfg.bit_depth == 8 \
             and not cfg.sign_data_hiding \
-            and not cfg.dep_quant \
-            and not cfg.ref_substitute:     # 10-bit/SDH/DQ/subst: XLA
+            and not cfg.dep_quant:          # 10-bit/SDH/DQ: XLA scan
         from x266_tpu.engine.recon_pallas import (
             make_recon_inter_pallas_raw)
         return make_recon_inter_pallas_raw(cfg, encode, b_mode=b_mode)

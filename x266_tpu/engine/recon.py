@@ -575,7 +575,7 @@ def select_recon_impl(cfg: CodecConfig, encode: bool):
     if use_pallas and cfg.bit_depth == 8 and not cfg.cclm \
             and not cfg.mtt and not cfg.lfnst \
             and not cfg.sign_data_hiding and not cfg.dep_quant \
-            and not cfg.ref_substitute and cfg.max_cu_size <= 32:
+            and cfg.max_cu_size <= 32:
         from x266_tpu.engine.recon_pallas import make_recon_pallas_raw
         return make_recon_pallas_raw(cfg, encode)
     return make_recon_pass_raw(cfg, encode)

@@ -414,6 +414,68 @@ def _build_pallas(cfg: CodecConfig, encode: bool, interpret: bool,
             lv_int = pltpu.roll(lblk, (129 - x) % 128, 1)[:, 0:1]
             left_vec = jnp.where(x == 0, left_c0, lv_int)       # (2s,1)
 
+            if cfg.ref_substitute:
+                # Reference substitution (C6 round-5, FORMAT.md §7).
+                # Under the z-order availability rule both sides are
+                # monotone prefixes, so availability along the
+                # substitution scan (left bottom->top, corner, top
+                # left->right) is ONE contiguous run and the HEVC
+                # propagation fill collapses to closed-form selects
+                # keyed by the run endpoints — bit-identical to
+                # kernels.intra.substitute_refs (gated by
+                # tests/test_recon_pallas.py).  Chroma availability
+                # follows the luma coding order at 2x coords.
+                sc = 1 if luma else 2
+                bx = cx * (64 // sc) + x          # plane coords
+                by = cy * (64 // sc) + y
+                pw = cfg.width // sc
+                ph = cfg.height // sc
+                bxl, byl = bx * sc, by * sc
+
+                def _mort(u, v):
+                    return ((u & 1) | ((v & 1) << 1) | ((u & 2) << 1)
+                            | ((v & 2) << 2) | ((u & 4) << 2)
+                            | ((v & 4) << 3))
+
+                zb_ = _mort((bxl >> 3) & 7, (byl >> 3) & 7)
+                cb_ = (byl >> 6) * 4096 + (bxl >> 6)
+
+                def _zcond(pxl, pyl):
+                    cp = (pyl >> 6) * 4096 + (pxl >> 6)
+                    zp = _mort((pxl >> 3) & 7, (pyl >> 3) & 7)
+                    return (cp < cb_) | ((cp == cb_) & (zp < zb_))
+
+                r_i = _row_iota(2 * s, 1)
+                av_l = ((bx > 0) & (by + r_i < ph)
+                        & _zcond((bx - 1) * sc, (by + r_i) * sc))
+                k_i = _lane_iota(1, 128)
+                av_t = ((by > 0) & (k_i >= 1) & (k_i <= 2 * s)
+                        & (bx + k_i - 1 < pw)
+                        & _zcond((bx + k_i - 1) * sc, (by - 1) * sc))
+                av_c = ((bx > 0) & (by > 0)
+                        & _zcond((bx - 1) * sc, (by - 1) * sc))
+                nl = jnp.sum(av_l.astype(I32))
+                nt = jnp.sum(av_t.astype(I32))
+                v_l0 = left_vec[0, 0]
+                v_lend = jnp.sum(jnp.where(r_i == nl - 1, left_vec, 0))
+                v_c = top_vec[0, 0]
+                v_t1 = jnp.sum(jnp.where(k_i == 1, top_vec, 0))
+                v_tend = jnp.sum(jnp.where(k_i == nt, top_vec, 0))
+                first_val = jnp.where(
+                    nl > 0, v_lend,
+                    jnp.where(av_c, v_c,
+                              jnp.where(nt > 0, v_t1, 128)))
+                last_val = jnp.where(
+                    nt > 0, v_tend,
+                    jnp.where(av_c, v_c,
+                              jnp.where(nl > 0, v_l0, 128)))
+                corner_sub = jnp.where(
+                    av_c, v_c, jnp.where(nl > 0, v_l0, first_val))
+                left_vec = jnp.where(r_i < nl, left_vec, first_val)
+                top_vec = jnp.where(
+                    k_i == 0, corner_sub,
+                    jnp.where(k_i <= nt, top_vec, last_val))
+
             topf = top_vec[:, 0:topr].astype(F32)
             leftf = left_vec.astype(F32)
 
