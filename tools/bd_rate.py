@@ -70,6 +70,8 @@ TOOLS = {
     "mtt": (dict(), dict(mtt=True)),
     "ts": (dict(), dict(transform_skip=True)),
     "cclm": (_RS, dict(cclm=True, **_RS)),
+    "refsubst_inter": (dict(intra_period=8),
+                       dict(intra_period=8, ref_substitute=True)),
     "sdh_inter": (dict(intra_period=8),
                   dict(intra_period=8, sign_data_hiding=True)),
     "dq_inter": (dict(intra_period=8),
